@@ -1,0 +1,45 @@
+"""Vectorized Arrow UDFs for the extraction kernels (X5/X6).
+
+Reference behavior: ExtractHTMLContent (crawler.go:229-239) and
+ConvertToMarkdown (crawler.go:242-249), with the fetch-side 20 MB
+truncation (crawler.go:38,193-198) applied *before* extraction to
+preserve the reference invariant (SURVEY.md §2.2 F6).
+
+The UDF bodies call the normative kernel functions directly — the same
+code that produced the golden fixture columns — so byte-identity of the
+Spark output reduces to Arrow round-trip fidelity (utf-8, \r\n, null
+bytes are covered by fixture strata).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pathik_spark.kernels import extract as X
+
+
+def make_extract_text_udf(fetch_cap: int = X.FETCH_CAP):
+    @F.pandas_udf(T.StringType())
+    def extract_text_udf(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in html:
+            yield batch.map(lambda b: X.extract_text(b, fetch_cap))
+
+    return extract_text_udf
+
+
+def make_to_markdown_udf(fetch_cap: int = X.FETCH_CAP):
+    @F.pandas_udf(T.StringType())
+    def to_markdown_udf(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in html:
+            yield batch.map(lambda b: X.to_markdown(b, fetch_cap))
+
+    return to_markdown_udf
+
+
+# default-cap singletons for plan assembly
+extract_text_udf = make_extract_text_udf()
+to_markdown_udf = make_to_markdown_udf()

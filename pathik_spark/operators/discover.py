@@ -1,0 +1,47 @@
+"""Link discovery: outlinks of fetched pages become next-round frontier
+candidates (SURVEY.md §2.7 — frontier ∪ discovered, per round).
+
+The sandbox replaces live link extraction with the ``links(src_url,
+dst_url)`` fixture table (FIXTURES.md §4); on a real corpus this would
+be an href-extraction pandas UDF over the html column feeding the same
+shape. Discovery order is made deterministic: new candidates get
+``seq = seq_base + dense_rank over (parent seq, dst_url)`` and the
+lowest discovery priority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pathik_spark.functions import urls as U
+
+DISCOVERED_PRIORITY = 2
+
+
+def discover_links(
+    links: DataFrame,
+    fetched: DataFrame,
+    seq_base: int,
+) -> DataFrame:
+    """Returns seeds-shaped rows (url, seq, priority) for the next round.
+
+    Join identity: canonical url_hash of the link source vs the fetched
+    set (cheap — fetched is one round's output, broadcastable when small;
+    at scale both sides partition by url_hash).
+    """
+    src = links.withColumn(
+        "src_hash", U.url_hash_expr(U.canonicalize_udf(F.col("src_url")))
+    )
+    fetched_keys = fetched.select(
+        F.col("url_hash").alias("src_hash"), F.col("seq").alias("parent_seq")
+    )
+    out = src.join(fetched_keys, "src_hash")
+    w = Window.orderBy("parent_seq", "dst_url")
+    return (
+        out.select("parent_seq", F.col("dst_url").alias("url"))
+        .distinct()
+        .withColumn("seq", F.lit(seq_base) + F.row_number().over(w).cast("long"))
+        .withColumn("priority", F.lit(DISCOVERED_PRIORITY))
+        .select("url", "seq", "priority")
+    )

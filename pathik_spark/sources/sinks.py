@@ -1,0 +1,147 @@
+"""Output sinks, re-expressed as table projections (SURVEY.md §2.1).
+
+The reference's side-effecting sinks become *columns* on the artifacts
+table, so every sink is a pure projection + write:
+
+- S4 local-file sink (storage.go:205-266): filename derivation is the
+  ``filename_html`` / ``filename_md`` columns; the 10 MB save cap is the
+  byte-truncation here.
+- S5 R2 object sink (storage.go:122-147): key ``{uuid}+{sanitized}.{ext}``
+  as a column; the uuid is determinized as a function of (run_id, url)
+  (the reference's random uuid is not replayable).
+- S6/S7 Kafka producer (storage/kafka.go:176-276, pathik/__init__.py:
+  135-177): one message row per (url, content_type) with
+  key=url bytes, value=content bytes, headers array — exactly the shape
+  ``writeStream.format("kafka")`` takes; in-sandbox the same DataFrame is
+  written as a kafka-shaped table. Content-type fan-out follows
+  kafka.go:240-273: 'html' -> text/html, 'markdown' -> text/markdown,
+  'both' -> two rows per url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pathik_spark.functions import urls as U
+from pathik_spark.kernels.extract import SAVE_CAP
+
+CONTENT_TYPES = ("html", "markdown", "both")
+
+
+def local_file_rows(artifacts: DataFrame, save_cap: int = SAVE_CAP) -> DataFrame:
+    """One row per (url, file) mirroring SaveToLocalFile: content
+    truncated at save_cap BYTES (storage.go:211-216)."""
+    html_rows = artifacts.filter(F.col("status") == "fetched").select(
+        F.col("url"),
+        F.col("filename_html").alias("filename"),
+        F.substring(F.col("html"), 1, save_cap).alias("content"),
+        F.lit("html").alias("file_type"),
+    )
+    md_rows = artifacts.filter(F.col("status") == "fetched").select(
+        F.col("url"),
+        F.col("filename_md").alias("filename"),
+        F.substring(F.encode(F.col("markdown"), "utf-8"), 1, save_cap).alias("content"),
+        F.lit("md").alias("file_type"),
+    )
+    return html_rows.unionByName(md_rows)
+
+
+def deterministic_uuid(run_id: str) -> F.Column:
+    """Replayable stand-in for the reference's random uuid: hex of
+    xxhash64(run_id, url)."""
+    return F.lower(F.hex(F.xxhash64(F.lit(run_id), F.col("url"))))
+
+
+def r2_object_rows(artifacts: DataFrame, run_id: str) -> DataFrame:
+    """S5: (key, content, mime) rows; key per storage.go:129-131."""
+    fetched = artifacts.filter(F.col("status") == "fetched")
+    uuid_col = deterministic_uuid(run_id)
+    html_rows = fetched.select(
+        U.r2_key_expr(uuid_col, F.col("url"), "html").alias("key"),
+        F.col("html").alias("content"),
+        F.lit("text/html").alias("mime"),
+    )
+    md_rows = fetched.select(
+        U.r2_key_expr(uuid_col, F.col("url"), "md").alias("key"),
+        F.encode(F.col("markdown"), "utf-8").alias("content"),
+        F.lit("text/markdown").alias("mime"),
+    )
+    return html_rows.unionByName(md_rows)
+
+
+def _headers(url_col, ts_col, session_id: str | None, content_type: str):
+    """kafka.go:226-273 header construction: url, timestamp (RFC3339 from
+    warc_ts, never wall clock — X9), optional sessionID, contentType."""
+    pairs = [
+        F.struct(F.lit("url").alias("key"), F.encode(url_col, "utf-8").alias("value")),
+        F.struct(
+            F.lit("timestamp").alias("key"),
+            F.encode(F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ssXXX"), "utf-8").alias("value"),
+        ),
+    ]
+    if session_id:
+        pairs.append(
+            F.struct(F.lit("sessionID").alias("key"), F.encode(F.lit(session_id), "utf-8").alias("value"))
+        )
+    pairs.append(
+        F.struct(F.lit("contentType").alias("key"), F.encode(F.lit(content_type), "utf-8").alias("value"))
+    )
+    return F.array(*pairs)
+
+
+def kafka_message_rows(
+    artifacts: DataFrame,
+    content_type: str = "both",
+    session_id: str | None = None,
+) -> DataFrame:
+    """S6: kafka-sink-shaped rows (key, value, headers, topic-ready).
+    Feed to ``.write.format("kafka")`` on a real cluster, or write as a
+    table in-sandbox (identical shape)."""
+    assert content_type in CONTENT_TYPES, content_type
+    fetched = artifacts.filter(F.col("status") == "fetched")
+    out = []
+    if content_type in ("html", "both"):
+        out.append(
+            fetched.select(
+                F.encode(F.col("url"), "utf-8").alias("key"),
+                F.col("html").alias("value"),
+                _headers(F.col("url"), F.col("warc_ts"), session_id, "text/html").alias("headers"),
+            )
+        )
+    if content_type in ("markdown", "both"):
+        out.append(
+            fetched.select(
+                F.encode(F.col("url"), "utf-8").alias("key"),
+                F.encode(F.col("markdown"), "utf-8").alias("value"),
+                _headers(F.col("url"), F.col("warc_ts"), session_id, "text/markdown").alias("headers"),
+            )
+        )
+    df = out[0]
+    for extra in out[1:]:
+        df = df.unionByName(extra)
+    return df
+
+
+def filter_kafka_rows(
+    messages: DataFrame,
+    content_type_substr: str | None = None,
+    session_id: str | None = None,
+) -> DataFrame:
+    """S8 consumer-side filters (examples/kafka_consumer.py:186-191):
+    contentType substring match + exact sessionID match on headers."""
+    df = messages
+
+    def header_value(name: str):
+        return F.decode(
+            F.element_at(
+                F.map_from_entries(F.col("headers")), F.lit(name)
+            ),
+            "utf-8",
+        )
+
+    if content_type_substr is not None:
+        df = df.filter(header_value("contentType").contains(content_type_substr))
+    if session_id is not None:
+        df = df.filter(header_value("sessionID") == session_id)
+    return df
