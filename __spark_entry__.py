@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl round end-to-end on the
+deterministic synthetic corpus (FIXTURES.md). ``queries()`` exposes one
+entry per implemented operator from SURVEY.md §2 (+ the training-data
+operator family); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible one — both sides are rendered from a single dialect-
+templated definition in pathik_spark/entry_queries.py, so the compared
+semantics are genuinely identical. Crawl-pipeline queries that need the
+iterative driver (scheduling, bloom-seen, extraction UDFs) are
+rows-only checked here and oracle-checked in tests/ against the
+sequential simulator and golden fixtures instead.
 """
 
 from __future__ import annotations
@@ -12,27 +17,163 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pathik_spark.entry_queries import TABLES, duck_sql_for, spark_sql_for, ORACLE_QUERIES
+
+_CORPUS_CACHE: dict[int, dict] = {}
+
+
+def _corpus(n_pages: int = 400, n_seeds: int = 80):
+    from pathik_spark.fixtures import gen_corpus
+
+    if n_pages not in _CORPUS_CACHE:
+        _CORPUS_CACHE[n_pages] = gen_corpus(n_pages, n_seeds)
+    return _CORPUS_CACHE[n_pages]
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(spark_sql_for(name))
+
+    return run
+
+
+# --- crawl-pipeline queries (rows-only checked by the driver; oracle'd in
+# pytest against the sequential simulator + golden fixtures) -----------------
+
+def _q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl round: seeds -> canonicalize -> seen -> robots ->
+    schedule -> fetch-join -> extract (SURVEY.md §3.1)."""
+    import tempfile
+
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.fixtures import corpus_to_spark
+    from pathik_spark.plans.driver import CrawlRun
+
+    corpus = corpus_to_spark(spark, _corpus())
+    run = CrawlRun(
+        spark,
+        pages=corpus["pages"],
+        robots=corpus["robots"],
+        links=corpus["links"],
+        state_dir=tempfile.mkdtemp(prefix="pathik_entry_"),
+        config=CrawlConfig(run_id="entry"),
+    )
+    run.run(corpus["seeds"], n_rounds=1)
+    arts = run.store.read_table(0, "artifacts")
+    return arts.select(
+        "url", "host", "status", "crawl_order", "scheduled_ms",
+        "filename_html", "filename_md", F.length("text").alias("text_len"),
+    ).orderBy("crawl_order")
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduler output (B4/W1) on the synthetic corpus."""
+    from pathik_spark.fixtures import corpus_to_spark
+    from pathik_spark.operators.frontier import prepare_frontier
+    from pathik_spark.operators.robots import attach_robots, filter_disallowed
+    from pathik_spark.operators.scheduler import schedule_round
+
+    corpus = corpus_to_spark(spark, _corpus())
+    fr = prepare_frontier(corpus["seeds"])
+    cands = filter_disallowed(attach_robots(fr, corpus["robots"]))
+    scheduled, _ = schedule_round(cands)
+    return scheduled.select(
+        "crawl_order", "url", "host", "rank_in_host", "scheduled_ms", "priority", "seq"
+    ).orderBy("crawl_order")
+
+
+def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sharded URL-seen filter (B2) — equals the exact anti-join."""
+    from pathik_spark.fixtures import corpus_to_spark
+    from pathik_spark.operators.frontier import prepare_frontier
+    from pathik_spark.operators.seen import build_bloom_shards, seen_filter
+
+    corpus = corpus_to_spark(spark, _corpus())
+    fr = prepare_frontier(corpus["seeds"], num_shards=32).cache()
+    seen = fr.filter(F.col("seq") % 2 == 0).select("url_hash", "host_hash", "url")
+    shards = build_bloom_shards(seen)
+    bc = spark.sparkContext.broadcast(shards)
+    return seen_filter(fr, seen, bc).select("url", "url_hash").orderBy("url")
+
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 vectorized extraction over the pages table (byte-identity vs the
+    golden text column is asserted in tests; here the driver checks shape)."""
+    from pathik_spark.fixtures import corpus_to_spark
+    from pathik_spark.functions.extract_udfs import extract_text_udf
+
+    corpus = corpus_to_spark(spark, _corpus())
+    pages = corpus["pages"]
+    return pages.select(
+        "url",
+        F.length(extract_text_udf(F.col("html"))).alias("extracted_len"),
+        (extract_text_udf(F.col("html")) == F.col("text")).alias("byte_identical"),
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathik_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 60), dim=8).select(
+        "doc_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify pipeline on documents (xxhash64 prod path;
+    the portable-hash signature variant is oracle-checked as
+    minhash_signature)."""
+    from pathik_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+    sh = D.word_shingles(docs, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2)
+    return D.jaccard_pairs(sh, cands, threshold=0.4)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathik_spark.operators.ann import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, dim=64)
+
+
+ROWS_ONLY_QUERIES = {
+    "crawl_flagship_round": _q_crawl_flagship,
+    "crawl_schedule_order": _q_crawl_schedule,
+    "bloom_seen_filter": _q_bloom_seen,
+    "extract_text_vectorized": _q_extract_text,
+    "multimodal_features": _q_multimodal_features,
+    "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "lsh_ann_topk": _q_lsh_ann,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: one full crawl round (validate -> canonicalize ->
+    seen -> politeness -> fetch -> extract), smoke-scale corpus."""
+    return _q_crawl_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name) for name in ORACLE_QUERIES
+    }
+    out.update(ROWS_ONLY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: duck_sql_for(name) for name in ORACLE_QUERIES}

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries: the flagship crawl round (frontier-scheduling + byte-identical
+extraction — the BASELINE.json target metric, reported as urls_per_sec)
+over a bench-scale synthetic corpus, plus the heavy relational /
+dedup / ANN operators at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Corpus generation is deterministic and cached under /tmp keyed by
+(n_pages, seed) so repeated runs measure the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+N_PAGES = int(os.environ.get("PATHIK_BENCH_PAGES", "20000"))
+N_SEEDS = int(os.environ.get("PATHIK_BENCH_SEEDS", "4000"))
+CACHE_ROOT = os.environ.get("PATHIK_BENCH_CACHE", "/tmp/pathik_bench_corpus")
+
+
+def ensure_corpus(spark) -> str:
+    out = f"{CACHE_ROOT}/p{N_PAGES}_s{N_SEEDS}_seed42"
+    marker = f"{out}/_COMPLETE"
+    if not os.path.exists(marker):
+        from pathik_spark.fixtures import gen_corpus, write_corpus
+
+        corpus = gen_corpus(N_PAGES, N_SEEDS)
+        write_corpus(spark, corpus, out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def load_corpus(spark, out: str):
+    return {
+        name: spark.read.parquet(f"{out}/{name}.parquet")
+        for name in ("pages", "seeds", "robots", "links")
+    }
+
+
+def bench_crawl_round(spark, corpus, state_dir: str) -> tuple[float, int]:
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    run = CrawlRun(
+        spark,
+        pages=corpus["pages"],
+        robots=corpus["robots"],
+        links=corpus["links"],
+        state_dir=state_dir,
+        config=CrawlConfig(run_id=f"bench-{time.time_ns()}", n_salts=8),
+    )
+    t0 = time.perf_counter()
+    stats = run.run(corpus["seeds"], n_rounds=2)
+    dt = time.perf_counter() - t0
+    n_urls = sum(s.scheduled for s in stats)
+    return dt, n_urls
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pathik_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("pathik_bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    corpus_dir = ensure_corpus(spark)
+    corpus = load_corpus(spark, corpus_dir)
+    for df in corpus.values():
+        df.count()  # warm the scan cache out of the timing
+
+    dt, n_urls = bench_crawl_round(spark, corpus, tempfile.mkdtemp(prefix="pathik_bench_"))
+    timings["crawl_pipeline_2rounds"] = round(dt, 3)
+    extras["crawl_urls_scheduled"] = n_urls
+    extras["crawl_urls_per_sec"] = round(n_urls / dt, 2)
+
+    # extraction-only throughput (the X5 kernel at full width)
+    from pathik_spark.functions.extract_udfs import extract_text_udf
+
+    pages = corpus["pages"]
+    n_pages = pages.count()
+    t0 = time.perf_counter()
+    pages.select(F.length(extract_text_udf(F.col("html"))).alias("n")).agg(
+        F.sum("n")
+    ).collect()
+    dt = time.perf_counter() - t0
+    timings["extract_throughput"] = round(dt, 3)
+    extras["extract_pages_per_sec"] = round(n_pages / dt, 2)
+
+    # relational / dedup / ANN / text operators at SF_DIR via the entry queries
+    qset = E.queries()
+    for name in (
+        "tpch_q1",
+        "join_agg_revenue",
+        "url_canonicalize",
+        "url_seen_antijoin",
+        "exact_dedup",
+        "ngram_jaccard",
+        "minhash_lsh_pairs",
+        "simhash16",
+        "ann_cosine_topk",
+        "lang_id",
+        "quality_score",
+    ):
+        t0 = time.perf_counter()
+        df = qset[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_scheduling_extraction_and_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": int(CPUS),
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

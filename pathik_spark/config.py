@@ -1,0 +1,56 @@
+"""Driver-side job configuration with eager validation.
+
+Parity with the reference's satya schemas (pathik/schema.py:68-243:
+CrawlParams field ranges; main.go:67-87 session-id rule) — in the Spark
+engine these are driver-side dataclasses validated before job submit
+(SURVEY.md §1.5): num_workers/timeouts become cluster config, and the
+data-plane knobs (caps, budgets, shards) feed the operators.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pathik_spark.kernels.extract import FETCH_CAP, SAVE_CAP
+
+SESSION_ID_RE = re.compile(r"^[A-Za-z0-9._-]{1,64}$")  # main.go:67-87
+COMPRESSIONS = ("gzip", "snappy", "lz4", "zstd")  # schema.py:210-214
+
+
+@dataclass
+class CrawlConfig:
+    run_id: str = "run-0"
+    session_id: str | None = None
+    content_type: str = "both"  # html | markdown | both (main.go:151-153)
+    limit_per_round: int | None = None  # schema.py:101-105 (1..10000)
+    max_attempts: int = 3  # crawler.go:33
+    fetch_cap: int = FETCH_CAP  # crawler.go:38
+    save_cap: int = SAVE_CAP  # storage.go:211-216
+    num_shards: int = 4096  # host_hash shards (B1)
+    n_salts: int = 0  # scheduler skew salting (B4/H3); 0 = direct window
+    global_period_ms: int | None = None  # crawler.go:26 parity mode only
+    global_burst: int = 3
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    n_rounds: int = 1
+    kafka_compression: str = "gzip"  # kafka.go:152-165 default
+    max_message_bytes: int = 10 * 1024 * 1024  # schema.py:205-243 range
+    extra: dict = field(default_factory=dict)
+
+    def validate(self) -> "CrawlConfig":
+        if self.session_id is not None and not SESSION_ID_RE.match(self.session_id):
+            raise ValueError(f"invalid session_id {self.session_id!r} (main.go:67-87 rule)")
+        if self.content_type not in ("html", "markdown", "both"):
+            raise ValueError(f"content_type must be html|markdown|both, got {self.content_type}")
+        if self.limit_per_round is not None and not (1 <= self.limit_per_round <= 10_000):
+            raise ValueError("limit_per_round out of range 1..10000 (schema.py:101-105)")
+        if not (1 <= self.max_attempts <= 10):
+            raise ValueError("max_attempts out of range")
+        if self.kafka_compression not in COMPRESSIONS:
+            raise ValueError(f"compression must be one of {COMPRESSIONS} (schema.py:210-214)")
+        if not (1024 <= self.max_message_bytes <= 100 * 1024 * 1024):
+            raise ValueError("max_message_bytes out of 1KB..100MB range (schema.py:226-232)")
+        if self.n_rounds < 1 or self.num_shards < 1:
+            raise ValueError("n_rounds and num_shards must be >= 1")
+        return self

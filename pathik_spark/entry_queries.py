@@ -1,0 +1,519 @@
+"""Dual-dialect (Spark SQL + DuckDB) query definitions for the driver's
+correctness gate (__spark_entry__.py).
+
+Each query is ONE SQL template rendered for both engines through a small
+dialect macro table, so the engine's operator semantics (URL kernels,
+dedup, ANN, text analysis, scheduling windows) are verified
+cross-engine bit-for-bit (hashes, strings, ints) or to 1e-6 (rounded
+doubles). URLs for the crawl-kernel queries are synthesized
+deterministically from the TPC-ish driver tables *inside the SQL*, so
+both engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+# --- dialect macro table -----------------------------------------------------
+
+SPARK = {
+    "RLIKE": lambda c, p: f"({c} RLIKE '{p}')",
+    "RECOUNT": lambda c, p: f"regexp_count({c}, '{p}')",
+    "HASH60": lambda x: f"CAST(conv(substring(md5({x}),1,15),16,10) AS BIGINT)",
+    "DATEFMT": lambda ts: f"date_format({ts}, 'yyyy-MM-dd')",
+    "SPLIT_WS": lambda s: f"split({s}, ' ')",
+    "POSEXPLODE_FROM": lambda src, arr: (
+        f"SELECT doc_id, pos, tok FROM {src} "
+        f"LATERAL VIEW posexplode({arr}) t AS pos, tok"
+    ),
+    "LIST_SORT": lambda a: f"sort_array({a})",
+    "LIST_JOIN": lambda a, sep: f"array_join({a}, '{sep}')",
+    "LIST_FILTER": lambda a, lam: f"filter({a}, {lam})",
+    "SHR": lambda x, b: f"shiftright({x}, {b})",
+    "ARRLEN": lambda a: f"size({a})",
+    "UNNEST_IDX": lambda src, arr: (
+        f"SELECT vec_id, pos, CAST(v AS DOUBLE) AS v FROM {src} "
+        f"LATERAL VIEW posexplode({arr}) t AS pos, v"
+    ),
+}
+
+DUCK = {
+    "RLIKE": lambda c, p: f"regexp_matches({c}, '{p}')",
+    "RECOUNT": lambda c, p: f"len(regexp_extract_all({c}, '{p}'))",
+    "HASH60": lambda x: f"CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)",
+    "DATEFMT": lambda ts: f"strftime({ts}, '%Y-%m-%d')",
+    "SPLIT_WS": lambda s: f"string_split({s}, ' ')",
+    "POSEXPLODE_FROM": lambda src, arr: (
+        f"SELECT doc_id, generate_subscripts({arr},1)-1 AS pos, unnest({arr}) AS tok FROM {src}"
+    ),
+    "LIST_SORT": lambda a: f"list_sort({a})",
+    "LIST_JOIN": lambda a, sep: f"array_to_string({a}, '{sep}')",
+    "LIST_FILTER": lambda a, lam: f"list_filter({a}, {lam})",
+    "SHR": lambda x, b: f"({x} >> {b})",
+    "ARRLEN": lambda a: f"len({a})",
+    "UNNEST_IDX": lambda src, arr: (
+        f"SELECT vec_id, generate_subscripts({arr},1)-1 AS pos, "
+        f"CAST(unnest({arr}) AS DOUBLE) AS v FROM {src}"
+    ),
+}
+
+
+def _norm_text(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+
+
+# deterministic URL synthesis from orders — identical text in both dialects;
+# exercises valid/invalid/port/query/fragment strata (SURVEY.md §2.2 F1, §2.9 B1)
+URLS_CTE = """
+urls_cte AS (
+  SELECT o_orderkey AS id,
+    CASE
+      WHEN o_orderkey % 13 = 0 THEN 'https://192.168.1.' || CAST(o_orderkey % 250 + 1 AS VARCHAR) || '/x'
+      WHEN o_orderkey % 17 = 0 THEN 'ftp://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example/p'
+      WHEN o_orderkey % 19 = 0 THEN 'https://localhost/p' || CAST(o_orderkey AS VARCHAR)
+      WHEN o_orderkey % 7 = 0 THEN 'HTTPS://Host' || CAST(o_orderkey % 40 AS VARCHAR) || '.Example:443/sec' || CAST(o_custkey % 7 AS VARCHAR) || '/page' || CAST(o_orderkey AS VARCHAR) || '?b=2&utm_source=x&a=1#frag'
+      WHEN o_orderkey % 5 = 0 THEN 'https://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example:8080/sec' || CAST(o_custkey % 7 AS VARCHAR) || '/page' || CAST(o_orderkey AS VARCHAR)
+      WHEN o_orderkey % 11 = 0 THEN 'https://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example'
+      ELSE 'https://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example/sec' || CAST(o_custkey % 7 AS VARCHAR) || '/page' || CAST(o_orderkey AS VARCHAR)
+    END AS url,
+    o_orderdate, o_custkey
+  FROM orders
+)
+"""
+
+_NETLOC = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+_HOST = f"lower(regexp_replace(regexp_replace({_NETLOC}, '^[^@]*@', ''), ':[0-9]*$', ''))"
+_PATH = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+_TRIMPATH = f"regexp_replace({_PATH}, '^/+|/+$', '')"
+
+_VALID = (
+    "({RLIKE_SCHEME} AND {host} <> '' AND {host} <> 'localhost' "
+    "AND NOT ({RLIKE_IP} AND {RLIKE_PRIV}))"
+)
+
+
+def _valid_pred(d) -> str:
+    return _VALID.format(
+        RLIKE_SCHEME=d["RLIKE"]("url", "^(?i)https?://"),
+        host=_HOST,
+        RLIKE_IP=d["RLIKE"](_HOST, r"^\\d{1,3}(\\.\\d{1,3}){3}$"),
+        RLIKE_PRIV=d["RLIKE"](_HOST, r"^(127\\.|10\\.|192\\.168\\.|169\\.254\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)"),
+    )
+
+
+# --- query templates ---------------------------------------------------------
+# each entry: name -> fn(dialect_macros) -> SQL string
+
+def q_tpch_q1(d):
+    return """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_agg(d):
+    # TPC-H Q3-ish: revenue per order over a 3-way join
+    return """
+SELECT o.o_orderkey AS orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       c.c_mktsegment AS mktsegment
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY o.o_orderkey, c.c_mktsegment
+HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 1000
+"""
+
+
+def q_seen_antijoin(d):
+    # J3 URL-seen semantics on TPC keys: customers with no final orders
+    return """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+
+def q_url_seen_antijoin(d):
+    # J3 over synthesized URLs: frontier minus seen (seen = id % 3 = 0)
+    return f"""
+WITH {URLS_CTE},
+frontier AS (SELECT id, url FROM urls_cte WHERE {_valid_pred(d)}),
+seen AS (SELECT {d['HASH60']('url')} AS url_hash FROM urls_cte WHERE id % 3 = 0)
+SELECT f.id AS id, f.url AS url FROM frontier f
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_hash = {d['HASH60']('f.url')})
+"""
+
+
+def q_url_validate(d):
+    return f"""
+WITH {URLS_CTE}
+SELECT id, url, CASE WHEN {_valid_pred(d)} THEN 1 ELSE 0 END AS is_valid
+FROM urls_cte
+"""
+
+
+def q_url_domain(d):
+    # X1 GetDomainName (crawler.go:252-265) as portable SQL
+    return f"""
+WITH {URLS_CTE}
+SELECT id, url,
+  CASE WHEN {_HOST} = '' THEN 'unknown'
+       WHEN {_TRIMPATH} = '' THEN replace({_HOST}, '.', '_')
+       ELSE replace({_HOST}, '.', '_') || '_' || replace({_TRIMPATH}, '/', '_')
+  END AS domain_name
+FROM urls_cte
+"""
+
+
+def q_url_sanitize(d):
+    # X2 SanitizeURL (storage.go:79-119): netloc+path, unsafe->_, ..->_, <=200
+    unsafe_from = ":/\\\\?*\"<>| \t\n\r&=+$,;^`{}[]()#%"
+    combined = (
+        f"CASE WHEN {_TRIMPATH} = '' THEN {_NETLOC} "
+        f"ELSE {_NETLOC} || '_' || {_TRIMPATH} END"
+    )
+    return f"""
+WITH {URLS_CTE}
+SELECT id, url,
+  substring(replace(translate({combined}, '{unsafe_from}', '{'_' * 30}'), '..', '_'), 1, 200) AS sanitized
+FROM urls_cte
+"""
+
+
+def q_filename_assembly(d):
+    # X3: {domain}_{yyyy-MM-dd}.{html|md} from o_orderdate (never wall clock)
+    domain = (
+        f"CASE WHEN {_HOST} = '' THEN 'unknown' "
+        f"WHEN {_TRIMPATH} = '' THEN replace({_HOST}, '.', '_') "
+        f"ELSE replace({_HOST}, '.', '_') || '_' || replace({_TRIMPATH}, '/', '_') END"
+    )
+    return f"""
+WITH {URLS_CTE}
+SELECT id,
+  {domain} || '_' || {d['DATEFMT']('o_orderdate')} || '.html' AS filename_html,
+  {domain} || '_' || {d['DATEFMT']('o_orderdate')} || '.md' AS filename_md
+FROM urls_cte
+"""
+
+
+def q_url_canonicalize(d):
+    # B1 canonicalization, SQL-expressible subset (no dot-segments in these
+    # URLs): lowercase scheme+host, strip default port, drop fragment, strip
+    # tracking params, sort surviving params.
+    no_frag = "regexp_replace(url, '#.*$', '')"
+    scheme = f"lower(regexp_extract({no_frag}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    netloc_nf = f"regexp_extract({no_frag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+    host_nf = f"lower(regexp_replace(regexp_replace({netloc_nf}, '^[^@]*@', ''), ':[0-9]*$', ''))"
+    port = f"regexp_extract({netloc_nf}, ':([0-9]+)$', 1)"
+    path_nf = f"regexp_extract({no_frag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    query = f"regexp_extract({no_frag}, '\\\\?([^#]*)$', 1)"
+    kept = d["LIST_FILTER"](
+        d["SPLIT_WS"](f"replace({query}, '&', ' ')"),
+        "x -> NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%' OR x = '')",
+    )
+    sorted_q = d["LIST_JOIN"](d["LIST_SORT"](kept), "&")
+    canon_netloc = (
+        f"CASE WHEN {port} = '' THEN {host_nf} "
+        f"WHEN ({scheme} = 'https' AND {port} = '443') OR ({scheme} = 'http' AND {port} = '80') THEN {host_nf} "
+        f"ELSE {host_nf} || ':' || {port} END"
+    )
+    canon_path = f"CASE WHEN {path_nf} = '' THEN '/' ELSE {path_nf} END"
+    return f"""
+WITH {URLS_CTE}
+SELECT id, url,
+  {scheme} || '://' || {canon_netloc} || {canon_path} ||
+  CASE WHEN {sorted_q} = '' THEN '' ELSE '?' || {sorted_q} END AS canonical
+FROM urls_cte
+WHERE {_valid_pred(d)}
+"""
+
+
+def q_priority_window(d):
+    # W1/W4 priority-queue ranking semantics on the events table
+    return """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events
+) t WHERE rnk <= 5
+"""
+
+
+def q_host_budget(d):
+    # W2/B4 budget semantics: per-key cap with deterministic overflow count
+    return """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CASE WHEN COUNT(*) > 10 THEN COUNT(*) - 10 ELSE 0 END AS deferred
+FROM events GROUP BY user_id
+"""
+
+
+def q_host_metrics(d):
+    # A3 per-host fetch-metrics shape over events
+    return """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 4) AS avg_value,
+       COUNT(CASE WHEN value < 0 THEN 1 END) AS n_negative
+FROM events GROUP BY event_type
+"""
+
+
+def q_frontier_union_dedup(d):
+    # §2.7 frontier ∪ discovered with dedup
+    return """
+SELECT k FROM (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+  UNION
+  SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 3 = 0
+) t
+"""
+
+
+def q_retry_attempts(d):
+    # W3 retry semantics: attempt counting with cap 3 (crawler.go:33)
+    return """
+SELECT attempt, COUNT(*) AS n FROM (
+  SELECT o_orderkey, CAST(o_orderkey % 5 AS INT) AS raw_attempt,
+         CASE WHEN o_orderkey % 5 < 3 THEN CAST(o_orderkey % 5 AS INT) ELSE 2 END AS attempt
+  FROM orders
+) t GROUP BY attempt
+"""
+
+
+def q_manifest_rollup(d):
+    # A1 result-dict rollup shape over documents
+    return """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_exact_dedup(d):
+    norm = _norm_text("text")
+    return f"""
+SELECT doc_id, content_hash,
+       COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
+       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) THEN 1 ELSE 0 END AS is_canonical
+FROM (SELECT doc_id, md5({norm}) AS content_hash FROM documents) t
+"""
+
+
+def _tokens_cte(d, src: str = "documents", where: str = "") -> str:
+    norm = _norm_text("text")
+    base = f"SELECT doc_id, {d['SPLIT_WS'](norm)} AS toks FROM {src} {where}"
+    return f"toks_cte AS ({base}), tokens AS ({d['POSEXPLODE_FROM']('toks_cte', 'toks')})"
+
+
+def q_ngram_jaccard(d):
+    # word-2-gram Jaccard via pure relational ops, both engines
+    return f"""
+WITH {_tokens_cte(d, where="WHERE doc_id < 150")},
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS shingle
+  FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
+"""
+
+
+def q_minhash_signature(d):
+    # B2-adjacent MinHash over word 3-grams, 4 portable hash slots
+    h = lambda i: d["HASH60"](f"'{i}:' || shingle")
+    return f"""
+WITH {_tokens_cte(d, where="WHERE doc_id < 200")},
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM tokens a
+  JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokens c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+)
+SELECT doc_id,
+  MIN({h(0)}) AS h0, MIN({h(1)}) AS h1, MIN({h(2)}) AS h2, MIN({h(3)}) AS h3
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_simhash16(d):
+    # 16-bit portable SimHash: per-token hash, ±1 bit sums, sign -> bits
+    h = d["HASH60"]("tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ({d['SHR'](h, b)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH {_tokens_cte(d, where="WHERE doc_id < 200")},
+sums AS (SELECT doc_id, {bit_sums} FROM tokens WHERE tok <> '' GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash16 FROM sums
+"""
+
+
+_COS_CTE = """
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         SUM(q.v * c.v) AS dot,
+         SQRT(SUM(q.v * q.v)) AS nq,
+         SQRT(SUM(c.v * c.v)) AS nc
+  FROM qvecs q JOIN cvecs c ON q.pos = c.pos
+  WHERE q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+"""
+
+
+def q_ann_cosine_topk(d):
+    qsrc = d["UNNEST_IDX"]("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) s", "embedding")
+    csrc = d["UNNEST_IDX"]("(SELECT vec_id, embedding FROM embeddings) s", "embedding")
+    return f"""
+WITH qvecs AS ({qsrc}), cvecs AS ({csrc}), {_COS_CTE}
+SELECT query_id, vec_id, score, rnk FROM (
+  SELECT query_id, vec_id, ROUND(dot / (nq * nc), 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(dot / (nq * nc), 6) DESC, vec_id) AS rnk
+  FROM pairs
+) t WHERE rnk <= 5
+"""
+
+
+def q_embedding_neardup(d):
+    qsrc = d["UNNEST_IDX"]("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120) s", "embedding")
+    csrc = d["UNNEST_IDX"]("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120) s", "embedding")
+    return f"""
+WITH qvecs AS ({qsrc}), cvecs AS ({csrc}), {_COS_CTE}
+SELECT query_id AS id_a, vec_id AS id_b, ROUND(dot / (nq * nc), 6) AS score
+FROM pairs WHERE query_id < vec_id AND dot / (nq * nc) >= 0.25
+"""
+
+
+def q_lang_id(d):
+    markers = {
+        "en": r"\\b(the|and|of|to|in|is|that|for|with|was)\\b",
+        "de": r"\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b",
+        "fr": r"\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
+        "es": r"\\b(el|los|las|es|una|para|con|del|por|como)\\b",
+    }
+    counts = {k: d["RECOUNT"]("lower(text)", p) for k, p in markers.items()}
+    ja = d["RECOUNT"]("text", r"[぀-ヿ一-鿿]")
+    # argmax with alphabetical tiebreak via nested CASE (portable)
+    best = (
+        f"CASE WHEN {ja} > 0 THEN 'ja' "
+        f"WHEN {counts['de']} > 0 AND {counts['de']} >= {counts['en']} AND {counts['de']} >= {counts['es']} AND {counts['de']} >= {counts['fr']} THEN 'de' "
+        f"WHEN {counts['en']} > 0 AND {counts['en']} >= {counts['es']} AND {counts['en']} >= {counts['fr']} THEN 'en' "
+        f"WHEN {counts['es']} > 0 AND {counts['es']} >= {counts['fr']} THEN 'es' "
+        f"WHEN {counts['fr']} > 0 THEN 'fr' "
+        f"ELSE 'und' END"
+    )
+    return f"SELECT doc_id, {best} AS lang_guess FROM documents"
+
+
+def q_quality_score(d):
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    norm = _norm_text("text")
+    arrlen = d["ARRLEN"](d["SPLIT_WS"](norm))
+    punct_count = d["RECOUNT"]("text", "[^a-zA-Z0-9_ ]")
+    stop_pat = r"\\b(the|and|of|to|in|is|that|for|with|was)\\b"
+    stop_count = d["RECOUNT"]("lower(text)", stop_pat)
+    n_tokens = f"CAST(CASE WHEN {norm} = '' THEN 0 ELSE {arrlen} END AS DOUBLE)"
+    n_punct = f"CAST({punct_count} AS DOUBLE)"
+    n_stop = f"CAST({stop_count} AS DOUBLE)"
+    len_score = f"LEAST({n_chars} / 500.0, 1.0)"
+    punct_score = f"GREATEST(0.0, 1.0 - ({n_punct} / ({n_chars} + 1.0)) * 5.0)"
+    stop_score = f"LEAST({n_stop} * 10.0 / ({n_tokens} + 1.0), 1.0)"
+    mean_wlen = f"(({n_chars} + 1.0) / ({n_tokens} + 1.0))"
+    wlen_score = f"CASE WHEN {mean_wlen} >= 3.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.5 END"
+    return f"""
+SELECT doc_id,
+  ROUND({len_score} * 0.4 + {punct_score} * 0.2 + {stop_score} * 0.2 + {wlen_score} * 0.2, 6) AS quality
+FROM documents
+"""
+
+
+def q_token_count(d):
+    norm = _norm_text("text")
+    arrlen = d["ARRLEN"](d["SPLIT_WS"](norm))
+    bpe = d["RECOUNT"]("text", "[A-Za-z]{1,4}|[0-9]+|[^\\\\sA-Za-z0-9]")
+    n = f"CASE WHEN {norm} = '' THEN 0 ELSE {arrlen} END"
+    return f"SELECT doc_id, {n} AS n_tokens, {bpe} AS n_bpe_ish FROM documents"
+
+
+def q_doc_fingerprint(d):
+    norm = _norm_text("text")
+    return f"""
+SELECT doc_id, md5({norm}) AS fingerprint, {d['HASH60'](norm)} AS fingerprint60
+FROM documents
+"""
+
+
+def q_kafka_shape(d):
+    # S6/S7 message shape (string projection for portability)
+    return """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS key,
+       text AS value,
+       'text/markdown' AS content_type,
+       'sess-1' AS session_id,
+       lang AS header_lang
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+ORACLE_QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "join_agg_revenue": q_join_agg,
+    "seen_antijoin_keys": q_seen_antijoin,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "url_validate": q_url_validate,
+    "url_domain_derivation": q_url_domain,
+    "url_sanitize": q_url_sanitize,
+    "url_canonicalize": q_url_canonicalize,
+    "filename_assembly": q_filename_assembly,
+    "priority_window": q_priority_window,
+    "host_budget": q_host_budget,
+    "host_metrics": q_host_metrics,
+    "frontier_union_dedup": q_frontier_union_dedup,
+    "retry_attempts": q_retry_attempts,
+    "manifest_rollup": q_manifest_rollup,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signature": q_minhash_signature,
+    "simhash16": q_simhash16,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "kafka_shape": q_kafka_shape,
+}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def spark_sql_for(name: str) -> str:
+    return ORACLE_QUERIES[name](SPARK)
+
+
+def duck_sql_for(name: str) -> str:
+    return ORACLE_QUERIES[name](DUCK)

@@ -1,0 +1,227 @@
+"""Large-scale training-data deduplication operators over a documents
+table ``(doc_id, text, ...)``.
+
+These extend the crawl engine with the dedup family a 100 TB web-text
+pipeline needs (exact, MinHash+LSH, SimHash, n-gram Jaccard); the
+URL-seen filter (operators/seen.py) covers URL-level dedup, these cover
+*content*-level dedup.
+
+All hot paths are built-in Spark expressions (explode / groupBy / join /
+higher-order functions) — no per-row Python. Two hash families:
+
+- ``xxhash64`` (JVM, fastest) — the production default;
+- a *portable* md5-based 60-bit hash (``conv(substr(md5(x),1,15),16,10)``)
+  that DuckDB can reproduce bit-for-bit — used by the oracle-checked
+  queries in __spark_entry__.py so correctness is cross-engine-verified.
+
+Scale notes: token explode multiplies rows by ~doc length — partial
+aggregation (map-side min/sum) collapses it back before the shuffle, so
+the shuffle carries one row per (doc, hash-slot). LSH banding turns the
+quadratic all-pairs problem into an equi-join on (band_id, band_hash);
+AQE skew-join handles hot buckets (empty docs, boilerplate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def portable_hash64(col, salt: int | None = None):
+    """60-bit md5-based hash reproducible in DuckDB:
+    ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``."""
+    base = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def normalized_text(col):
+    """Deterministic normalization before hashing: lowercase + collapse
+    whitespace runs + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: keeps the lowest doc_id per group.
+    Returns (doc_id, content_hash, group_size, is_canonical)."""
+    hashed = documents.select(
+        "doc_id", F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("group_size", F.count("*").over(w))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "content_hash",
+            "group_size",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+        )
+    )
+
+
+def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, built with higher-order
+    functions (no Python): split -> transform over a sequence -> explode."""
+    toks = documents.select(
+        "doc_id", F.split(normalized_text(F.col(text_col)), " ").alias("toks")
+    )
+    n_sh = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]),
+            )
+        ).alias("shingle"),
+    )
+    return shingles.distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, portable: bool = False
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}): one groupBy with k map-side-combinable mins."""
+    if portable:
+        hcol = lambda i: portable_hash64(F.col("shingle"), salt=i)
+    else:
+        hcol = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))
+    aggs = [F.min(hcol(i)).alias(f"h{i}") for i in range(num_hashes)]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, band_size: int = 2
+) -> DataFrame:
+    """Band the signature, self-join on (band_id, band_hash); returns
+    distinct (doc_a, doc_b) with doc_a < doc_b."""
+    n_bands = num_hashes // band_size
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard via pure relational ops (explode + self-join +
+    group): |A∩B| / (|A|+|B|-|A∩B|). If ``candidates`` given, restrict to
+    those pairs (LSH verification step)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(documents: DataFrame, text_col: str = "text", portable: bool = False) -> DataFrame:
+    """64-bit SimHash (32-bit when portable): per-token hash bits are
+    summed ±1 per position; sign gives the fingerprint bit. Pure
+    explode + conditional sums (JVM)."""
+    n_bits = 32 if portable else 64
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = portable_hash64(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
+    toks = toks.select("doc_id", h.alias("h"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = None
+    for b in range(n_bits):
+        # bit 63 is the sign bit of a signed long: its two's-complement
+        # contribution is -(2^63)
+        val = -(2 ** 63) if b == 63 else 2 ** b
+        term = F.when(F.col(f"b{b}") > 0, F.lit(val).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash. Scale path: block on
+    16-bit quadrants (a pair within distance<=3 shares at least one exact
+    quadrant by pigeonhole), join per quadrant, verify exact distance."""
+    quads = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("quad"),
+    ).select("doc_id", "simhash", "quad.q", "quad.qh")
+    a, b = quads.alias("a"), quads.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

@@ -37,7 +37,7 @@ def discover_links(
         F.col("url_hash").alias("src_hash"), F.col("seq").alias("parent_seq")
     )
     out = src.join(fetched_keys, "src_hash")
-    w = Window.orderBy("parent_seq", "dst_url")
+    w = Window.orderBy("parent_seq", "url")
     return (
         out.select("parent_seq", F.col("dst_url").alias("url"))
         .distinct()

@@ -45,19 +45,24 @@ def prepare_frontier(
         .withColumn("url", U.canonicalize_udf(F.col("url")))
         .filter(F.col("url").isNotNull())
     )
+    has_attempt = "attempt" in seeds.columns
+    if not has_attempt:
+        canon = canon.withColumn("attempt", F.lit(attempt))
+    order_key = F.struct("priority", "seq")
     dedup = canon.groupBy("url").agg(
-        F.min_by("url_raw", F.struct("priority", "seq")).alias("url_raw"),
-        F.min(F.struct("priority", "seq")).alias("_ps"),
+        F.min_by("url_raw", order_key).alias("url_raw"),
+        F.min_by("attempt", order_key).alias("attempt"),
+        F.min(order_key).alias("_ps"),
     )
     return (
         dedup.select(
             "url_raw",
             "url",
+            "attempt",
             F.col("_ps.priority").alias("priority"),
             F.col("_ps.seq").alias("seq"),
         )
         .withColumn("host", U.hostname_of(F.col("url")))
         .withColumn("url_hash", U.url_hash_expr(F.col("url")))
         .withColumn("host_hash", U.host_hash_expr(F.col("host"), num_shards))
-        .withColumn("attempt", F.lit(attempt))
     )

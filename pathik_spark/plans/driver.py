@@ -1,0 +1,218 @@
+"""The round-based frontier driver loop (SURVEY.md §3.1 Spark lifecycle,
+§7-M5): the engine's flagship end-to-end plan.
+
+Per round:
+
+    frontier -> validate/canonicalize/dedup (F1/F2, B1)
+             -> robots join + disallow filter (J4/B3)
+             -> URL-seen anti-join with bloom pre-filter (J3/B2)
+             -> politeness schedule within per-host budgets (B4/W1/W2/W4)
+             -> fetch join against pages (J2/S2)
+             -> extract text/markdown + derive filenames (X1-X7, F6-F8)
+             -> artifacts + metrics + lineage written (A1/A3/B6)
+             -> retries (W3) + discovered links (§2.7) -> next frontier
+             -> snapshot commit (B5)
+
+Spark has no native iteration, so the loop is driver-side Python; each
+round is one declarative DataFrame plan that Catalyst optimizes whole
+(SURVEY.md §4.3.3). Checkpoint/resume comes from the SnapshotStore's
+atomic per-round manifests: a killed run resumes from the last complete
+round and recomputes the partial one idempotently.
+
+Scale defaults: frontier repartitioned by host_hash before the
+scheduler, AQE skew-join on (session.py), bloom-sharded seen filter.
+The reference's global 1 rps token bucket (crawler.go:26) is available
+as parity mode (config.global_period_ms) and OFF at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pathik_spark.config import CrawlConfig
+from pathik_spark.operators.discover import discover_links
+from pathik_spark.operators.fetch import extract_artifacts, fetch_join
+from pathik_spark.operators.frontier import prepare_frontier
+from pathik_spark.operators.metrics import host_metrics, partition_lineage
+from pathik_spark.operators.robots import attach_robots, filter_disallowed
+from pathik_spark.operators.scheduler import schedule_round
+from pathik_spark.operators.seen import build_bloom_shards, seen_filter
+from pathik_spark.sources.tables import SnapshotStore
+
+FRONTIER_COLS = ["url", "seq", "priority", "attempt"]
+SEEN_COLS = ["url_hash", "host_hash", "url"]
+
+
+@dataclass
+class RoundStats:
+    round: int
+    scheduled: int
+    fetched: int
+    missing: int
+    deferred: int
+    retried: int
+    discovered: int
+    seen_total: int
+    extras: dict = field(default_factory=dict)
+
+
+class CrawlRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        links: DataFrame | None,
+        state_dir: str,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.robots = robots
+        self.links = links
+        self.config = (config or CrawlConfig()).validate()
+        self.store = SnapshotStore(spark, state_dir, self.config.run_id)
+
+    # -- one round ----------------------------------------------------------
+    def run_round(
+        self,
+        round_no: int,
+        frontier: DataFrame,
+        seen: DataFrame | None,
+    ) -> tuple[DataFrame, DataFrame, RoundStats]:
+        cfg = self.config
+        spark = self.spark
+
+        fr = prepare_frontier(frontier, num_shards=cfg.num_shards)
+        fr = fr.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "host_hash"
+        )
+        candidates = filter_disallowed(attach_robots(fr, self.robots))
+
+        bloom_bc = None
+        if cfg.use_bloom and seen is not None:
+            shards = build_bloom_shards(seen, fpp=cfg.bloom_fpp)
+            if shards:
+                bloom_bc = spark.sparkContext.broadcast(shards)
+        unseen = seen_filter(candidates, seen, bloom_bc)
+
+        scheduled, deferred = schedule_round(
+            unseen,
+            n_salts=cfg.n_salts,
+            global_period_ms=cfg.global_period_ms,
+            global_burst=cfg.global_burst,
+        )
+        if cfg.limit_per_round is not None:
+            over = scheduled.filter(F.col("crawl_order") > cfg.limit_per_round)
+            deferred = deferred.unionByName(
+                over.select(*deferred.columns), allowMissingColumns=False
+            )
+            scheduled = scheduled.filter(F.col("crawl_order") <= cfg.limit_per_round)
+
+        artifacts = extract_artifacts(
+            fetch_join(scheduled, self.pages),
+            fetch_cap=cfg.fetch_cap,
+            with_markdown=cfg.content_type in ("markdown", "both"),
+        ).persist()
+
+        n_fetched = artifacts.filter(F.col("status") == "fetched").count()
+        n_scheduled = artifacts.count()
+        n_missing = n_scheduled - n_fetched
+
+        # W3 retry semantics (crawler.go:173-224): missing rows re-enter
+        # with attempt+1 until max_attempts; exhausted rows become seen.
+        retry = (
+            artifacts.filter(
+                (F.col("status") == "missing")
+                & (F.col("attempt") + 1 < cfg.max_attempts)
+            )
+            .select(
+                "url",
+                "seq",
+                "priority",
+                (F.col("attempt") + 1).alias("attempt"),
+            )
+        )
+        consumed = artifacts.filter(
+            (F.col("status") == "fetched")
+            | (F.col("attempt") + 1 >= cfg.max_attempts)
+        ).select("url_hash", "host_hash", "url")
+        new_seen = consumed if seen is None else seen.select(*SEEN_COLS).unionByName(consumed).distinct()
+
+        max_seq = (frontier.agg(F.max("seq")).collect()[0][0]) or 0
+        if self.links is not None:
+            fetched_only = artifacts.filter(F.col("status") == "fetched")
+            discovered = discover_links(self.links, fetched_only, seq_base=int(max_seq) + 1)
+        else:
+            discovered = None
+
+        deferred_f = deferred.select(*FRONTIER_COLS)
+        next_frontier = deferred_f.unionByName(retry.select(*FRONTIER_COLS))
+        n_discovered = 0
+        if discovered is not None:
+            disc_f = discovered.withColumn("attempt", F.lit(0)).select(*FRONTIER_COLS)
+            disc_f = disc_f.persist()
+            n_discovered = disc_f.count()
+            next_frontier = next_frontier.unionByName(disc_f)
+
+        stats = RoundStats(
+            round=round_no,
+            scheduled=n_scheduled,
+            fetched=n_fetched,
+            missing=n_missing,
+            deferred=deferred_f.count(),
+            retried=retry.count(),
+            discovered=n_discovered,
+            seen_total=0,
+        )
+
+        self.store.write_round(
+            round_no,
+            {
+                "artifacts": artifacts.drop("html"),
+                "host_metrics": host_metrics(artifacts, self.config.run_id, round_no),
+                "lineage": partition_lineage(artifacts, self.config.run_id, round_no),
+                "seen": new_seen,
+                "next_frontier": next_frontier,
+            },
+            stats={
+                "scheduled": stats.scheduled,
+                "fetched": stats.fetched,
+                "missing": stats.missing,
+                "deferred": stats.deferred,
+                "retried": stats.retried,
+                "discovered": stats.discovered,
+            },
+        )
+        artifacts.unpersist()
+        # read back the committed snapshots so the next round's lineage is
+        # rooted at stable files, not a growing logical plan
+        seen_out = self.store.read_table(round_no, "seen")
+        frontier_out = self.store.read_table(round_no, "next_frontier")
+        stats.seen_total = seen_out.count()
+        return frontier_out, seen_out, stats
+
+    # -- multi-round with resume --------------------------------------------
+    def run(self, seeds: DataFrame, n_rounds: int | None = None, resume: bool = True) -> list[RoundStats]:
+        n_rounds = n_rounds or self.config.n_rounds
+        start = 0
+        frontier: DataFrame = seeds.select(
+            "url", F.col("seq").cast("long"), F.col("priority").cast("int")
+        ).withColumn("attempt", F.lit(0))
+        seen: DataFrame | None = None
+        if resume:
+            last = self.store.latest_complete_round()
+            if last is not None:
+                start = last + 1
+                frontier = self.store.read_table(last, "next_frontier")
+                seen = self.store.read_table(last, "seen")
+        stats = []
+        for k in range(start, n_rounds):
+            if len(frontier.take(1)) == 0:
+                break
+            frontier, seen, st = self.run_round(k, frontier, seen)
+            stats.append(st)
+        return stats

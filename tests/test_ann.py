@@ -1,0 +1,74 @@
+"""Similarity search over the embeddings table."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathik_spark.operators import ann as A
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.brute_force_topk(emb, queries, k=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"]) for r in out.collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    for qid in range(3):
+        qv = vecs[ids == qid][0]
+        scores = vecs @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(
+            [(round(s, 6), int(i)) for s, i in zip(scores, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for rank, (s, i) in enumerate(order, start=1):
+            gv, gs = got[(qid, rank)]
+            assert gv == i and math.isclose(gs, s, abs_tol=2e-6), (qid, rank)
+
+
+def test_lsh_topk_subset_quality(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = A.brute_force_topk(emb, queries, k=10)
+    approx = A.lsh_bucketed_topk(emb, queries, k=10, n_planes=4, dim=64)
+    # recall@10 against exact — LSH with 4 planes on 500 vecs should catch some
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert a, "lsh returned nothing"
+    recall = len(e & a) / len(e)
+    assert recall > 0.1, f"recall {recall}"
+    # every approx hit must carry the exact cosine score
+    scored = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in scored:
+            assert abs(scored[key] - r["score"]) < 1e-9
+
+
+def test_near_dup_pairs_symmetric_threshold(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 60)
+    pairs = A.embedding_near_dup_pairs(sub, threshold=0.5, exact=True)
+    rows = pairs.collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["score"] >= 0.5

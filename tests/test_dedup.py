@@ -1,0 +1,86 @@
+"""Content-dedup operator family over the driver's documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathik_spark.operators import dedup as D
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def test_exact_dedup_keeps_one_canonical_per_group(spark, docs):
+    out = D.exact_dedup(docs).cache()
+    per_group = out.groupBy("content_hash").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.count("*").alias("n"),
+        F.max("group_size").alias("gs"),
+    )
+    assert per_group.filter(F.col("n_canon") != 1).count() == 0
+    assert per_group.filter(F.col("n") != F.col("gs")).count() == 0
+    # duplicates exist in the synthetic corpus or not — either way total rows preserved
+    assert out.count() == docs.count()
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, docs):
+    # construct known near-dups: copy 5 docs with a tiny suffix change
+    base = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(base)
+    sh = D.word_shingles(aug, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2)
+    verified = D.jaccard_pairs(sh, cands, threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    expected = {(i, i + 100000) for i in range(5)}
+    missing = expected - pairs
+    assert not missing, f"LSH missed planted near-dups: {missing}"
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u")],
+        "doc_id long, text string",
+    )
+    sh = D.word_shingles(df, n=2)  # doc1: ab,bc,cd,de ; doc2: ab,bc,cd,dx
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.jaccard_pairs(sh).collect()}
+    assert out[(1, 2)] == round(3 / 5, 6)
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_simhash_near_pairs(spark, docs):
+    base = docs.limit(4).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.col("text")
+    )
+    aug = docs.select("doc_id", "text").unionByName(base)
+    fp = D.simhash(aug)
+    pairs = D.simhash_near_pairs(fp, max_hamming=0)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert {(i, i + 200000) for i in range(4)} <= got
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["alpha", "beta gamma", "", "日本語"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", D.portable_hash64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        expected = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?),1,15)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == expected, v

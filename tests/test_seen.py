@@ -1,0 +1,54 @@
+"""URL-seen filter (J3/B2): bloom-sharded pre-filter must be exactly
+equivalent to the authoritative anti-join (property per SURVEY.md §7-M3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.frontier import prepare_frontier
+from pathik_spark.operators.seen import build_bloom_shards, seen_filter
+
+
+def _frontier(corpus):
+    return prepare_frontier(corpus["seeds"], num_shards=32)
+
+
+def test_anti_join_semantics(spark, corpus):
+    fr = _frontier(corpus).cache()
+    # mark every other canonical url as seen
+    seen = fr.filter(F.col("seq") % 2 == 0).select("url_hash", "host_hash", "url")
+    out = seen_filter(fr, seen)
+    left = {r["url_hash"] for r in out.select("url_hash").collect()}
+    expected = {
+        r["url_hash"] for r in fr.filter(F.col("seq") % 2 != 0).select("url_hash").collect()
+    } - {r["url_hash"] for r in seen.select("url_hash").collect()}
+    assert left == expected
+
+
+def test_bloom_prefilter_equals_exact(spark, corpus):
+    fr = _frontier(corpus).cache()
+    seen = fr.filter(F.col("seq") % 3 == 0).select("url_hash", "host_hash", "url")
+    exact = seen_filter(fr, seen)
+    shards = build_bloom_shards(seen, fpp=0.05)
+    assert shards, "bloom shards built"
+    bc = spark.sparkContext.broadcast(shards)
+    accelerated = seen_filter(fr, seen, bc)
+    a = sorted(r["url_hash"] for r in exact.select("url_hash").collect())
+    b = sorted(r["url_hash"] for r in accelerated.select("url_hash").collect())
+    assert a == b
+
+
+def test_bloom_has_no_false_negatives(spark, corpus):
+    fr = _frontier(corpus).cache()
+    seen = fr.limit(50).select("url_hash", "host_hash", "url")
+    shards = build_bloom_shards(seen)
+    bc = spark.sparkContext.broadcast(shards)
+    out = seen_filter(fr, seen, bc)
+    seen_hashes = {r["url_hash"] for r in seen.collect()}
+    surviving = {r["url_hash"] for r in out.select("url_hash").collect()}
+    assert not (surviving & seen_hashes)
+
+
+def test_none_seen_passthrough(spark, corpus):
+    fr = _frontier(corpus)
+    assert seen_filter(fr, None) is fr

@@ -1,0 +1,101 @@
+"""Sink projections (S4-S8) + config validation + streaming smoke."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathik_spark.config import CrawlConfig
+from pathik_spark.plans.driver import CrawlRun
+from pathik_spark.sources import sinks as S
+
+
+@pytest.fixture(scope="module")
+def artifacts(spark, corpus, tmp_path_factory):
+    run = CrawlRun(
+        spark,
+        pages=corpus["pages"],
+        robots=corpus["robots"],
+        links=None,
+        state_dir=str(tmp_path_factory.mktemp("sink_state")),
+        config=CrawlConfig(run_id="sinks"),
+    )
+    run.run(corpus["seeds"], n_rounds=1)
+    arts = run.store.read_table(0, "artifacts")
+    # re-attach html (driver drops it from the snapshot to keep it lean)
+    from pathik_spark.functions.urls import canonicalize_udf, url_hash_expr
+
+    pages = corpus["pages"].select(
+        url_hash_expr(canonicalize_udf(F.col("url"))).alias("url_hash"), "html"
+    )
+    return arts.join(pages, "url_hash", "left").cache()
+
+
+def test_local_file_rows(spark, artifacts):
+    out = S.local_file_rows(artifacts).cache()
+    rows = out.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r["filename"].endswith((".html", ".md"))
+        assert r["content"] is not None
+    n_fetched = artifacts.filter(F.col("status") == "fetched").count()
+    assert out.count() == 2 * n_fetched  # html + md per url
+
+
+def test_r2_rows_key_format(spark, artifacts):
+    out = S.r2_object_rows(artifacts, run_id="sinks").limit(10).collect()
+    for r in out:
+        assert "+" in r["key"] and r["key"].endswith((".html", ".md"))
+        assert r["mime"] in ("text/html", "text/markdown")
+
+
+def test_kafka_rows_shape_and_filters(spark, artifacts):
+    msgs = S.kafka_message_rows(artifacts, content_type="both", session_id="sess-1").cache()
+    n_fetched = artifacts.filter(F.col("status") == "fetched").count()
+    assert msgs.count() == 2 * n_fetched
+    html_only = S.filter_kafka_rows(msgs, content_type_substr="text/html")
+    assert html_only.count() == n_fetched
+    sess = S.filter_kafka_rows(msgs, session_id="sess-1")
+    assert sess.count() == 2 * n_fetched
+    none_sess = S.filter_kafka_rows(msgs, session_id="other")
+    assert none_sess.count() == 0
+    row = msgs.limit(1).collect()[0]
+    header_keys = [h["key"] for h in row["headers"]]
+    assert header_keys == ["url", "timestamp", "sessionID", "contentType"]
+
+
+def test_config_validation():
+    CrawlConfig(session_id="ok_session-1.2").validate()
+    with pytest.raises(ValueError):
+        CrawlConfig(session_id="bad session!").validate()
+    with pytest.raises(ValueError):
+        CrawlConfig(content_type="xml").validate()
+    with pytest.raises(ValueError):
+        CrawlConfig(limit_per_round=0).validate()
+    with pytest.raises(ValueError):
+        CrawlConfig(kafka_compression="brotli").validate()
+
+
+def test_streaming_smoke(spark, corpus, tmp_path):
+    # file-source streaming over kafka-shaped/pages rows with memory sink
+    from pathik_spark.streaming.kafka_shaped import streaming_host_metrics
+
+    pages_dir = str(tmp_path / "pages_stream")
+    corpus["pages"].write.mode("overwrite").parquet(pages_dir)
+    schema = corpus["pages"].schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    agg = streaming_host_metrics(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hm_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM hm_stream")
+        assert out.count() > 0
+        total = out.agg(F.sum("n_pages")).collect()[0][0]
+        assert total == corpus["pages"].count()
+    finally:
+        q.stop()
