@@ -3,20 +3,40 @@ correctness gate (__spark_entry__.py).
 
 Each query is ONE SQL template rendered for both engines through a small
 dialect macro table, so the engine's operator semantics (URL kernels,
-dedup, ANN, text analysis, scheduling windows) are verified
-cross-engine bit-for-bit (hashes, strings, ints) or to 1e-6 (rounded
-doubles). URLs for the crawl-kernel queries are synthesized
-deterministically from the TPC-ish driver tables *inside the SQL*, so
-both engines see identical inputs.
+dedup, ANN, text analysis, scheduling windows) are verified cross-engine
+bit-for-bit (hashes, strings, ints) or to 1e-6 (rounded doubles). URLs
+for the crawl-kernel queries are synthesized deterministically from the
+TPC-ish driver tables *inside the SQL*, so both engines see identical
+inputs.
+
+Dialect gotchas handled centrally:
+- Spark SQL string literals process backslash escapes; DuckDB's are raw
+  -> every pattern/literal goes through the dialect's LIT.
+- DuckDB regexp_replace is first-match unless 'g'; Spark's is global
+  -> RE_REPLACE macro adds 'g' on the DuckDB side.
+- Spark has no bare VARCHAR type -> STRING (both engines accept it).
 """
 
 from __future__ import annotations
 
-# --- dialect macro table -----------------------------------------------------
+# --- dialect macro tables ----------------------------------------------------
+
+
+def _spark_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _duck_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
 
 SPARK = {
-    "RLIKE": lambda c, p: f"({c} RLIKE '{p}')",
-    "RECOUNT": lambda c, p: f"regexp_count({c}, '{p}')",
+    "NAME": "spark",
+    "LIT": _spark_lit,
+    "RLIKE": lambda c, p: f"({c} RLIKE {_spark_lit(p)})",
+    "RECOUNT": lambda c, p: f"regexp_count({c}, {_spark_lit(p)})",
+    "RE_REPLACE": lambda c, p, r: f"regexp_replace({c}, {_spark_lit(p)}, {_spark_lit(r)})",
+    "RE_EXTRACT": lambda c, p, i: f"regexp_extract({c}, {_spark_lit(p)}, {i})",
     "HASH60": lambda x: f"CAST(conv(substring(md5({x}),1,15),16,10) AS BIGINT)",
     "DATEFMT": lambda ts: f"date_format({ts}, 'yyyy-MM-dd')",
     "SPLIT_WS": lambda s: f"split({s}, ' ')",
@@ -36,8 +56,13 @@ SPARK = {
 }
 
 DUCK = {
-    "RLIKE": lambda c, p: f"regexp_matches({c}, '{p}')",
-    "RECOUNT": lambda c, p: f"len(regexp_extract_all({c}, '{p}'))",
+    "NAME": "duck",
+    "LIT": _duck_lit,
+    "RLIKE": lambda c, p: f"regexp_matches({c}, {_duck_lit(p)})",
+    "RECOUNT": lambda c, p: f"len(regexp_extract_all({c}, {_duck_lit(p)}))",
+    "RE_REPLACE": lambda c, p, r: f"regexp_replace({c}, {_duck_lit(p)}, {_duck_lit(r)}, 'g')",
+    # DuckDB regexp_extract -> NULL on no match; Spark -> '' — align on ''
+    "RE_EXTRACT": lambda c, p, i: f"coalesce(regexp_extract({c}, {_duck_lit(p)}, {i}), '')",
     "HASH60": lambda x: f"CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)",
     "DATEFMT": lambda ts: f"strftime({ts}, '%Y-%m-%d')",
     "SPLIT_WS": lambda s: f"string_split({s}, ' ')",
@@ -45,7 +70,8 @@ DUCK = {
         f"SELECT doc_id, generate_subscripts({arr},1)-1 AS pos, unnest({arr}) AS tok FROM {src}"
     ),
     "LIST_SORT": lambda a: f"list_sort({a})",
-    "LIST_JOIN": lambda a, sep: f"array_to_string({a}, '{sep}')",
+    # DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+    "LIST_JOIN": lambda a, sep: f"coalesce(array_to_string({a}, '{sep}'), '')",
     "LIST_FILTER": lambda a, lam: f"list_filter({a}, {lam})",
     "SHR": lambda x, b: f"({x} >> {b})",
     "ARRLEN": lambda a: f"len({a})",
@@ -56,8 +82,8 @@ DUCK = {
 }
 
 
-def _norm_text(col: str) -> str:
-    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+def _norm_text(d, col: str) -> str:
+    return f"trim({d['RE_REPLACE'](f'lower({col})', chr(92) + 's+', ' ')})"
 
 
 # deterministic URL synthesis from orders — identical text in both dialects;
@@ -66,13 +92,13 @@ URLS_CTE = """
 urls_cte AS (
   SELECT o_orderkey AS id,
     CASE
-      WHEN o_orderkey % 13 = 0 THEN 'https://192.168.1.' || CAST(o_orderkey % 250 + 1 AS VARCHAR) || '/x'
-      WHEN o_orderkey % 17 = 0 THEN 'ftp://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example/p'
-      WHEN o_orderkey % 19 = 0 THEN 'https://localhost/p' || CAST(o_orderkey AS VARCHAR)
-      WHEN o_orderkey % 7 = 0 THEN 'HTTPS://Host' || CAST(o_orderkey % 40 AS VARCHAR) || '.Example:443/sec' || CAST(o_custkey % 7 AS VARCHAR) || '/page' || CAST(o_orderkey AS VARCHAR) || '?b=2&utm_source=x&a=1#frag'
-      WHEN o_orderkey % 5 = 0 THEN 'https://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example:8080/sec' || CAST(o_custkey % 7 AS VARCHAR) || '/page' || CAST(o_orderkey AS VARCHAR)
-      WHEN o_orderkey % 11 = 0 THEN 'https://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example'
-      ELSE 'https://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example/sec' || CAST(o_custkey % 7 AS VARCHAR) || '/page' || CAST(o_orderkey AS VARCHAR)
+      WHEN o_orderkey % 13 = 0 THEN 'https://192.168.1.' || CAST(o_orderkey % 250 + 1 AS STRING) || '/x'
+      WHEN o_orderkey % 17 = 0 THEN 'ftp://host' || CAST(o_orderkey % 40 AS STRING) || '.example/p'
+      WHEN o_orderkey % 19 = 0 THEN 'https://localhost/p' || CAST(o_orderkey AS STRING)
+      WHEN o_orderkey % 7 = 0 THEN 'HTTPS://Host' || CAST(o_orderkey % 40 AS STRING) || '.Example:443/sec' || CAST(o_custkey % 7 AS STRING) || '/page' || CAST(o_orderkey AS STRING) || '?b=2&utm_source=x&a=1#frag'
+      WHEN o_orderkey % 5 = 0 THEN 'https://host' || CAST(o_orderkey % 40 AS STRING) || '.example:8080/sec' || CAST(o_custkey % 7 AS STRING) || '/page' || CAST(o_orderkey AS STRING)
+      WHEN o_orderkey % 11 = 0 THEN 'https://host' || CAST(o_orderkey % 40 AS STRING) || '.example'
+      ELSE 'https://host' || CAST(o_orderkey % 40 AS STRING) || '.example/sec' || CAST(o_custkey % 7 AS STRING) || '/page' || CAST(o_orderkey AS STRING)
     END AS url,
     o_orderdate, o_custkey
   FROM orders
@@ -80,35 +106,54 @@ urls_cte AS (
 """
 
 _NETLOC = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
-_HOST = f"lower(regexp_replace(regexp_replace({_NETLOC}, '^[^@]*@', ''), ':[0-9]*$', ''))"
 _PATH = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
-_TRIMPATH = f"regexp_replace({_PATH}, '^/+|/+$', '')"
 
-_VALID = (
-    "({RLIKE_SCHEME} AND {host} <> '' AND {host} <> 'localhost' "
-    "AND NOT ({RLIKE_IP} AND {RLIKE_PRIV}))"
-)
+
+def _host(d) -> str:
+    no_user = d["RE_REPLACE"](_NETLOC, "^[^@]*@", "")
+    no_port = d["RE_REPLACE"](no_user, ":[0-9]*$", "")
+    return f"lower({no_port})"
+
+
+def _trimpath(d) -> str:
+    return d["RE_REPLACE"](_PATH, "^/+|/+$", "")
 
 
 def _valid_pred(d) -> str:
-    return _VALID.format(
-        RLIKE_SCHEME=d["RLIKE"]("url", "^(?i)https?://"),
-        host=_HOST,
-        RLIKE_IP=d["RLIKE"](_HOST, r"^\\d{1,3}(\\.\\d{1,3}){3}$"),
-        RLIKE_PRIV=d["RLIKE"](_HOST, r"^(127\\.|10\\.|192\\.168\\.|169\\.254\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)"),
+    host = _host(d)
+    return (
+        f"({d['RLIKE']('url', '^(?i)https?://')} AND {host} <> '' "
+        f"AND {host} <> 'localhost' AND NOT ("
+        + d["RLIKE"](host, r"^\d{1,3}(\.\d{1,3}){3}$")
+        + " AND "
+        + d["RLIKE"](host, r"^(127\.|10\.|192\.168\.|169\.254\.|172\.(1[6-9]|2[0-9]|3[01])\.)")
+        + "))"
+    )
+
+
+def _domain_name(d) -> str:
+    host, trimmed = _host(d), _trimpath(d)
+    return (
+        f"CASE WHEN {host} = '' THEN 'unknown' "
+        f"WHEN {trimmed} = '' THEN replace({host}, '.', '_') "
+        f"ELSE replace({host}, '.', '_') || '_' || replace({trimmed}, '/', '_') END"
     )
 
 
 # --- query templates ---------------------------------------------------------
-# each entry: name -> fn(dialect_macros) -> SQL string
 
 def q_tpch_q1(d):
-    return """
+    # integer-cents sums: per-term doubles are IEEE-identical across
+    # engines, so term-level rounding is exact; post-sum ROUND would sit
+    # on add-order-sensitive boundaries.
+    qty_c = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
+    base_c = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    disc_c = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    return f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       SUM({qty_c}) AS sum_qty_cents,
+       SUM({base_c}) AS sum_base_price_cents,
+       SUM({disc_c}) AS sum_disc_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -117,16 +162,20 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_join_agg(d):
-    # TPC-H Q3-ish: revenue per order over a 3-way join
-    return """
+    # TPC-H Q3-ish: revenue per order over a 3-way join. Money sums in
+    # integer cents: the per-term double product is IEEE-identical across
+    # engines, so rounding each term to cents BEFORE the sum removes the
+    # cross-engine add-order sensitivity a post-sum ROUND would have.
+    cents = "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)"
+    return f"""
 SELECT o.o_orderkey AS orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       SUM({cents}) AS revenue_cents,
        c.c_mktsegment AS mktsegment
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
 GROUP BY o.o_orderkey, c.c_mktsegment
-HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 1000
+HAVING SUM({cents}) > 100000
 """
 
 
@@ -164,37 +213,30 @@ def q_url_domain(d):
     # X1 GetDomainName (crawler.go:252-265) as portable SQL
     return f"""
 WITH {URLS_CTE}
-SELECT id, url,
-  CASE WHEN {_HOST} = '' THEN 'unknown'
-       WHEN {_TRIMPATH} = '' THEN replace({_HOST}, '.', '_')
-       ELSE replace({_HOST}, '.', '_') || '_' || replace({_TRIMPATH}, '/', '_')
-  END AS domain_name
+SELECT id, url, {_domain_name(d)} AS domain_name
 FROM urls_cte
 """
 
 
 def q_url_sanitize(d):
     # X2 SanitizeURL (storage.go:79-119): netloc+path, unsafe->_, ..->_, <=200
-    unsafe_from = ":/\\\\?*\"<>| \t\n\r&=+$,;^`{}[]()#%"
+    unsafe_from = ':/\\?*"<>| \t\n\r&=+$,;^`{}[]()#%'
+    trimmed = _trimpath(d)
     combined = (
-        f"CASE WHEN {_TRIMPATH} = '' THEN {_NETLOC} "
-        f"ELSE {_NETLOC} || '_' || {_TRIMPATH} END"
+        f"CASE WHEN {trimmed} = '' THEN {_NETLOC} "
+        f"ELSE {_NETLOC} || '_' || {trimmed} END"
     )
     return f"""
 WITH {URLS_CTE}
 SELECT id, url,
-  substring(replace(translate({combined}, '{unsafe_from}', '{'_' * 30}'), '..', '_'), 1, 200) AS sanitized
+  substring(replace(translate({combined}, {d['LIT'](unsafe_from)}, '{'_' * 30}'), '..', '_'), 1, 200) AS sanitized
 FROM urls_cte
 """
 
 
 def q_filename_assembly(d):
     # X3: {domain}_{yyyy-MM-dd}.{html|md} from o_orderdate (never wall clock)
-    domain = (
-        f"CASE WHEN {_HOST} = '' THEN 'unknown' "
-        f"WHEN {_TRIMPATH} = '' THEN replace({_HOST}, '.', '_') "
-        f"ELSE replace({_HOST}, '.', '_') || '_' || replace({_TRIMPATH}, '/', '_') END"
-    )
+    domain = _domain_name(d)
     return f"""
 WITH {URLS_CTE}
 SELECT id,
@@ -208,13 +250,13 @@ def q_url_canonicalize(d):
     # B1 canonicalization, SQL-expressible subset (no dot-segments in these
     # URLs): lowercase scheme+host, strip default port, drop fragment, strip
     # tracking params, sort surviving params.
-    no_frag = "regexp_replace(url, '#.*$', '')"
-    scheme = f"lower(regexp_extract({no_frag}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
-    netloc_nf = f"regexp_extract({no_frag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
-    host_nf = f"lower(regexp_replace(regexp_replace({netloc_nf}, '^[^@]*@', ''), ':[0-9]*$', ''))"
-    port = f"regexp_extract({netloc_nf}, ':([0-9]+)$', 1)"
-    path_nf = f"regexp_extract({no_frag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
-    query = f"regexp_extract({no_frag}, '\\\\?([^#]*)$', 1)"
+    no_frag = d["RE_REPLACE"]("url", "#.*$", "")
+    scheme = f"lower({d['RE_EXTRACT'](no_frag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)})"
+    netloc_nf = d["RE_EXTRACT"](no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    host_nf = f"lower({d['RE_REPLACE'](d['RE_REPLACE'](netloc_nf, '^[^@]*@', ''), ':[0-9]*$', '')})"
+    port = d["RE_EXTRACT"](netloc_nf, ":([0-9]+)$", 1)
+    path_nf = d["RE_EXTRACT"](no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = d["RE_EXTRACT"](no_frag, r"\?([^#]*)$", 1)
     kept = d["LIST_FILTER"](
         d["SPLIT_WS"](f"replace({query}, '&', ' ')"),
         "x -> NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%' OR x = '')",
@@ -258,12 +300,12 @@ FROM events GROUP BY user_id
 
 
 def q_host_metrics(d):
-    # A3 per-host fetch-metrics shape over events
-    return """
+    # A3 per-host fetch-metrics shape over events (integer-scaled sums)
+    v_c = "CAST(ROUND(value * 10000) AS BIGINT)"
+    return f"""
 SELECT event_type,
        COUNT(*) AS n,
-       ROUND(SUM(value), 4) AS total_value,
-       ROUND(AVG(value), 4) AS avg_value,
+       SUM({v_c}) AS total_value_e4,
        COUNT(CASE WHEN value < 0 THEN 1 END) AS n_negative
 FROM events GROUP BY event_type
 """
@@ -300,7 +342,7 @@ FROM documents GROUP BY lang, source
 
 
 def q_exact_dedup(d):
-    norm = _norm_text("text")
+    norm = _norm_text(d, "text")
     return f"""
 SELECT doc_id, content_hash,
        COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
@@ -310,7 +352,7 @@ FROM (SELECT doc_id, md5({norm}) AS content_hash FROM documents) t
 
 
 def _tokens_cte(d, src: str = "documents", where: str = "") -> str:
-    norm = _norm_text("text")
+    norm = _norm_text(d, "text")
     base = f"SELECT doc_id, {d['SPLIT_WS'](norm)} AS toks FROM {src} {where}"
     return f"toks_cte AS ({base}), tokens AS ({d['POSEXPLODE_FROM']('toks_cte', 'toks')})"
 
@@ -408,14 +450,13 @@ FROM pairs WHERE query_id < vec_id AND dot / (nq * nc) >= 0.25
 
 def q_lang_id(d):
     markers = {
-        "en": r"\\b(the|and|of|to|in|is|that|for|with|was)\\b",
-        "de": r"\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b",
-        "fr": r"\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
-        "es": r"\\b(el|los|las|es|una|para|con|del|por|como)\\b",
+        "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+        "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+        "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+        "es": r"\b(el|los|las|es|una|para|con|del|por|como)\b",
     }
     counts = {k: d["RECOUNT"]("lower(text)", p) for k, p in markers.items()}
-    ja = d["RECOUNT"]("text", r"[぀-ヿ一-鿿]")
-    # argmax with alphabetical tiebreak via nested CASE (portable)
+    ja = d["RECOUNT"]("text", "[぀-ヿ一-鿿]")
     best = (
         f"CASE WHEN {ja} > 0 THEN 'ja' "
         f"WHEN {counts['de']} > 0 AND {counts['de']} >= {counts['en']} AND {counts['de']} >= {counts['es']} AND {counts['de']} >= {counts['fr']} THEN 'de' "
@@ -429,11 +470,10 @@ def q_lang_id(d):
 
 def q_quality_score(d):
     n_chars = "CAST(length(text) AS DOUBLE)"
-    norm = _norm_text("text")
+    norm = _norm_text(d, "text")
     arrlen = d["ARRLEN"](d["SPLIT_WS"](norm))
     punct_count = d["RECOUNT"]("text", "[^a-zA-Z0-9_ ]")
-    stop_pat = r"\\b(the|and|of|to|in|is|that|for|with|was)\\b"
-    stop_count = d["RECOUNT"]("lower(text)", stop_pat)
+    stop_count = d["RECOUNT"]("lower(text)", r"\b(the|and|of|to|in|is|that|for|with|was)\b")
     n_tokens = f"CAST(CASE WHEN {norm} = '' THEN 0 ELSE {arrlen} END AS DOUBLE)"
     n_punct = f"CAST({punct_count} AS DOUBLE)"
     n_stop = f"CAST({stop_count} AS DOUBLE)"
@@ -450,15 +490,15 @@ FROM documents
 
 
 def q_token_count(d):
-    norm = _norm_text("text")
+    norm = _norm_text(d, "text")
     arrlen = d["ARRLEN"](d["SPLIT_WS"](norm))
-    bpe = d["RECOUNT"]("text", "[A-Za-z]{1,4}|[0-9]+|[^\\\\sA-Za-z0-9]")
+    bpe = d["RECOUNT"]("text", r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]")
     n = f"CASE WHEN {norm} = '' THEN 0 ELSE {arrlen} END"
     return f"SELECT doc_id, {n} AS n_tokens, {bpe} AS n_bpe_ish FROM documents"
 
 
 def q_doc_fingerprint(d):
-    norm = _norm_text("text")
+    norm = _norm_text(d, "text")
     return f"""
 SELECT doc_id, md5({norm}) AS fingerprint, {d['HASH60'](norm)} AS fingerprint60
 FROM documents
@@ -468,7 +508,7 @@ FROM documents
 def q_kafka_shape(d):
     # S6/S7 message shape (string projection for portability)
     return """
-SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS key,
+SELECT 'doc:' || CAST(doc_id AS STRING) AS key,
        text AS value,
        'text/markdown' AS content_type,
        'sess-1' AS session_id,

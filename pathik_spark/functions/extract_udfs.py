@@ -40,6 +40,25 @@ def make_to_markdown_udf(fetch_cap: int = X.FETCH_CAP):
     return to_markdown_udf
 
 
+def make_extract_both_udf(fetch_cap: int = X.FETCH_CAP):
+    """Fused (text, markdown) extraction: ONE parse per page instead of
+    two — the production hot path (X5+X6 in a single Arrow pass)."""
+    schema = T.StructType(
+        [T.StructField("text", T.StringType()), T.StructField("markdown", T.StringType())]
+    )
+
+    @F.pandas_udf(schema)
+    def extract_both_udf(html: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for batch in html:
+            pairs = batch.map(lambda b: X.extract_both(b, fetch_cap))
+            yield pd.DataFrame(
+                {"text": pairs.map(lambda t: t[0]), "markdown": pairs.map(lambda t: t[1])}
+            )
+
+    return extract_both_udf
+
+
 # default-cap singletons for plan assembly
 extract_text_udf = make_extract_text_udf()
 to_markdown_udf = make_to_markdown_udf()
+extract_both_udf = make_extract_both_udf()

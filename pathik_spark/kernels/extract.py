@@ -343,6 +343,21 @@ def to_markdown(html_bytes: bytes | None, fetch_cap: int = FETCH_CAP) -> str:
     return "\n\n".join(out)
 
 
+def extract_both(html_bytes: bytes | None, fetch_cap: int = FETCH_CAP) -> tuple[str, str]:
+    """(text, markdown) from ONE parse + ONE article selection — the hot
+    path the fused Spark UDF uses; byte-identical to calling extract_text
+    and to_markdown separately (same tree, same article node)."""
+    html = decode_html(html_bytes, fetch_cap)
+    if not html.strip():
+        return "", ""
+    root = parse_html(html)
+    article = find_article(root)
+    text = "\n\n".join(_paragraphs(article))
+    out: list[str] = []
+    _md_blocks(article, out)
+    return text, "\n\n".join(out)
+
+
 def truncate_for_save(content: str, save_cap: int = SAVE_CAP) -> str:
     """storage.go:211-216 save-side truncation (bytes, utf-8)."""
     raw = content.encode("utf-8")

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pathik_spark.functions import urls as U
-from pathik_spark.functions.extract_udfs import make_extract_text_udf, make_to_markdown_udf
+from pathik_spark.functions.extract_udfs import (
+    make_extract_both_udf,
+    make_extract_text_udf,
+)
 from pathik_spark.kernels.extract import FETCH_CAP
 
 STATUS_FETCHED = "fetched"
@@ -39,10 +42,13 @@ def pages_by_hash(pages: DataFrame) -> DataFrame:
     )
 
 
-def fetch_join(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_join(scheduled: DataFrame, pages: DataFrame, prepared: bool = False) -> DataFrame:
     """Left join scheduled frontier to pages; emit status column
-    (F8 semantics: errors are rows, never exceptions)."""
-    right = pages_by_hash(pages)
+    (F8 semantics: errors are rows, never exceptions).
+
+    ``prepared=True`` means ``pages`` is already in pages_by_hash shape
+    (materialized once per run — see CrawlRun._prepared_pages)."""
+    right = pages if prepared else pages_by_hash(pages)
     joined = scheduled.join(right, "url_hash", "left")
     return joined.withColumn(
         "status",
@@ -64,25 +70,23 @@ def extract_artifacts(
     marker column for ordering-oracle parity — in replay-from-table mode
     it is a no-op.
     """
-    extract_udf = make_extract_text_udf(fetch_cap)
-    cols = [
-        F.col("*"),
-        F.when(
-            F.col("status") == STATUS_FETCHED,
-            F.length(F.col("html")) < F.lit(5000),
-        ).alias("dynamic_wait_flag"),
-        F.when(
-            F.col("status") == STATUS_FETCHED, extract_udf(F.col("html"))
-        ).alias("text"),
+    is_fetched = F.col("status") == STATUS_FETCHED
+    common = [
+        F.when(is_fetched, F.length(F.col("html")) < F.lit(5000)).alias("dynamic_wait_flag"),
         U.filename_expr(F.col("url"), F.col("warc_ts"), "html").alias("filename_html"),
         U.filename_expr(F.col("url"), F.col("warc_ts"), "md").alias("filename_md"),
         U.user_agent_expr(F.col("url")).alias("user_agent"),
     ]
-    out = fetched.select(*cols)
     if with_markdown:
-        md_udf = make_to_markdown_udf(fetch_cap)
-        out = out.withColumn(
-            "markdown",
-            F.when(F.col("status") == STATUS_FETCHED, md_udf(F.col("html"))),
+        # fused UDF: one parse per page yields both text and markdown
+        both_udf = make_extract_both_udf(fetch_cap)
+        out = fetched.select(
+            F.col("*"), *common, F.when(is_fetched, both_udf(F.col("html"))).alias("_ext")
         )
-    return out
+        return out.select(
+            "*", F.col("_ext.text").alias("text"), F.col("_ext.markdown").alias("markdown")
+        ).drop("_ext")
+    extract_udf = make_extract_text_udf(fetch_cap)
+    return fetched.select(
+        F.col("*"), *common, F.when(is_fetched, extract_udf(F.col("html"))).alias("text")
+    )

@@ -27,6 +27,7 @@ as parity mode (config.global_period_ms) and OFF at scale.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,6 +76,24 @@ class CrawlRun:
         self.links = links
         self.config = (config or CrawlConfig()).validate()
         self.store = SnapshotStore(spark, state_dir, self.config.run_id)
+        self._pages_prepared: DataFrame | None = None
+
+    def _prepared_pages(self) -> DataFrame:
+        """Pages table keyed by canonical url_hash, materialized ONCE per
+        run (the canonicalize UDF never re-runs over the corpus on later
+        rounds / resumes). On a real 10^10 deployment this is a one-time
+        bucketed-by-url_hash Iceberg table instead of a per-run parquet."""
+        if self._pages_prepared is None:
+            from pathik_spark.operators.fetch import pages_by_hash
+
+            path = os.path.join(self.store.root, "pages_prepared.parquet")
+            marker = os.path.join(self.store.root, "pages_prepared.done")
+            if not os.path.exists(marker):
+                pages_by_hash(self.pages).write.mode("overwrite").parquet(path)
+                with open(marker, "w") as f:
+                    f.write("ok")
+            self._pages_prepared = self.spark.read.parquet(path)
+        return self._pages_prepared
 
     # -- one round ----------------------------------------------------------
     def run_round(
@@ -113,7 +132,7 @@ class CrawlRun:
             scheduled = scheduled.filter(F.col("crawl_order") <= cfg.limit_per_round)
 
         artifacts = extract_artifacts(
-            fetch_join(scheduled, self.pages),
+            fetch_join(scheduled, self._prepared_pages(), prepared=True),
             fetch_cap=cfg.fetch_cap,
             with_markdown=cfg.content_type in ("markdown", "both"),
         ).persist()
