@@ -11,10 +11,11 @@ lowest discovery priority.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pathik_spark.functions import urls as U
+from pathik_spark.operators.scheduler import scalable_global_rank
 
 DISCOVERED_PRIORITY = 2
 
@@ -37,11 +38,10 @@ def discover_links(
         F.col("url_hash").alias("src_hash"), F.col("seq").alias("parent_seq")
     )
     out = src.join(fetched_keys, "src_hash")
-    w = Window.orderBy("parent_seq", "url")
+    dedup = out.select("parent_seq", F.col("dst_url").alias("url")).distinct()
+    ranked = scalable_global_rank(dedup, ["parent_seq", "url"], "_dr")
     return (
-        out.select("parent_seq", F.col("dst_url").alias("url"))
-        .distinct()
-        .withColumn("seq", F.lit(seq_base) + F.row_number().over(w).cast("long"))
+        ranked.withColumn("seq", F.lit(seq_base) + F.col("_dr").cast("long"))
         .withColumn("priority", F.lit(DISCOVERED_PRIORITY))
         .select("url", "seq", "priority")
     )

@@ -22,8 +22,8 @@ def host_metrics(artifacts: DataFrame, run_id: str, round_no: int) -> DataFrame:
             F.count("*").alias("n_urls"),
             F.count(F.when(F.col("status") == "fetched", 1)).alias("n_fetched"),
             F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
-            F.coalesce(F.sum(F.length(F.col("html"))), F.lit(0)).alias("bytes_fetched"),
-            F.coalesce(F.avg(F.length(F.col("html"))), F.lit(0.0)).alias("avg_bytes"),
+            F.coalesce(F.sum("bytes_fetched"), F.lit(0)).alias("bytes_fetched"),
+            F.coalesce(F.avg("bytes_fetched"), F.lit(0.0)).alias("avg_bytes"),
             F.max("scheduled_ms").alias("horizon_ms"),
         )
         .withColumn("run_id", F.lit(run_id))

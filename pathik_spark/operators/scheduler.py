@@ -112,23 +112,63 @@ def apply_global_bucket(
     )
 
 
+def scalable_global_rank(
+    df: DataFrame, order_cols: list[str], out_col: str
+) -> DataFrame:
+    """Global row_number over ``order_cols`` WITHOUT a single-partition
+    window (which serializes the whole round through one task): range-
+    repartition on the order key, rank locally per partition, then add
+    broadcast per-partition offsets. Identical result to
+    ``row_number().over(Window.orderBy(*order_cols))`` — property-tested."""
+    spark = df.sparkSession
+    ranged = df.repartitionByRange(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "_lrank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    local = local.persist()
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    offsets_df = spark.createDataFrame(list(offsets.items()), "_pid int, _offset long")
+    out = (
+        local.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_lrank")).cast("int"))
+        .drop("_pid", "_lrank", "_offset")
+    )
+    return out
+
+
 def schedule_round(
     candidates: DataFrame,
     n_salts: int = 0,
     global_period_ms: int | None = None,
     global_burst: int = GLOBAL_BURST,
+    scalable_rank: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full scheduler: returns (scheduled, deferred).
 
     ``scheduled`` carries ``rank_in_host``, ``desired_ms``,
-    ``scheduled_ms`` and the global ``crawl_order`` rank.
+    ``scheduled_ms`` and the global ``crawl_order`` rank. The global
+    rank uses the two-phase ranged rank by default; the single-window
+    path remains for the (inherently sequential) token-bucket parity
+    mode and as the equivalence baseline in tests.
     """
     selected = select_within_budget(candidates, n_salts=n_salts)
     if global_period_ms:
         scheduled = apply_global_bucket(selected, global_period_ms, global_burst)
     else:
         scheduled = selected.withColumn("scheduled_ms", F.col("desired_ms"))
-    w = Window.orderBy("scheduled_ms", "priority", "seq")
-    scheduled = scheduled.withColumn("crawl_order", F.row_number().over(w))
+    order_cols = ["scheduled_ms", "priority", "seq"]
+    if scalable_rank and not global_period_ms:
+        scheduled = scalable_global_rank(scheduled, order_cols, "crawl_order")
+    else:
+        w = Window.orderBy(*order_cols)
+        scheduled = scheduled.withColumn("crawl_order", F.row_number().over(w))
     deferred = deferred_rows(candidates, selected)
     return scheduled, deferred

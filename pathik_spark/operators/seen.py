@@ -21,6 +21,18 @@ in tests/test_seen.py).
 The bloom itself is a deterministic double-hashing blocked bloom over
 the already-computed xxhash64 ``url_hash`` (no Python string hashing in
 the hot path; numpy vectorized).
+
+Scale regimes (honest sizing):
+- seen <= ~10^9: broadcast blooms as below (~1.2 GB at 1% fpp for 10^9
+  keys — fits executor memory; shard granularity keeps build parallel).
+- seen ~ 10^10 (the north_rule design point): broadcasting 12 GB of
+  bloom bits is off the table. The right layout is *co-partitioning*:
+  keep the seen table written bucketed by host_hash (same bucketing as
+  the frontier repartition), so the exact anti-join shuffles neither
+  side fully and the bloom shard for a bucket can be built/probed
+  executor-side within the bucket's task. The exact anti-join remains
+  the semantics either way, so the choice is purely a physical knob
+  (``use_bloom`` in CrawlConfig).
 """
 
 from __future__ import annotations

@@ -131,88 +131,80 @@ class CrawlRun:
             )
             scheduled = scheduled.filter(F.col("crawl_order") <= cfg.limit_per_round)
 
-        artifacts = extract_artifacts(
+        # lineage is recorded on the artifact plan's own partitions BEFORE
+        # the write re-partitions it
+        artifacts_plan = extract_artifacts(
             fetch_join(scheduled, self._prepared_pages(), prepared=True),
             fetch_cap=cfg.fetch_cap,
             with_markdown=cfg.content_type in ("markdown", "both"),
-        ).persist()
+        ).withColumn("bytes_fetched", F.coalesce(F.length("html"), F.lit(0)))
+        lineage = partition_lineage(artifacts_plan, self.config.run_id, round_no)
 
-        n_fetched = artifacts.filter(F.col("status") == "fetched").count()
-        n_scheduled = artifacts.count()
-        n_missing = n_scheduled - n_fetched
+        # ONE pass through fetch join + extraction UDFs: write the
+        # artifacts snapshot, then every consumer scans the columnar file.
+        arts = self.store.write_table(round_no, "artifacts", artifacts_plan.drop("html"))
 
         # W3 retry semantics (crawler.go:173-224): missing rows re-enter
         # with attempt+1 until max_attempts; exhausted rows become seen.
-        retry = (
-            artifacts.filter(
-                (F.col("status") == "missing")
-                & (F.col("attempt") + 1 < cfg.max_attempts)
-            )
-            .select(
-                "url",
-                "seq",
-                "priority",
-                (F.col("attempt") + 1).alias("attempt"),
-            )
-        )
-        consumed = artifacts.filter(
-            (F.col("status") == "fetched")
-            | (F.col("attempt") + 1 >= cfg.max_attempts)
+        retry = arts.filter(
+            (F.col("status") == "missing") & (F.col("attempt") + 1 < cfg.max_attempts)
+        ).select("url", "seq", "priority", (F.col("attempt") + 1).alias("attempt"))
+        consumed = arts.filter(
+            (F.col("status") == "fetched") | (F.col("attempt") + 1 >= cfg.max_attempts)
         ).select("url_hash", "host_hash", "url")
-        new_seen = consumed if seen is None else seen.select(*SEEN_COLS).unionByName(consumed).distinct()
+        new_seen = (
+            consumed
+            if seen is None
+            else seen.select(*SEEN_COLS).unionByName(consumed).distinct()
+        )
 
         max_seq = (frontier.agg(F.max("seq")).collect()[0][0]) or 0
+        next_frontier = deferred.select(*FRONTIER_COLS).withColumn("src", F.lit("deferred"))
+        next_frontier = next_frontier.unionByName(
+            retry.select(*FRONTIER_COLS).withColumn("src", F.lit("retry"))
+        )
         if self.links is not None:
-            fetched_only = artifacts.filter(F.col("status") == "fetched")
+            fetched_only = arts.filter(F.col("status") == "fetched")
             discovered = discover_links(self.links, fetched_only, seq_base=int(max_seq) + 1)
-        else:
-            discovered = None
+            next_frontier = next_frontier.unionByName(
+                discovered.withColumn("attempt", F.lit(0))
+                .select(*FRONTIER_COLS)
+                .withColumn("src", F.lit("discovered"))
+            )
 
-        deferred_f = deferred.select(*FRONTIER_COLS)
-        next_frontier = deferred_f.unionByName(retry.select(*FRONTIER_COLS))
-        n_discovered = 0
-        if discovered is not None:
-            disc_f = discovered.withColumn("attempt", F.lit(0)).select(*FRONTIER_COLS)
-            disc_f = disc_f.persist()
-            n_discovered = disc_f.count()
-            next_frontier = next_frontier.unionByName(disc_f)
+        self.store.write_table(round_no, "host_metrics", host_metrics(arts, self.config.run_id, round_no))
+        self.store.write_table(round_no, "lineage", lineage)
+        seen_out = self.store.write_table(round_no, "seen", new_seen)
+        frontier_out = self.store.write_table(round_no, "next_frontier", next_frontier)
 
+        # stats from the committed files (cheap columnar aggs; no UDF rerun)
+        art_counts = arts.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("status") == "fetched", 1)).alias("f"),
+        ).collect()[0]
+        nf_counts = {
+            r["src"]: r["n"]
+            for r in frontier_out.groupBy("src").agg(F.count("*").alias("n")).collect()
+        }
+        seen_total = seen_out.count()
         stats = RoundStats(
             round=round_no,
-            scheduled=n_scheduled,
-            fetched=n_fetched,
-            missing=n_missing,
-            deferred=deferred_f.count(),
-            retried=retry.count(),
-            discovered=n_discovered,
-            seen_total=0,
+            scheduled=art_counts["n"],
+            fetched=art_counts["f"],
+            missing=art_counts["n"] - art_counts["f"],
+            deferred=nf_counts.get("deferred", 0),
+            retried=nf_counts.get("retry", 0),
+            discovered=nf_counts.get("discovered", 0),
+            seen_total=seen_total,
         )
-
-        self.store.write_round(
+        self.store.commit(
             round_no,
-            {
-                "artifacts": artifacts.drop("html"),
-                "host_metrics": host_metrics(artifacts, self.config.run_id, round_no),
-                "lineage": partition_lineage(artifacts, self.config.run_id, round_no),
-                "seen": new_seen,
-                "next_frontier": next_frontier,
-            },
-            stats={
-                "scheduled": stats.scheduled,
-                "fetched": stats.fetched,
-                "missing": stats.missing,
-                "deferred": stats.deferred,
-                "retried": stats.retried,
-                "discovered": stats.discovered,
-            },
+            ["artifacts", "host_metrics", "lineage", "seen", "next_frontier"],
+            stats={k: getattr(stats, k) for k in (
+                "scheduled", "fetched", "missing", "deferred", "retried", "discovered", "seen_total"
+            )},
         )
-        artifacts.unpersist()
-        # read back the committed snapshots so the next round's lineage is
-        # rooted at stable files, not a growing logical plan
-        seen_out = self.store.read_table(round_no, "seen")
-        frontier_out = self.store.read_table(round_no, "next_frontier")
-        stats.seen_total = seen_out.count()
-        return frontier_out, seen_out, stats
+        return frontier_out.drop("src"), seen_out, stats
 
     # -- multi-round with resume --------------------------------------------
     def run(self, seeds: DataFrame, n_rounds: int | None = None, resume: bool = True) -> list[RoundStats]:

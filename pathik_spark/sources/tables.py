@@ -42,19 +42,33 @@ class SnapshotStore:
     def _round_dir(self, round_no: int) -> str:
         return os.path.join(self.root, f"round={round_no}")
 
-    def write_round(self, round_no: int, tables: dict[str, DataFrame], stats: dict | None = None) -> None:
+    def write_table(self, round_no: int, name: str, df: DataFrame) -> DataFrame:
+        """Write one table of an in-progress round and return it read back
+        from disk — downstream consumers then scan columnar parquet instead
+        of re-executing the producing plan (critical for the extraction
+        UDFs: they run exactly once per round). NOT visible to resume
+        until commit()."""
         rdir = self._round_dir(round_no)
         os.makedirs(rdir, exist_ok=True)
-        written = {}
-        for name, df in tables.items():
-            path = os.path.join(rdir, f"{name}.parquet")
-            df.write.mode("overwrite").parquet(path)
-            written[name] = path
+        path = os.path.join(rdir, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def commit(self, round_no: int, table_names: list[str], stats: dict | None = None) -> None:
+        """Atomically publish a round (manifest rename). A crash before
+        this leaves a partial round that resume ignores and rewrites."""
+        rdir = self._round_dir(round_no)
+        written = {n: os.path.join(rdir, f"{n}.parquet") for n in table_names}
         manifest = {"round": round_no, "tables": written, "stats": stats or {}}
         fd, tmp = tempfile.mkstemp(dir=rdir, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, os.path.join(rdir, "manifest.json"))  # atomic commit
+
+    def write_round(self, round_no: int, tables: dict[str, DataFrame], stats: dict | None = None) -> None:
+        for name, df in tables.items():
+            self.write_table(round_no, name, df)
+        self.commit(round_no, list(tables.keys()), stats)
 
     def read_manifest(self, round_no: int) -> dict | None:
         path = os.path.join(self._round_dir(round_no), "manifest.json")

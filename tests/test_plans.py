@@ -1,0 +1,58 @@
+"""Physical-plan assertions (SURVEY.md §4): broadcast where intended,
+predicate pushdown / column pruning reaching the parquet scan, partial
+aggregation before the shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.frontier import prepare_frontier
+from pathik_spark.operators.robots import attach_robots
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_robots_join_is_broadcast(spark, corpus):
+    fr = prepare_frontier(corpus["seeds"])
+    joined = attach_robots(fr, corpus["robots"])
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_parquet_pushdown_and_pruning(spark, corpus, tmp_path):
+    path = str(tmp_path / "pages_pq")
+    corpus["pages"].write.mode("overwrite").parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("url", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    # column pruning: the scan must not read html/text/warc_ts
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema and "text" not in read_schema, read_schema
+
+
+def test_groupby_has_partial_aggregation(spark, corpus):
+    fr = prepare_frontier(corpus["seeds"])
+    agg = fr.groupBy("host_hash").agg(F.count("*").alias("n"))
+    plan = _plan(agg)
+    # two HashAggregate nodes (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_seen_antijoin_shape(spark, corpus):
+    fr = prepare_frontier(corpus["seeds"])
+    seen = fr.limit(10).select("url_hash")
+    out = fr.join(seen, "url_hash", "left_anti")
+    plan = _plan(out)
+    assert "LeftAnti" in plan, plan

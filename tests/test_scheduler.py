@@ -78,6 +78,17 @@ def test_salted_topk_equivalent(spark, corpus):
     assert key(direct) == key(salted)
 
 
+def test_scalable_rank_equals_single_window(spark, corpus):
+    cands = _candidates(spark, corpus)
+    fast, _ = schedule_round(cands, scalable_rank=True)
+    slow, _ = schedule_round(cands, scalable_rank=False)
+    key = lambda df: [
+        (r["crawl_order"], r["url"])
+        for r in df.select("crawl_order", "url").orderBy("crawl_order").collect()
+    ]
+    assert key(fast) == key(slow)
+
+
 def test_crawl_delay_spacing(spark, corpus):
     cands = _candidates(spark, corpus)
     scheduled, _ = schedule_round(cands)
