@@ -31,10 +31,9 @@ def ensure_corpus(spark) -> str:
     out = f"{CACHE_ROOT}/p{N_PAGES}_s{N_SEEDS}_seed42"
     marker = f"{out}/_COMPLETE"
     if not os.path.exists(marker):
-        from pathik_spark.fixtures import gen_corpus, write_corpus
+        from pathik_spark.fixtures import write_corpus_spark
 
-        corpus = gen_corpus(N_PAGES, N_SEEDS)
-        write_corpus(spark, corpus, out)
+        write_corpus_spark(spark, N_PAGES, N_SEEDS, out)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -108,70 +108,88 @@ def _make_url(host: str, page_id: int) -> str:
     return url
 
 
-def gen_corpus(n_pages: int = 2000, n_seeds: int = 200, seed: int = SEED) -> dict[str, pd.DataFrame]:
-    """Generate all four tables; returns dict of pandas DataFrames."""
-    rng = random.Random(seed)
-    n_hosts = max(16, n_pages // 50)
-    hosts = [f"host{k}.example" for k in range(n_hosts)]
-    weights = _host_weights(n_hosts)
-    cumulative: list[float] = []
-    acc = 0.0
-    for w in weights:
-        acc += w
-        cumulative.append(acc)
+class CorpusSpec:
+    """Row-local deterministic corpus spec: every page (html, text, lang,
+    outlinks) is a pure function of (seed, page_id), so generation
+    distributes embarrassingly (gen_corpus_spark) and the sequential
+    generator (gen_corpus) produces byte-identical rows — equality is
+    pinned by tests/test_fixtures.py."""
 
-    def host_for(page_id: int) -> str:
-        r = random.Random(seed * 1_000_003 + page_id).random()
-        for k, c in enumerate(cumulative):
+    def __init__(self, n_pages: int, n_seeds: int, seed: int = SEED):
+        self.n_pages, self.n_seeds, self.seed = n_pages, n_seeds, seed
+        self.n_hosts = max(16, n_pages // 50)
+        self.hosts = [f"host{k}.example" for k in range(self.n_hosts)]
+        weights = _host_weights(self.n_hosts)
+        self.cumulative: list[float] = []
+        acc = 0.0
+        for w in weights:
+            acc += w
+            self.cumulative.append(acc)
+
+    def host_for(self, page_id: int) -> str:
+        r = random.Random(self.seed * 1_000_003 + page_id).random()
+        for k, c in enumerate(self.cumulative):
             if r <= c:
-                return hosts[k]
-        return hosts[-1]
+                return self.hosts[k]
+        return self.hosts[-1]
 
-    # --- pages -------------------------------------------------------------
-    page_urls: list[str] = []
-    page_rows: list[dict] = []
-    for pid in range(n_pages):
-        host = host_for(pid)
-        url = _make_url(host, pid)
-        page_urls.append(url)
-    # outlinks reference other page urls — build after urls exist
-    links_rows: list[dict] = []
-    for pid in range(n_pages):
+    def url_for(self, page_id: int) -> str:
+        return _make_url(self.host_for(page_id), page_id)
+
+    def outlinks_for(self, pid: int) -> list[str]:
+        n_pages, n_seeds, seed = self.n_pages, self.n_seeds, self.seed
         prng = random.Random(seed * 7_000_037 + pid)
         n_out = prng.randint(0, 8)
         outlinks: list[str] = []
-        for j in range(n_out):
+        my_host = self.url_for(pid).split("/")[2]
+        for _ in range(n_out):
             roll = prng.random()
-            if roll < 0.60:  # same-host target
-                tgt = page_urls[prng.randrange(n_pages)]
-                # bias same-host by retrying a few times
+            if roll < 0.60:  # same-host target (biased by retry)
+                tgt = self.url_for(prng.randrange(n_pages))
                 for _ in range(4):
-                    if tgt.split("/")[2] == page_urls[pid].split("/")[2]:
+                    if tgt.split("/")[2] == my_host:
                         break
-                    tgt = page_urls[prng.randrange(n_pages)]
+                    tgt = self.url_for(prng.randrange(n_pages))
             elif roll < 0.90:  # cross-host
-                tgt = page_urls[prng.randrange(n_pages)]
+                tgt = self.url_for(prng.randrange(n_pages))
             elif roll < 0.95:  # duplicate of an early (seed) url
-                tgt = page_urls[prng.randrange(min(n_seeds, n_pages))]
+                tgt = self.url_for(prng.randrange(min(n_seeds, n_pages)))
             elif roll < 0.98:  # uncanonical variant
-                base = page_urls[prng.randrange(n_pages)]
+                base = self.url_for(prng.randrange(n_pages))
                 tgt = base.replace("https://", "HTTPS://", 1) + "#x"
             else:  # disallowed path
-                host = page_urls[prng.randrange(n_pages)].split("/")[2]
+                host = self.url_for(prng.randrange(n_pages)).split("/")[2]
                 tgt = f"https://{host}/private/page{prng.randrange(n_pages)}"
             outlinks.append(tgt)
-        html = _page_html(random.Random(seed * 11_000_011 + pid), pid, f"Title {pid}", outlinks)
+        return outlinks
+
+    def page_row(self, pid: int) -> tuple[dict, list[str]]:
+        outlinks = self.outlinks_for(pid)
+        html = _page_html(
+            random.Random(self.seed * 11_000_011 + pid), pid, f"Title {pid}", outlinks
+        )
         text = extract_text(html)
         lang = "en" if pid % 10 != 9 else LANG_CYCLE[(pid // 10) % 3]
-        page_rows.append(
-            {
-                "url": page_urls[pid],
-                "warc_ts": EPOCH + timedelta(seconds=pid * 137),
-                "html": html,
-                "text": text,
-                "lang": lang,
-            }
-        )
+        row = {
+            "url": self.url_for(pid),
+            "warc_ts": EPOCH + timedelta(seconds=pid * 137),
+            "html": html,
+            "text": text,
+            "lang": lang,
+        }
+        return row, outlinks
+
+
+def gen_corpus(n_pages: int = 2000, n_seeds: int = 200, seed: int = SEED) -> dict[str, pd.DataFrame]:
+    """Generate all four tables; returns dict of pandas DataFrames."""
+    spec = CorpusSpec(n_pages, n_seeds, seed)
+    hosts, n_hosts = spec.hosts, spec.n_hosts
+    page_urls: list[str] = [spec.url_for(pid) for pid in range(n_pages)]
+    page_rows: list[dict] = []
+    links_rows: list[dict] = []
+    for pid in range(n_pages):
+        row, outlinks = spec.page_row(pid)
+        page_rows.append(row)
         for tgt in outlinks:
             links_rows.append({"src_url": page_urls[pid], "dst_url": tgt})
 
@@ -179,8 +197,15 @@ def gen_corpus(n_pages: int = 2000, n_seeds: int = 200, seed: int = SEED) -> dic
     links = pd.DataFrame(links_rows, columns=["src_url", "dst_url"])
 
     # --- seeds -------------------------------------------------------------
+    seeds = gen_seeds(spec)
+    robots = gen_robots(spec)
+    return {"pages": pages, "seeds": seeds, "robots": robots, "links": links}
+
+
+def gen_seeds(spec: CorpusSpec) -> pd.DataFrame:
+    n_pages, n_seeds, seed = spec.n_pages, spec.n_seeds, spec.seed
     stride = max(1, n_pages // n_seeds)
-    base_seeds = [page_urls[(i * stride) % n_pages] for i in range(n_seeds)]
+    base_seeds = [spec.url_for((i * stride) % n_pages) for i in range(n_seeds)]
     seed_urls: list[str] = list(base_seeds)
     srng = random.Random(seed * 13_000_013)
     for i in range(max(1, n_seeds // 20)):  # 5% duplicates
@@ -206,7 +231,7 @@ def gen_corpus(n_pages: int = 2000, n_seeds: int = 200, seed: int = SEED) -> dic
         seed_urls.append(invalid[i % len(invalid)])
     for i in range(max(1, n_seeds // 100)):  # 1% absent from pages (fetch failures)
         seed_urls.append(f"https://host0.example/sec0/missing{i}")
-    seeds = pd.DataFrame(
+    return pd.DataFrame(
         {
             "url": seed_urls,
             "seq": range(len(seed_urls)),
@@ -214,8 +239,10 @@ def gen_corpus(n_pages: int = 2000, n_seeds: int = 200, seed: int = SEED) -> dic
         }
     )
 
-    # --- robots ------------------------------------------------------------
-    robots = pd.DataFrame(
+
+def gen_robots(spec: CorpusSpec) -> pd.DataFrame:
+    hosts, n_hosts = spec.hosts, spec.n_hosts
+    return pd.DataFrame(
         {
             "host": hosts,
             "crawl_delay_ms": [(0, 100, 500, 1000)[k % 4] for k in range(n_hosts)],
@@ -224,7 +251,6 @@ def gen_corpus(n_pages: int = 2000, n_seeds: int = 200, seed: int = SEED) -> dic
             "fetched_ts": [EPOCH] * n_hosts,
         }
     )
-    return {"pages": pages, "seeds": seeds, "robots": robots, "links": links}
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -250,3 +276,44 @@ def write_corpus(spark, corpus: dict[str, pd.DataFrame], out_dir: str) -> None:
     dfs = corpus_to_spark(spark, corpus)
     for name, df in dfs.items():
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def write_corpus_spark(spark, n_pages: int, n_seeds: int, out_dir: str, seed: int = SEED) -> None:
+    """Distributed corpus generation: pages/links rows are pure functions
+    of page_id (CorpusSpec), so generation fans out over an id range via
+    mapInPandas — byte-identical to gen_corpus (tests/test_fixtures.py)
+    but ~n_cores faster, which is what makes 10^5-page bench corpora
+    feasible. seeds/robots are small and stay driver-side."""
+    from pyspark.sql import functions as F
+
+    spec = CorpusSpec(n_pages, n_seeds, seed)
+
+    def gen_partition(batches):
+        for pdf in batches:
+            rows = []
+            for pid in pdf["pid"]:
+                row, outlinks = spec.page_row(int(pid))
+                row["outlinks"] = outlinks
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang", "outlinks"])
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ids = spark.range(0, n_pages, 1, n_parts).select(F.col("id").alias("pid"))
+    pages_links = ids.mapInPandas(
+        gen_partition,
+        "url string, warc_ts timestamp, html binary, text string, lang string, outlinks array<string>",
+    )
+    pages_links.write.mode("overwrite").parquet(f"{out_dir}/_pages_links.parquet")
+    pl = spark.read.parquet(f"{out_dir}/_pages_links.parquet")
+    pl.select("url", "warc_ts", "html", "text", "lang").write.mode("overwrite").parquet(
+        f"{out_dir}/pages.parquet"
+    )
+    pl.select(
+        F.col("url").alias("src_url"), F.explode("outlinks").alias("dst_url")
+    ).write.mode("overwrite").parquet(f"{out_dir}/links.parquet")
+    spark.createDataFrame(gen_seeds(spec), schema=SEEDS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/seeds.parquet")
+    spark.createDataFrame(gen_robots(spec), schema=ROBOTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/robots.parquet")

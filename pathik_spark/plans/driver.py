@@ -158,14 +158,17 @@ class CrawlRun:
             else seen.select(*SEEN_COLS).unionByName(consumed).distinct()
         )
 
-        max_seq = (frontier.agg(F.max("seq")).collect()[0][0]) or 0
         next_frontier = deferred.select(*FRONTIER_COLS).withColumn("src", F.lit("deferred"))
         next_frontier = next_frontier.unionByName(
             retry.select(*FRONTIER_COLS).withColumn("src", F.lit("retry"))
         )
         if self.links is not None:
+            # discovered rows take a per-round disjoint seq range: always
+            # after every seed/deferred seq (FIFO: discoveries queue behind
+            # the original frontier) and unique without a max(seq) job
+            seq_base = (round_no + 1) * 1_000_000_000_000
             fetched_only = arts.filter(F.col("status") == "fetched")
-            discovered = discover_links(self.links, fetched_only, seq_base=int(max_seq) + 1)
+            discovered = discover_links(self.links, fetched_only, seq_base=seq_base)
             next_frontier = next_frontier.unionByName(
                 discovered.withColumn("attempt", F.lit(0))
                 .select(*FRONTIER_COLS)

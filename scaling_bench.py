@@ -23,8 +23,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-N_PAGES = int(os.environ.get("PATHIK_BENCH_PAGES", "20000"))
-N_SEEDS = int(os.environ.get("PATHIK_BENCH_SEEDS", "4000"))
+N_PAGES = int(os.environ.get("PATHIK_BENCH_PAGES", "120000"))
+N_SEEDS = int(os.environ.get("PATHIK_BENCH_SEEDS", "24000"))
 
 
 def worker(cpus: int, corpus_dir: str) -> None:
@@ -52,6 +52,19 @@ def worker(cpus: int, corpus_dir: str) -> None:
         config=CrawlConfig(run_id=f"scale-{cpus}", n_salts=8),
     )
     run._prepared_pages()  # one-time per-corpus cost, excluded from timing
+
+    # warm up JVM codegen / python workers / shuffle machinery with a tiny
+    # throwaway round so the timed section measures steady-state throughput
+    warm = CrawlRun(
+        spark,
+        pages=corpus["pages"].limit(200),
+        robots=corpus["robots"],
+        links=None,
+        state_dir=tempfile.mkdtemp(prefix=f"pathik_warm_{cpus}_"),
+        config=CrawlConfig(run_id=f"warm-{cpus}", n_salts=8),
+    )
+    warm.run(corpus["seeds"].limit(100), n_rounds=1)
+
     t0 = time.perf_counter()
     stats = run.run(corpus["seeds"], n_rounds=2)
     dt = time.perf_counter() - t0
@@ -71,7 +84,7 @@ def main() -> None:
     from bench import CACHE_ROOT, ensure_corpus
     from pathik_spark.session import get_spark
 
-    spark = get_spark("scaling_prep", master="local[8]", shuffle_partitions=8)
+    spark = get_spark("scaling_prep", master="local[32]", shuffle_partitions=32)
     corpus_dir = ensure_corpus(spark)
     spark.stop()
 
