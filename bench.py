@@ -24,16 +24,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 N_PAGES = int(os.environ.get("PATHIK_BENCH_PAGES", "20000"))
 N_SEEDS = int(os.environ.get("PATHIK_BENCH_SEEDS", "4000"))
+PAGE_SCALE = int(os.environ.get("PATHIK_BENCH_PAGE_SCALE", "1"))
 CACHE_ROOT = os.environ.get("PATHIK_BENCH_CACHE", "/tmp/pathik_bench_corpus")
 
 
 def ensure_corpus(spark) -> str:
-    out = f"{CACHE_ROOT}/p{N_PAGES}_s{N_SEEDS}_seed42"
+    out = f"{CACHE_ROOT}/p{N_PAGES}_s{N_SEEDS}_x{PAGE_SCALE}_seed42"
     marker = f"{out}/_COMPLETE"
     if not os.path.exists(marker):
         from pathik_spark.fixtures import write_corpus_spark
 
-        write_corpus_spark(spark, N_PAGES, N_SEEDS, out)
+        write_corpus_spark(spark, N_PAGES, N_SEEDS, out, page_scale=PAGE_SCALE)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -33,6 +33,12 @@ class CrawlConfig:
     global_burst: int = 3
     bloom_fpp: float = 0.01
     use_bloom: bool = True
+    # bloom pre-filter only pays for itself once the seen set is large;
+    # below this many seen rows the exact anti-join alone is faster
+    bloom_min_seen: int = 100_000
+    # per-round stats beyond the core artifact counts cost extra jobs;
+    # turn off for throughput runs (manifest then records -1 for them)
+    collect_stats: bool = True
     n_rounds: int = 1
     kafka_compression: str = "gzip"  # kafka.go:152-165 default
     max_message_bytes: int = 10 * 1024 * 1024  # schema.py:205-243 range

@@ -54,8 +54,15 @@ def _links_block(urls: list[str]) -> str:
     return f'<ul class="links">{items}</ul>'
 
 
-def _page_html(rng: random.Random, page_id: int, title: str, outlinks: list[str]) -> bytes:
-    """Templated HTML covering the reference's heuristic boundaries."""
+def _page_html(
+    rng: random.Random, page_id: int, title: str, outlinks: list[str], page_scale: int = 1
+) -> bytes:
+    """Templated HTML covering the reference's heuristic boundaries.
+
+    ``page_scale`` multiplies the medium-article body size: scale 1 keeps
+    the FIXTURES.md pytest corpus (~5-10 KB pages); bench corpora use a
+    larger scale so page weight approximates real Common-Crawl documents
+    (~40-80 KB) and per-URL compute dominates per-task overhead."""
     stratum = page_id % 100
     nav = (
         "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
@@ -90,8 +97,8 @@ def _page_html(rng: random.Random, page_id: int, title: str, outlinks: list[str]
         body = f"<article><h1>{title}</h1><p>{_sentence(rng, 25)}</p></article>"
     elif stratum == 18:  # oversized page (truncation stratum; cap tests lower the cap)
         body = f"<article><h1>{title}</h1>{_article_paragraphs(rng, 60, 80)}</article>"
-    else:  # medium article, >= 5000 bytes
-        body = f"<article><h1>{title}</h1>{_article_paragraphs(rng, 15, 50)}</article>"
+    else:  # medium article, >= 5000 bytes (x page_scale)
+        body = f"<article><h1>{title}</h1>{_article_paragraphs(rng, 15 * page_scale, 50)}</article>"
     doc = (
         f"<html><head><title>{title}</title></head>"
         f"<body>{nav}{body}{footer}{links}</body></html>"
@@ -115,8 +122,9 @@ class CorpusSpec:
     generator (gen_corpus) produces byte-identical rows — equality is
     pinned by tests/test_fixtures.py."""
 
-    def __init__(self, n_pages: int, n_seeds: int, seed: int = SEED):
+    def __init__(self, n_pages: int, n_seeds: int, seed: int = SEED, page_scale: int = 1):
         self.n_pages, self.n_seeds, self.seed = n_pages, n_seeds, seed
+        self.page_scale = page_scale
         self.n_hosts = max(16, n_pages // 50)
         self.hosts = [f"host{k}.example" for k in range(self.n_hosts)]
         weights = _host_weights(self.n_hosts)
@@ -166,7 +174,11 @@ class CorpusSpec:
     def page_row(self, pid: int) -> tuple[dict, list[str]]:
         outlinks = self.outlinks_for(pid)
         html = _page_html(
-            random.Random(self.seed * 11_000_011 + pid), pid, f"Title {pid}", outlinks
+            random.Random(self.seed * 11_000_011 + pid),
+            pid,
+            f"Title {pid}",
+            outlinks,
+            self.page_scale,
         )
         text = extract_text(html)
         lang = "en" if pid % 10 != 9 else LANG_CYCLE[(pid // 10) % 3]
@@ -278,7 +290,9 @@ def write_corpus(spark, corpus: dict[str, pd.DataFrame], out_dir: str) -> None:
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def write_corpus_spark(spark, n_pages: int, n_seeds: int, out_dir: str, seed: int = SEED) -> None:
+def write_corpus_spark(
+    spark, n_pages: int, n_seeds: int, out_dir: str, seed: int = SEED, page_scale: int = 1
+) -> None:
     """Distributed corpus generation: pages/links rows are pure functions
     of page_id (CorpusSpec), so generation fans out over an id range via
     mapInPandas — byte-identical to gen_corpus (tests/test_fixtures.py)
@@ -286,7 +300,7 @@ def write_corpus_spark(spark, n_pages: int, n_seeds: int, out_dir: str, seed: in
     feasible. seeds/robots are small and stay driver-side."""
     from pyspark.sql import functions as F
 
-    spec = CorpusSpec(n_pages, n_seeds, seed)
+    spec = CorpusSpec(n_pages, n_seeds, seed, page_scale)
 
     def gen_partition(batches):
         for pdf in batches:

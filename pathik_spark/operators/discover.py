@@ -24,20 +24,25 @@ def discover_links(
     links: DataFrame,
     fetched: DataFrame,
     seq_base: int,
+    prepared: bool = False,
 ) -> DataFrame:
     """Returns seeds-shaped rows (url, seq, priority) for the next round.
 
     Join identity: canonical url_hash of the link source vs the fetched
-    set (cheap — fetched is one round's output, broadcastable when small;
-    at scale both sides partition by url_hash).
+    set. The fetched side is one round's output — explicitly broadcast so
+    the full link graph never shuffles. ``prepared=True`` means links
+    already carry src_hash (materialized once per run by the driver).
     """
-    src = links.withColumn(
-        "src_hash", U.url_hash_expr(U.canonicalize_udf(F.col("src_url")))
-    )
+    if prepared:
+        src = links
+    else:
+        src = links.withColumn(
+            "src_hash", U.url_hash_expr(U.canonicalize_udf(F.col("src_url")))
+        )
     fetched_keys = fetched.select(
         F.col("url_hash").alias("src_hash"), F.col("seq").alias("parent_seq")
     )
-    out = src.join(fetched_keys, "src_hash")
+    out = src.join(F.broadcast(fetched_keys), "src_hash")
     dedup = out.select("parent_seq", F.col("dst_url").alias("url")).distinct()
     ranked = scalable_global_rank(dedup, ["parent_seq", "url"], "_dr")
     return (

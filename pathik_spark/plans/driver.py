@@ -77,23 +77,64 @@ class CrawlRun:
         self.config = (config or CrawlConfig()).validate()
         self.store = SnapshotStore(spark, state_dir, self.config.run_id)
         self._pages_prepared: DataFrame | None = None
+        self._links_prepared: DataFrame | None = None
+
+    def _table_name(self, suffix: str) -> str:
+        import re
+
+        return "pathik_" + re.sub(r"[^A-Za-z0-9_]", "_", self.config.run_id) + "_" + suffix
 
     def _prepared_pages(self) -> DataFrame:
-        """Pages table keyed by canonical url_hash, materialized ONCE per
-        run (the canonicalize UDF never re-runs over the corpus on later
-        rounds / resumes). On a real 10^10 deployment this is a one-time
-        bucketed-by-url_hash Iceberg table instead of a per-run parquet."""
+        """Pages keyed by canonical url_hash, materialized ONCE per run as
+        a table BUCKETED by url_hash (the fetch-join key): the canonicalize
+        UDF never re-runs over the corpus, and the per-round fetch join
+        never re-shuffles the (html-heavy) pages side — only the small
+        scheduled frontier shuffles onto the bucketing. This mirrors the
+        10^10 deployment, where pages live in an Iceberg table bucketed by
+        url_hash."""
         if self._pages_prepared is None:
             from pathik_spark.operators.fetch import pages_by_hash
 
-            path = os.path.join(self.store.root, "pages_prepared.parquet")
+            name = self._table_name("pages")
+            path = os.path.join(self.store.root, "pages_prepared")
             marker = os.path.join(self.store.root, "pages_prepared.done")
+            n_buckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             if not os.path.exists(marker):
-                pages_by_hash(self.pages).write.mode("overwrite").parquet(path)
+                (
+                    pages_by_hash(self.pages)
+                    .write.mode("overwrite")
+                    .bucketBy(n_buckets, "url_hash")
+                    .sortBy("url_hash")
+                    .option("path", path)
+                    .saveAsTable(name)
+                )
                 with open(marker, "w") as f:
                     f.write("ok")
-            self._pages_prepared = self.spark.read.parquet(path)
+            elif not self.spark.catalog.tableExists(name):
+                # resume in a fresh session: re-register the external table
+                self.spark.catalog.createTable(
+                    name, path=path, source="parquet"
+                )  # bucketing metadata lost on re-register; join still correct
+            self._pages_prepared = self.spark.table(name)
         return self._pages_prepared
+
+    def _prepared_links(self) -> DataFrame | None:
+        """Links with the canonical src_hash precomputed once per run."""
+        if self.links is None:
+            return None
+        if getattr(self, "_links_prepared", None) is None:
+            from pathik_spark.functions import urls as U
+
+            path = os.path.join(self.store.root, "links_prepared.parquet")
+            marker = os.path.join(self.store.root, "links_prepared.done")
+            if not os.path.exists(marker):
+                self.links.withColumn(
+                    "src_hash", U.url_hash_expr(U.canonicalize_udf(F.col("src_url")))
+                ).write.mode("overwrite").parquet(path)
+                with open(marker, "w") as f:
+                    f.write("ok")
+            self._links_prepared = self.spark.read.parquet(path)
+        return self._links_prepared
 
     # -- one round ----------------------------------------------------------
     def run_round(
@@ -101,6 +142,7 @@ class CrawlRun:
         round_no: int,
         frontier: DataFrame,
         seen: DataFrame | None,
+        seen_size_hint: int = 0,
     ) -> tuple[DataFrame, DataFrame, RoundStats]:
         cfg = self.config
         spark = self.spark
@@ -112,7 +154,7 @@ class CrawlRun:
         candidates = filter_disallowed(attach_robots(fr, self.robots))
 
         bloom_bc = None
-        if cfg.use_bloom and seen is not None:
+        if cfg.use_bloom and seen is not None and seen_size_hint >= cfg.bloom_min_seen:
             shards = build_bloom_shards(seen, fpp=cfg.bloom_fpp)
             if shards:
                 bloom_bc = spark.sparkContext.broadcast(shards)
@@ -131,18 +173,17 @@ class CrawlRun:
             )
             scheduled = scheduled.filter(F.col("crawl_order") <= cfg.limit_per_round)
 
-        # lineage is recorded on the artifact plan's own partitions BEFORE
-        # the write re-partitions it
         artifacts_plan = extract_artifacts(
             fetch_join(scheduled, self._prepared_pages(), prepared=True),
             fetch_cap=cfg.fetch_cap,
             with_markdown=cfg.content_type in ("markdown", "both"),
         ).withColumn("bytes_fetched", F.coalesce(F.length("html"), F.lit(0)))
-        lineage = partition_lineage(artifacts_plan, self.config.run_id, round_no)
 
         # ONE pass through fetch join + extraction UDFs: write the
-        # artifacts snapshot, then every consumer scans the columnar file.
+        # artifacts snapshot, then every consumer (incl. lineage) scans the
+        # columnar file.
         arts = self.store.write_table(round_no, "artifacts", artifacts_plan.drop("html"))
+        lineage = partition_lineage(arts, self.config.run_id, round_no)
 
         # W3 retry semantics (crawler.go:173-224): missing rows re-enter
         # with attempt+1 until max_attempts; exhausted rows become seen.
@@ -168,7 +209,9 @@ class CrawlRun:
             # the original frontier) and unique without a max(seq) job
             seq_base = (round_no + 1) * 1_000_000_000_000
             fetched_only = arts.filter(F.col("status") == "fetched")
-            discovered = discover_links(self.links, fetched_only, seq_base=seq_base)
+            discovered = discover_links(
+                self._prepared_links(), fetched_only, seq_base=seq_base, prepared=True
+            )
             next_frontier = next_frontier.unionByName(
                 discovered.withColumn("attempt", F.lit(0))
                 .select(*FRONTIER_COLS)
@@ -185,11 +228,15 @@ class CrawlRun:
             F.count("*").alias("n"),
             F.count(F.when(F.col("status") == "fetched", 1)).alias("f"),
         ).collect()[0]
-        nf_counts = {
-            r["src"]: r["n"]
-            for r in frontier_out.groupBy("src").agg(F.count("*").alias("n")).collect()
-        }
-        seen_total = seen_out.count()
+        if cfg.collect_stats:
+            nf_counts = {
+                r["src"]: r["n"]
+                for r in frontier_out.groupBy("src").agg(F.count("*").alias("n")).collect()
+            }
+            seen_total = seen_out.count()
+        else:
+            nf_counts = {}
+            seen_total = seen_size_hint + art_counts["f"]  # upper-bound estimate
         stats = RoundStats(
             round=round_no,
             scheduled=art_counts["n"],
@@ -223,10 +270,16 @@ class CrawlRun:
                 start = last + 1
                 frontier = self.store.read_table(last, "next_frontier")
                 seen = self.store.read_table(last, "seen")
+        if resume and start > 0:
+            prev = self.store.read_manifest(start - 1)
+            seen_hint = int((prev or {}).get("stats", {}).get("seen_total", 0))
+        else:
+            seen_hint = 0
         stats = []
         for k in range(start, n_rounds):
             if len(frontier.take(1)) == 0:
                 break
-            frontier, seen, st = self.run_round(k, frontier, seen)
+            frontier, seen, st = self.run_round(k, frontier, seen, seen_size_hint=seen_hint)
+            seen_hint = st.seen_total
             stats.append(st)
         return stats

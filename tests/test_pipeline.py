@@ -59,7 +59,8 @@ def test_disallowed_never_fetched(spark, corpus, tmp_path):
 
 
 def test_multi_round_discovery_and_retry(spark, corpus, tmp_path):
-    run = _run(spark, corpus, tmp_path, "r3", n_rounds=3, max_attempts=2)
+    # bloom_min_seen=0 forces the bloom-sharded seen path through the driver
+    run = _run(spark, corpus, tmp_path, "r3", n_rounds=3, max_attempts=2, bloom_min_seen=0)
     stats = run.run(corpus["seeds"], n_rounds=3)
     assert len(stats) >= 2
     assert stats[0].discovered > 0
