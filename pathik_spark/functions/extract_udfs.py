@@ -50,10 +50,12 @@ def make_extract_both_udf(fetch_cap: int = X.FETCH_CAP):
     @F.pandas_udf(schema)
     def extract_both_udf(html: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for batch in html:
-            pairs = batch.map(lambda b: X.extract_both(b, fetch_cap))
-            yield pd.DataFrame(
-                {"text": pairs.map(lambda t: t[0]), "markdown": pairs.map(lambda t: t[1])}
-            )
+            texts, mds = [], []
+            for b in batch:
+                t, m = X.extract_both(b, fetch_cap)
+                texts.append(t)
+                mds.append(m)
+            yield pd.DataFrame({"text": texts, "markdown": mds})
 
     return extract_both_udf
 

@@ -61,48 +61,52 @@ _IMPLICIT_CLOSE = {"p": {"p"}, "li": {"li"}, "tr": {"tr"}, "td": {"td", "th"}, "
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    # no parent pointer: the tree must stay acyclic so freed trees die by
+    # refcount alone — cyclic Node graphs put millions of objects per Arrow
+    # batch on the cycle-GC's plate, which measurably hurts multi-core UDF
+    # scaling. The builder keeps an explicit open-element stack instead.
+    __slots__ = ("tag", "attrs", "children")
 
-    def __init__(self, tag: str, attrs=None, parent=None):
+    def __init__(self, tag: str, attrs=None):
         self.tag = tag
         self.attrs = dict(attrs or ())
         self.children: list = []  # Node or str
-        self.parent = parent
 
 
 class _TreeBuilder(HTMLParser):
     """Lenient tree builder: unknown end tags are ignored; unclosed tags
-    are closed when an ancestor closes (deterministic for malformed rows)."""
+    are closed when an ancestor closes (deterministic for malformed rows).
+    The open-element stack replaces parent pointers (same semantics: the
+    stack IS the ancestor chain of the current node)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
-        self.cur = self.root
+        self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
         implicit = _IMPLICIT_CLOSE.get(tag)
-        if implicit and self.cur.tag in implicit:
-            self.cur = self.cur.parent or self.root
-        node = Node(tag, attrs, self.cur)
-        self.cur.children.append(node)
+        if implicit and self.stack[-1].tag in implicit and len(self.stack) > 1:
+            self.stack.pop()
+        node = Node(tag, attrs)
+        self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
-            self.cur = node
+            self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        self.cur.children.append(Node(tag, attrs, self.cur))
+        self.stack[-1].children.append(Node(tag, attrs))
 
     def handle_endtag(self, tag):
-        node = self.cur
-        while node is not self.root:
-            if node.tag == tag:
-                self.cur = node.parent or self.root
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
                 return
-            node = node.parent
         # no matching open tag: ignore
 
     def handle_data(self, data):
         if data:
-            self.cur.children.append(data)
+            self.stack[-1].children.append(data)
 
 
 def parse_html(html: str) -> Node:
@@ -206,11 +210,17 @@ def extract_text(html_bytes: bytes | None, fetch_cap: int = FETCH_CAP) -> str:
 _INLINE_MARKS = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
 
 
+_MD_ESCAPE_TABLE = str.maketrans(
+    {ch: "\\" + ch for ch in ("\\", "*", "_", "`", "[", "]")}
+)
+
+
 def _md_escape(text: str) -> str:
-    # autoEscape=true in the reference converter: escape md control chars
-    for ch in ("\\", "*", "_", "`", "[", "]"):
-        text = text.replace(ch, "\\" + ch)
-    return text
+    # autoEscape=true in the reference converter: escape md control chars.
+    # One-pass translate == the sequential replace chain byte-for-byte
+    # (backslash was replaced first there, so later inserts were never
+    # re-escaped — exactly what a single pass does).
+    return text.translate(_MD_ESCAPE_TABLE)
 
 
 def _md_inline(node: Node) -> str:

@@ -25,6 +25,7 @@ def discover_links(
     fetched: DataFrame,
     seq_base: int,
     prepared: bool = False,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Returns seeds-shaped rows (url, seq, priority) for the next round.
 
@@ -44,7 +45,7 @@ def discover_links(
     )
     out = src.join(F.broadcast(fetched_keys), "src_hash")
     dedup = out.select("parent_seq", F.col("dst_url").alias("url")).distinct()
-    ranked = scalable_global_rank(dedup, ["parent_seq", "url"], "_dr")
+    ranked = scalable_global_rank(dedup, ["parent_seq", "url"], "_dr", persisted=persisted)
     return (
         ranked.withColumn("seq", F.lit(seq_base) + F.col("_dr").cast("long"))
         .withColumn("priority", F.lit(DISCOVERED_PRIORITY))

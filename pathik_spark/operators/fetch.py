@@ -47,9 +47,15 @@ def fetch_join(scheduled: DataFrame, pages: DataFrame, prepared: bool = False) -
     (F8 semantics: errors are rows, never exceptions).
 
     ``prepared=True`` means ``pages`` is already in pages_by_hash shape
-    (materialized once per run — see CrawlRun._prepared_pages)."""
+    (materialized once per run — see CrawlRun._prepared_pages).
+
+    The scheduled side carries a shuffle_hash hint: per round it is a few
+    orders of magnitude smaller than the pages corpus, so a shuffled hash
+    join building on it lets the html-heavy side STREAM — no sort of the
+    payload (sort-merge would re-sort ~the whole corpus every round when
+    the bucketed scan can't prove its ordering)."""
     right = pages if prepared else pages_by_hash(pages)
-    joined = scheduled.join(right, "url_hash", "left")
+    joined = scheduled.hint("shuffle_hash").join(right, "url_hash", "left")
     return joined.withColumn(
         "status",
         F.when(F.col("html").isNotNull(), F.lit(STATUS_FETCHED)).otherwise(

@@ -113,7 +113,7 @@ def apply_global_bucket(
 
 
 def scalable_global_rank(
-    df: DataFrame, order_cols: list[str], out_col: str
+    df: DataFrame, order_cols: list[str], out_col: str, persisted: list | None = None
 ) -> DataFrame:
     """Global row_number over ``order_cols`` WITHOUT a single-partition
     window (which serializes the whole round through one task): range-
@@ -128,6 +128,8 @@ def scalable_global_rank(
         "_lrank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
     )
     local = local.persist()
+    if persisted is not None:
+        persisted.append(local)
     counts = sorted(
         (r["_pid"], r["n"]) for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     )
@@ -150,6 +152,7 @@ def schedule_round(
     global_period_ms: int | None = None,
     global_burst: int = GLOBAL_BURST,
     scalable_rank: bool = True,
+    persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full scheduler: returns (scheduled, deferred).
 
@@ -158,15 +161,23 @@ def schedule_round(
     rank uses the two-phase ranged rank by default; the single-window
     path remains for the (inherently sequential) token-bucket parity
     mode and as the equivalence baseline in tests.
+
+    ``selected`` feeds three consumers (global rank, the fetch join,
+    and the deferred anti-join) — it is persisted so the canonicalize
+    UDF + window chain runs once per round, not three times; pass
+    ``persisted`` to collect the cache handles for end-of-round
+    unpersist (plans/driver does).
     """
-    selected = select_within_budget(candidates, n_salts=n_salts)
+    selected = select_within_budget(candidates, n_salts=n_salts).persist()
+    if persisted is not None:
+        persisted.append(selected)
     if global_period_ms:
         scheduled = apply_global_bucket(selected, global_period_ms, global_burst)
     else:
         scheduled = selected.withColumn("scheduled_ms", F.col("desired_ms"))
     order_cols = ["scheduled_ms", "priority", "seq"]
     if scalable_rank and not global_period_ms:
-        scheduled = scalable_global_rank(scheduled, order_cols, "crawl_order")
+        scheduled = scalable_global_rank(scheduled, order_cols, "crawl_order", persisted=persisted)
     else:
         w = Window.orderBy(*order_cols)
         scheduled = scheduled.withColumn("crawl_order", F.row_number().over(w))

@@ -47,6 +47,19 @@ FRONTIER_COLS = ["url", "seq", "priority", "attempt"]
 SEEN_COLS = ["url_hash", "host_hash", "url"]
 
 
+def _parquet_row_count(path: str) -> int:
+    """Row count from local parquet footers — driver-side metadata read,
+    no Spark job (used for the per-round emptiness check)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        total += pq.read_metadata(f).num_rows
+    return total
+
+
 @dataclass
 class RoundStats:
     round: int
@@ -98,10 +111,19 @@ class CrawlRun:
             name = self._table_name("pages")
             path = os.path.join(self.store.root, "pages_prepared")
             marker = os.path.join(self.store.root, "pages_prepared.done")
-            n_buckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            n_buckets = max(
+                self.config.pages_buckets,
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+            )
             if not os.path.exists(marker):
+                # repartition on the bucket key FIRST so each bucket lands in
+                # exactly ONE file: only then does the scan report its sortBy
+                # ordering and the per-round fetch join skips re-sorting the
+                # html-heavy pages side (a ~full-corpus sort per round
+                # otherwise — the dominant hidden cost at bench scale)
                 (
                     pages_by_hash(self.pages)
+                    .repartition(n_buckets, "url_hash")
                     .write.mode("overwrite")
                     .bucketBy(n_buckets, "url_hash")
                     .sortBy("url_hash")
@@ -143,9 +165,20 @@ class CrawlRun:
         frontier: DataFrame,
         seen: DataFrame | None,
         seen_size_hint: int = 0,
-    ) -> tuple[DataFrame, DataFrame, RoundStats]:
+        finalize_prev=None,
+    ) -> tuple[DataFrame, DataFrame, RoundStats, "object"]:
         cfg = self.config
         spark = self.spark
+        import time as _time
+
+        _timers: dict[str, float] = {}
+        _t0 = _time.perf_counter()
+
+        def _tick(name: str) -> None:
+            nonlocal _t0
+            now = _time.perf_counter()
+            _timers[name] = round(now - _t0, 2)
+            _t0 = now
 
         fr = prepare_frontier(frontier, num_shards=cfg.num_shards)
         fr = fr.repartition(
@@ -158,14 +191,21 @@ class CrawlRun:
             shards = build_bloom_shards(seen, fpp=cfg.bloom_fpp)
             if shards:
                 bloom_bc = spark.sparkContext.broadcast(shards)
-        unseen = seen_filter(candidates, seen, bloom_bc)
+        # unseen feeds both the budget selection and the deferred anti-join;
+        # persist (small url-metadata rows, no html) so the canonicalize UDF
+        # + robots + seen chain runs once per round. Unpersisted at commit.
+        persisted: list[DataFrame] = []
+        unseen = seen_filter(candidates, seen, bloom_bc).persist()
+        persisted.append(unseen)
 
         scheduled, deferred = schedule_round(
             unseen,
             n_salts=cfg.n_salts,
             global_period_ms=cfg.global_period_ms,
             global_burst=cfg.global_burst,
+            persisted=persisted,
         )
+        _tick("schedule_rank")
         if cfg.limit_per_round is not None:
             over = scheduled.filter(F.col("crawl_order") > cfg.limit_per_round)
             deferred = deferred.unionByName(
@@ -179,10 +219,24 @@ class CrawlRun:
             with_markdown=cfg.content_type in ("markdown", "both"),
         ).withColumn("bytes_fetched", F.coalesce(F.length("html"), F.lit(0)))
 
+        # the deferred slice of next_frontier depends only on the (cached)
+        # selected set — write it concurrently with the heavy artifacts job
+        # below; the retry/discovered slices append after artifacts lands.
+        from concurrent.futures import ThreadPoolExecutor
+
+        nf_path = os.path.join(self.store._round_dir(round_no), "next_frontier.parquet")
+        os.makedirs(self.store._round_dir(round_no), exist_ok=True)
+        deferred_part = deferred.select(*FRONTIER_COLS).withColumn("src", F.lit("deferred"))
+        overlap_pool = ThreadPoolExecutor(max_workers=1)
+        f_deferred = overlap_pool.submit(
+            lambda: deferred_part.write.mode("overwrite").parquet(nf_path)
+        )
+
         # ONE pass through fetch join + extraction UDFs: write the
         # artifacts snapshot, then every consumer (incl. lineage) scans the
         # columnar file.
         arts = self.store.write_table(round_no, "artifacts", artifacts_plan.drop("html"))
+        _tick("artifacts_write")
         lineage = partition_lineage(arts, self.config.run_id, round_no)
 
         # W3 retry semantics (crawler.go:173-224): missing rows re-enter
@@ -190,44 +244,88 @@ class CrawlRun:
         retry = arts.filter(
             (F.col("status") == "missing") & (F.col("attempt") + 1 < cfg.max_attempts)
         ).select("url", "seq", "priority", (F.col("attempt") + 1).alias("attempt"))
+        # The seen table is an append-only DELTA log: each round commits only
+        # the URLs it consumed (fetched or retry-exhausted). Deltas are
+        # disjoint by construction — consumed rows passed this round's
+        # anti-join and a retried URL is consumed exactly once — so the
+        # cumulative set is a plain union of scans: no per-round rewrite of
+        # the whole seen set (O(|seen|) per round kills a 10^10 crawl) and
+        # no distinct() shuffle. Every seen_compact_every rounds the union
+        # is compacted into one table to bound the scan fan-in.
         consumed = arts.filter(
             (F.col("status") == "fetched") | (F.col("attempt") + 1 >= cfg.max_attempts)
         ).select("url_hash", "host_hash", "url")
-        new_seen = (
-            consumed
-            if seen is None
-            else seen.select(*SEEN_COLS).unionByName(consumed).distinct()
-        )
 
-        next_frontier = deferred.select(*FRONTIER_COLS).withColumn("src", F.lit("deferred"))
-        next_frontier = next_frontier.unionByName(
-            retry.select(*FRONTIER_COLS).withColumn("src", F.lit("retry"))
-        )
-        if self.links is not None:
-            # discovered rows take a per-round disjoint seq range: always
-            # after every seed/deferred seq (FIFO: discoveries queue behind
-            # the original frontier) and unique without a max(seq) job
-            seq_base = (round_no + 1) * 1_000_000_000_000
-            fetched_only = arts.filter(F.col("status") == "fetched")
-            discovered = discover_links(
-                self._prepared_links(), fetched_only, seq_base=seq_base, prepared=True
-            )
-            next_frontier = next_frontier.unionByName(
-                discovered.withColumn("attempt", F.lit(0))
-                .select(*FRONTIER_COLS)
-                .withColumn("src", F.lit("discovered"))
-            )
+        def _frontier_rest() -> DataFrame:
+            """retry ∪ discovered. Built lazily INSIDE the frontier-append
+            future: discover's rank needs an eager count job, which then
+            overlaps the seen/metrics/lineage writes instead of blocking
+            the driver thread."""
+            nf = retry.select(*FRONTIER_COLS).withColumn("src", F.lit("retry"))
+            if self.links is not None:
+                # discovered rows take a per-round disjoint seq range:
+                # always after every seed/deferred seq (FIFO: discoveries
+                # queue behind the original frontier) and unique without a
+                # max(seq) job
+                seq_base = (round_no + 1) * 1_000_000_000_000
+                fetched_only = arts.filter(F.col("status") == "fetched")
+                discovered = discover_links(
+                    self._prepared_links(), fetched_only, seq_base=seq_base,
+                    prepared=True, persisted=persisted,
+                )
+                nf = nf.unionByName(
+                    discovered.withColumn("attempt", F.lit(0))
+                    .select(*FRONTIER_COLS)
+                    .withColumn("src", F.lit("discovered"))
+                )
+            return nf
 
-        self.store.write_table(round_no, "host_metrics", host_metrics(arts, self.config.run_id, round_no))
-        self.store.write_table(round_no, "lineage", lineage)
-        seen_out = self.store.write_table(round_no, "seen", new_seen)
-        frontier_out = self.store.write_table(round_no, "next_frontier", next_frontier)
-
-        # stats from the committed files (cheap columnar aggs; no UDF rerun)
-        art_counts = arts.agg(
+        # the four derived tables + the stats agg all scan the committed
+        # artifacts parquet and are mutually independent — submit them as
+        # concurrent Spark jobs (threads share the context; the scheduler
+        # interleaves their tasks) so their fixed per-job latency overlaps
+        # instead of summing. This is the local-mode analogue of a real
+        # cluster keeping its executors busy across small stages.
+        stats_plan = arts.agg(
             F.count("*").alias("n"),
             F.count(F.when(F.col("status") == "fetched", 1)).alias("f"),
-        ).collect()[0]
+        )
+
+        def _append_frontier_rest():
+            next_frontier = _frontier_rest()
+            f_deferred.result()  # deferred slice finished (overlapped with artifacts)
+            next_frontier.write.mode("append").parquet(nf_path)
+            return self.spark.read.parquet(nf_path)
+
+        pool = ThreadPoolExecutor(max_workers=5)
+        f_hm = pool.submit(
+            self.store.write_table, round_no, "host_metrics",
+            host_metrics(arts, self.config.run_id, round_no),
+        )
+        f_lin = pool.submit(self.store.write_table, round_no, "lineage", lineage)
+        f_seen = pool.submit(self.store.write_table, round_no, "seen", consumed)
+        f_front = pool.submit(_append_frontier_rest)
+        f_stats = pool.submit(lambda: stats_plan.collect()[0])
+        # only the round-(k+1) inputs are waited on here; host_metrics and
+        # lineage (off the critical path) keep running and are joined by
+        # finalize(), which the NEXT round calls just before its own commit
+        # — so their job latency overlaps the next round's heavy compute.
+        seen_delta = f_seen.result()
+        frontier_out = f_front.result()
+        art_counts = f_stats.result()
+        overlap_pool.shutdown(wait=False)
+        _tick("derived_writes")
+
+        # cumulative seen = union of delta scans; compact periodically so
+        # the union fan-in (and resume manifest chain) stays bounded
+        seen_out = (
+            seen_delta
+            if seen is None
+            else seen.select(*SEEN_COLS).unionByName(seen_delta.select(*SEEN_COLS))
+        )
+        compacted = cfg.seen_compact_every and (round_no + 1) % cfg.seen_compact_every == 0
+        if compacted:
+            seen_out = self.store.write_table(round_no, "seen_compact", seen_out)
         if cfg.collect_stats:
             nf_counts = {
                 r["src"]: r["n"]
@@ -237,6 +335,8 @@ class CrawlRun:
         else:
             nf_counts = {}
             seen_total = seen_size_hint + art_counts["f"]  # upper-bound estimate
+        # next-frontier emptiness from parquet footers (driver-side, no job)
+        nf_rows = _parquet_row_count(nf_path)
         stats = RoundStats(
             round=round_no,
             scheduled=art_counts["n"],
@@ -246,15 +346,48 @@ class CrawlRun:
             retried=nf_counts.get("retry", 0),
             discovered=nf_counts.get("discovered", 0),
             seen_total=seen_total,
+            extras={"timers": _timers, "next_frontier_rows": nf_rows},
         )
-        self.store.commit(
-            round_no,
-            ["artifacts", "host_metrics", "lineage", "seen", "next_frontier"],
-            stats={k: getattr(stats, k) for k in (
-                "scheduled", "fetched", "missing", "deferred", "retried", "discovered", "seen_total"
-            )},
-        )
-        return frontier_out.drop("src"), seen_out, stats
+        for df in persisted:
+            df.unpersist()
+
+        def finalize() -> None:
+            """Join the off-critical-path writes and atomically publish the
+            round. Called by the NEXT round just before its own commit (so
+            manifests stay in order), or by run() at loop exit — either way
+            a crash before this leaves a partial round that resume rewrites
+            idempotently."""
+            f_hm.result()
+            f_lin.result()
+            pool.shutdown(wait=False)
+            self.store.commit(
+                round_no,
+                ["artifacts", "host_metrics", "lineage", "seen", "next_frontier"]
+                + (["seen_compact"] if compacted else []),
+                stats={k: getattr(stats, k) for k in (
+                    "scheduled", "fetched", "missing", "deferred", "retried", "discovered", "seen_total"
+                )},
+            )
+
+        if finalize_prev is not None:
+            finalize_prev()  # previous round's commit, overlapped with this compute
+        return frontier_out.drop("src"), seen_out, stats, finalize
+
+    def _read_seen_upto(self, last: int) -> DataFrame:
+        """Cumulative seen set after round ``last``: the latest compacted
+        snapshot (if any) plus every per-round delta after it."""
+        base: DataFrame | None = None
+        start = 0
+        for k in range(last, -1, -1):
+            if self.store.has_table(k, "seen_compact"):
+                base = self.store.read_table(k, "seen_compact")
+                start = k + 1
+                break
+        for k in range(start, last + 1):
+            delta = self.store.read_table(k, "seen").select(*SEEN_COLS)
+            base = delta if base is None else base.select(*SEEN_COLS).unionByName(delta)
+        assert base is not None
+        return base
 
     # -- multi-round with resume --------------------------------------------
     def run(self, seeds: DataFrame, n_rounds: int | None = None, resume: bool = True) -> list[RoundStats]:
@@ -269,17 +402,27 @@ class CrawlRun:
             if last is not None:
                 start = last + 1
                 frontier = self.store.read_table(last, "next_frontier")
-                seen = self.store.read_table(last, "seen")
+                seen = self._read_seen_upto(last)
         if resume and start > 0:
             prev = self.store.read_manifest(start - 1)
             seen_hint = int((prev or {}).get("stats", {}).get("seen_total", 0))
         else:
             seen_hint = 0
         stats = []
-        for k in range(start, n_rounds):
-            if len(frontier.take(1)) == 0:
-                break
-            frontier, seen, st = self.run_round(k, frontier, seen, seen_size_hint=seen_hint)
-            seen_hint = st.seen_total
-            stats.append(st)
+        finalize_prev = None
+        nf_rows: int | None = None  # unknown for the seed/resume frontier
+        try:
+            for k in range(start, n_rounds):
+                if nf_rows == 0 or (nf_rows is None and len(frontier.take(1)) == 0):
+                    break
+                frontier, seen, st, finalize = self.run_round(
+                    k, frontier, seen, seen_size_hint=seen_hint, finalize_prev=finalize_prev
+                )
+                finalize_prev = finalize
+                nf_rows = st.extras.get("next_frontier_rows")
+                seen_hint = st.seen_total
+                stats.append(st)
+        finally:
+            if finalize_prev is not None:
+                finalize_prev()
         return stats

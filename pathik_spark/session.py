@@ -32,6 +32,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html:binary rows are 5-80 KB; the default 4096-row columnar batch
+        # means ~250 MB live per scan task — with 32 concurrent tasks that
+        # alone exceeds an 8g heap. 512 bounds scan memory at ~30 MB/task
+        # regardless of core count (the knob that keeps wide-binary scans
+        # safe on real executors too).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # zstd ~3x smaller than snappy on extracted text/markdown: the
+        # compress CPU is parallel, the saved bytes are serial disk/network
+        # time — the right trade for write-heavy crawl rounds
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # bucketed+sorted tables are written one-file-per-bucket (see
+        # CrawlRun._prepared_pages); let the scan report that ordering so
+        # sort-merge joins against them skip re-sorting the html payload
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PATHIK_DRIVER_MEM", "8g"))
     )
