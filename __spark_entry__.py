@@ -119,6 +119,21 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Href extraction for frontier discovery (from-html mode): hrefs out
+    of the fetched html, resolved against the page url, one parse per page
+    (fused with X5/X6 in production via extract_full)."""
+    from pathik_spark.fixtures import corpus_to_spark
+    from pathik_spark.functions.extract_udfs import extract_links_udf
+
+    corpus = corpus_to_spark(spark, _corpus())
+    return (
+        corpus["pages"]
+        .select("url", F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"))
+        .orderBy("url", "dst_url")
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.multimodal import extract_features, synth_media
 
@@ -155,6 +170,7 @@ ROWS_ONLY_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "bloom_seen_filter": _q_bloom_seen,
     "extract_text_vectorized": _q_extract_text,
+    "extract_links_discovery": _q_extract_links,
     "multimodal_features": _q_multimodal_features,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "lsh_ann_topk": _q_lsh_ann,

@@ -50,6 +50,11 @@ class CrawlConfig:
     # of deltas is rewritten as one compacted table so the anti-join's
     # scan fan-in and the resume manifest chain stay bounded
     seen_compact_every: int = 16
+    # True: frontier link discovery comes from hrefs extracted out of the
+    # fetched html itself (fused into the extraction UDF — one parse per
+    # page). False: discovery joins the external links table (fixture /
+    # precomputed link-graph mode).
+    discover_from_html: bool = False
     n_rounds: int = 1
     kafka_compression: str = "gzip"  # kafka.go:152-165 default
     max_message_bytes: int = 10 * 1024 * 1024  # schema.py:205-243 range

@@ -302,14 +302,26 @@ def write_corpus_spark(
 
     spec = CorpusSpec(n_pages, n_seeds, seed, page_scale)
 
-    def gen_partition(batches):
+    def gen_pages(batches):
         for pdf in batches:
             rows = []
             for pid in pdf["pid"]:
-                row, outlinks = spec.page_row(int(pid))
-                row["outlinks"] = outlinks
+                row, _outlinks = spec.page_row(int(pid))
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang", "outlinks"])
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    def gen_links(batches):
+        # outlinks_for is independent of the (expensive) html build, so the
+        # links table comes from a second, html-free pass — no doubled
+        # intermediate table on disk for 10-GB corpora
+        for pdf in batches:
+            srcs, dsts = [], []
+            for pid in pdf["pid"]:
+                src = spec.url_for(int(pid))
+                for dst in spec.outlinks_for(int(pid)):
+                    srcs.append(src)
+                    dsts.append(dst)
+            yield pd.DataFrame({"src_url": srcs, "dst_url": dsts})
 
     # bound rows-per-generation-task so the per-task pandas frame stays
     # ~100 MB even for 10^5-page × page_scale corpora (2k pages × ~60 KB)
@@ -318,18 +330,13 @@ def write_corpus_spark(
         (n_pages + 1999) // 2000,
     )
     ids = spark.range(0, n_pages, 1, n_parts).select(F.col("id").alias("pid"))
-    pages_links = ids.mapInPandas(
-        gen_partition,
-        "url string, warc_ts timestamp, html binary, text string, lang string, outlinks array<string>",
-    )
-    pages_links.write.mode("overwrite").parquet(f"{out_dir}/_pages_links.parquet")
-    pl = spark.read.parquet(f"{out_dir}/_pages_links.parquet")
-    pl.select("url", "warc_ts", "html", "text", "lang").write.mode("overwrite").parquet(
-        f"{out_dir}/pages.parquet"
-    )
-    pl.select(
-        F.col("url").alias("src_url"), F.explode("outlinks").alias("dst_url")
-    ).write.mode("overwrite").parquet(f"{out_dir}/links.parquet")
+    ids.mapInPandas(
+        gen_pages,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.mode("overwrite").parquet(f"{out_dir}/pages.parquet")
+    ids.mapInPandas(gen_links, "src_url string, dst_url string").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/links.parquet")
     spark.createDataFrame(gen_seeds(spec), schema=SEEDS_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/seeds.parquet")

@@ -60,7 +60,46 @@ def make_extract_both_udf(fetch_cap: int = X.FETCH_CAP):
     return extract_both_udf
 
 
+def make_extract_full_udf(fetch_cap: int = X.FETCH_CAP):
+    """Fused (text, markdown, links) extraction: ONE parse per page feeds
+    the artifact columns AND frontier link discovery (from-html mode) —
+    no second pass over the corpus for hrefs."""
+    schema = T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("markdown", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def extract_full_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for html, url in it:
+            texts, mds, links = [], [], []
+            for b, u in zip(html, url):
+                t, m, l = X.extract_full(b, u or "", fetch_cap)
+                texts.append(t)
+                mds.append(m)
+                links.append(l)
+            yield pd.DataFrame({"text": texts, "markdown": mds, "links": links})
+
+    return extract_full_udf
+
+
+def make_extract_links_udf(fetch_cap: int = X.FETCH_CAP):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def extract_links_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for html, url in it:
+            yield pd.Series(
+                [X.extract_links(b, u or "", fetch_cap) for b, u in zip(html, url)]
+            )
+
+    return extract_links_udf
+
+
 # default-cap singletons for plan assembly
 extract_text_udf = make_extract_text_udf()
 to_markdown_udf = make_to_markdown_udf()
 extract_both_udf = make_extract_both_udf()
+extract_full_udf = make_extract_full_udf()
+extract_links_udf = make_extract_links_udf()

@@ -368,6 +368,77 @@ def extract_both(html_bytes: bytes | None, fetch_cap: int = FETCH_CAP) -> tuple[
     return text, "\n\n".join(out)
 
 
+# ---------------------------------------------------------------------------
+# href extraction (frontier link discovery from fetched HTML — new-build
+# per north_rule; the reference crawler has no recursion/link-following,
+# SURVEY.md §2.9. Replaces the fixture links table in from-html mode.)
+# ---------------------------------------------------------------------------
+
+
+def _collect_hrefs(node: Node, out: list[str]) -> None:
+    for child in node.children:
+        if isinstance(child, Node) and child.tag not in DROP_TAGS:
+            if child.tag == "a":
+                href = child.attrs.get("href")
+                if href:
+                    out.append(href)
+            _collect_hrefs(child, out)
+
+
+def _resolve_hrefs(hrefs: list[str], base_url: str) -> list[str]:
+    """Filter + resolve raw href values: strip whitespace, drop empty /
+    fragment-only / non-http(s) targets, resolve relative hrefs against
+    ``base_url`` (RFC 3986 urljoin). Document order and duplicates are
+    KEPT — frontier dedup is the seen-filter's job."""
+    from urllib.parse import urljoin, urlsplit
+
+    out: list[str] = []
+    for href in hrefs:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        absolute = urljoin(base_url, href) if base_url else href
+        scheme = urlsplit(absolute).scheme.lower()
+        if scheme in ("http", "https"):
+            out.append(absolute)
+    return out
+
+
+def extract_links(
+    html_bytes: bytes | None, base_url: str = "", fetch_cap: int = FETCH_CAP
+) -> list[str]:
+    """Document-order resolved hrefs of <a> anchors, skipping dropped
+    subtrees (nav/header/footer/script/... anchors are site chrome, not
+    discovery targets)."""
+    html = decode_html(html_bytes, fetch_cap)
+    if not html.strip():
+        return []
+    root = parse_html(html)
+    hrefs: list[str] = []
+    _collect_hrefs(root, hrefs)
+    return _resolve_hrefs(hrefs, base_url)
+
+
+def extract_full(
+    html_bytes: bytes | None, base_url: str = "", fetch_cap: int = FETCH_CAP
+) -> tuple[str, str, list[str]]:
+    """(text, markdown, links) from ONE parse — the production artifacts
+    pass when link discovery comes from the fetched html itself. text and
+    markdown are byte-identical to extract_both (same tree, same article);
+    links come from the full tree (anchors outside the article count)."""
+    html = decode_html(html_bytes, fetch_cap)
+    if not html.strip():
+        return "", "", []
+    root = parse_html(html)
+    article = find_article(root)
+    text = "\n\n".join(_paragraphs(article))
+    out: list[str] = []
+    _md_blocks(article, out)
+    hrefs: list[str] = []
+    _collect_hrefs(root, hrefs)
+    return text, "\n\n".join(out), _resolve_hrefs(hrefs, base_url)
+
+
 def truncate_for_save(content: str, save_cap: int = SAVE_CAP) -> str:
     """storage.go:211-216 save-side truncation (bytes, utf-8)."""
     raw = content.encode("utf-8")

@@ -45,6 +45,28 @@ def discover_links(
     )
     out = src.join(F.broadcast(fetched_keys), "src_hash")
     dedup = out.select("parent_seq", F.col("dst_url").alias("url")).distinct()
+    return _rank_discovered(dedup, seq_base, persisted)
+
+
+def discover_from_outlinks(
+    arts: DataFrame, seq_base: int, persisted: list | None = None
+) -> DataFrame:
+    """From-html discovery: the artifacts' own ``outlinks`` column (hrefs
+    extracted by the fused UDF in the same parse as text/markdown) becomes
+    next-round candidates — NO join against a link graph at all, and no
+    second pass over the corpus. Same deterministic seq assignment as
+    discover_links, so the two modes schedule identically given identical
+    link sets."""
+    fetched = arts.filter(F.col("status") == "fetched")
+    dedup = fetched.select(
+        F.col("seq").alias("parent_seq"), F.explode("outlinks").alias("url")
+    ).distinct()
+    return _rank_discovered(dedup, seq_base, persisted)
+
+
+def _rank_discovered(
+    dedup: DataFrame, seq_base: int, persisted: list | None
+) -> DataFrame:
     ranked = scalable_global_rank(dedup, ["parent_seq", "url"], "_dr", persisted=persisted)
     return (
         ranked.withColumn("seq", F.lit(seq_base) + F.col("_dr").cast("long"))

@@ -68,6 +68,7 @@ def extract_artifacts(
     fetched: DataFrame,
     fetch_cap: int = FETCH_CAP,
     with_markdown: bool = True,
+    with_links: bool = False,
 ) -> DataFrame:
     """X5/X6 + X1/X3 + X7: add extracted text, markdown, derived
     filenames, and the determinized user-agent to fetched rows.
@@ -83,6 +84,22 @@ def extract_artifacts(
         U.filename_expr(F.col("url"), F.col("warc_ts"), "md").alias("filename_md"),
         U.user_agent_expr(F.col("url")).alias("user_agent"),
     ]
+    if with_links:
+        # fused UDF: one parse per page yields text + markdown + hrefs —
+        # link discovery costs no second pass over the corpus
+        from pathik_spark.functions.extract_udfs import make_extract_full_udf
+
+        full_udf = make_extract_full_udf(fetch_cap)
+        out = fetched.select(
+            F.col("*"), *common,
+            F.when(is_fetched, full_udf(F.col("html"), F.col("url"))).alias("_ext"),
+        )
+        return out.select(
+            "*",
+            F.col("_ext.text").alias("text"),
+            F.col("_ext.markdown").alias("markdown"),
+            F.col("_ext.links").alias("outlinks"),
+        ).drop("_ext")
     if with_markdown:
         # fused UDF: one parse per page yields both text and markdown
         both_udf = make_extract_both_udf(fetch_cap)

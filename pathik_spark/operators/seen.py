@@ -27,9 +27,13 @@ Scale regimes (honest sizing):
   keys — fits executor memory; shard granularity keeps build parallel).
 - seen ~ 10^10 (the north_rule design point): broadcasting 12 GB of
   bloom bits is off the table. The right layout is *co-partitioning*:
-  keep the seen table written bucketed by host_hash (same bucketing as
-  the frontier repartition), so the exact anti-join shuffles neither
-  side fully and the bloom shard for a bucket can be built/probed
+  the per-round seen deltas (plans/driver writes the seen table as an
+  append-only delta log) are periodically compacted
+  (``seen_compact_every``) — at scale that compaction writes ONE table
+  bucketed by url_hash with a fixed bucket count (the same
+  one-file-per-bucket discipline as the prepared pages table), so the
+  exact anti-join shuffles only the much smaller frontier side onto
+  the bucketing, and the bloom shard for a bucket can be built/probed
   executor-side within the bucket's task. The exact anti-join remains
   the semantics either way, so the choice is purely a physical knob
   (``use_bloom`` in CrawlConfig).

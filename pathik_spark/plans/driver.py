@@ -217,6 +217,7 @@ class CrawlRun:
             fetch_join(scheduled, self._prepared_pages(), prepared=True),
             fetch_cap=cfg.fetch_cap,
             with_markdown=cfg.content_type in ("markdown", "both"),
+            with_links=cfg.discover_from_html,
         ).withColumn("bytes_fetched", F.coalesce(F.length("html"), F.lit(0)))
 
         # the deferred slice of next_frontier depends only on the (cached)
@@ -262,6 +263,17 @@ class CrawlRun:
             overlaps the seen/metrics/lineage writes instead of blocking
             the driver thread."""
             nf = retry.select(*FRONTIER_COLS).withColumn("src", F.lit("retry"))
+            if cfg.discover_from_html:
+                from pathik_spark.operators.discover import discover_from_outlinks
+
+                discovered = discover_from_outlinks(
+                    arts, seq_base=(round_no + 1) * 1_000_000_000_000, persisted=persisted
+                )
+                return nf.unionByName(
+                    discovered.withColumn("attempt", F.lit(0))
+                    .select(*FRONTIER_COLS)
+                    .withColumn("src", F.lit("discovered"))
+                )
             if self.links is not None:
                 # discovered rows take a per-round disjoint seq range:
                 # always after every seed/deferred seq (FIFO: discoveries

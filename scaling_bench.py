@@ -23,8 +23,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-N_PAGES = int(os.environ.get("PATHIK_BENCH_PAGES", "200000"))
-N_SEEDS = int(os.environ.get("PATHIK_BENCH_SEEDS", "40000"))
+N_PAGES = int(os.environ.get("PATHIK_BENCH_PAGES", "300000"))
+N_SEEDS = int(os.environ.get("PATHIK_BENCH_SEEDS", "60000"))
 # bench pages are ~80-160 KB (page_scale 12) — Common-Crawl-like weight
 # (CC HTML averages ~100 KB), so per-URL compute (parse/extract/convert)
 # dominates per-task and per-round overhead
@@ -156,7 +156,7 @@ def main() -> None:
     # 16 independent processes, measured in the same time window as the
     # Spark runs (this VM's effective speed drifts over minutes)
     ceil_out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "hw_ceiling.py")],
+        [sys.executable, os.path.join(REPO, "hw_ceiling.py"), f"{corpus_dir}/pages.parquet"],
         capture_output=True, text=True, cwd=REPO, timeout=1200,
     )
     ceil_lines = [l for l in ceil_out.stdout.strip().splitlines() if l.startswith("{")]

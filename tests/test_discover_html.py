@@ -1,0 +1,108 @@
+"""From-html link discovery (fused href extraction) — kernel semantics
+and the driver's discover_from_html mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathik_spark.fixtures import CorpusSpec, corpus_to_spark, gen_corpus
+from pathik_spark.kernels.extract import extract_both, extract_full, extract_links
+
+
+def test_extract_links_covers_fixture_outlinks():
+    spec = CorpusSpec(500, 100)
+    checked = 0
+    for pid in (0, 3, 7, 23, 101, 250):
+        row, outlinks = spec.page_row(pid)
+        links = extract_links(row["html"], row["url"])
+        if outlinks and b"links" in row["html"]:
+            assert set(outlinks) <= set(links), pid
+            checked += 1
+    assert checked >= 3
+
+
+def test_extract_links_resolution_and_filtering():
+    html = (
+        b'<body><a href="/abs">a</a><a href="#frag">b</a>'
+        b'<a href="mailto:x@y">c</a><a href="rel.html">d</a>'
+        b'<a href="">e</a><a href="  https://other.example/z  ">f</a></body>'
+    )
+    links = extract_links(html, "https://h.example/dir/p.html")
+    assert links == [
+        "https://h.example/abs",
+        "https://h.example/dir/rel.html",
+        "https://other.example/z",
+    ]
+
+
+def test_extract_links_skips_site_chrome():
+    html = (
+        b"<body><nav><a href='https://h/nav'>n</a></nav>"
+        b"<header><a href='https://h/hdr'>h</a></header>"
+        b"<p><a href='https://h/content'>c</a></p>"
+        b"<footer><a href='https://h/ftr'>f</a></footer></body>"
+    )
+    assert extract_links(html) == ["https://h/content"]
+
+
+def test_extract_full_matches_both():
+    spec = CorpusSpec(200, 40)
+    for pid in (1, 16, 17, 55):  # incl. malformed + non-utf8 strata
+        row, _ = spec.page_row(pid)
+        t, m, _links = extract_full(row["html"], row["url"])
+        tb, mb = extract_both(row["html"])
+        assert t == tb and m == mb, pid
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return corpus_to_spark(spark, gen_corpus(400, 80))
+
+
+def _run(spark, corpus, tmp_path, run_id, from_html: bool):
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    run = CrawlRun(
+        spark,
+        pages=corpus["pages"],
+        robots=corpus["robots"],
+        links=None if from_html else corpus["links"],
+        state_dir=str(tmp_path / run_id),
+        config=CrawlConfig(run_id=run_id, discover_from_html=from_html),
+    )
+    stats = run.run(corpus["seeds"], n_rounds=2)
+    return run, stats
+
+
+def test_discover_from_html_mode(spark, corpus, tmp_path):
+    run_h, stats_h = _run(spark, corpus, tmp_path, "from-html", True)
+    run_t, stats_t = _run(spark, corpus, tmp_path, "from-table", False)
+
+    assert stats_h[0].discovered > 0
+    # artifacts in from-html mode carry the outlinks column
+    arts = run_h.store.read_table(0, "artifacts")
+    assert "outlinks" in arts.columns
+
+    # hrefs extracted from html are a subset of the links-table edges
+    # (some fixture strata — empty/malformed bodies — omit the embedded
+    # link block, so the table mode discovers a superset)
+    def round1_scheduled(run):
+        return {
+            r["url"]
+            for r in run.store.read_table(1, "artifacts").select("url").collect()
+        }
+
+    sched_h = round1_scheduled(run_h)
+    sched_t = round1_scheduled(run_t)
+    discovered_h = {u for u in sched_h if u not in {r["url"] for r in corpus["seeds"].select("url").collect()}}
+    assert discovered_h  # nonempty discovery actually got scheduled
+    table_edges = {
+        r["dst_url"] for r in corpus["links"].select("dst_url").collect()
+    }
+    # every from-html discovery is a real edge of the fixture link graph
+    # (modulo canonicalization of uncanonical variants — compare on the
+    # raw url only for those that appear verbatim)
+    verbatim = discovered_h & table_edges
+    assert len(verbatim) >= len(discovered_h) * 0.5
