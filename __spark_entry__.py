@@ -75,47 +75,65 @@ def _q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Politeness-scheduler output (B4/W1) on the synthetic corpus."""
-    from pathik_spark.fixtures import corpus_to_spark
+    """Politeness scheduler (B4/W1): runs the REAL operator chain
+    prepare_frontier -> attach_robots -> filter_disallowed ->
+    schedule_round over seeds/robots synthesized from the orders table;
+    DuckDB twin = entry_queries.duck_schedule_order_sql()."""
+    from pathik_spark.entry_queries import SPARK, robots_sql, seeds_sql
     from pathik_spark.operators.frontier import prepare_frontier
     from pathik_spark.operators.robots import attach_robots, filter_disallowed
     from pathik_spark.operators.scheduler import schedule_round
 
-    corpus = corpus_to_spark(spark, _corpus())
-    fr = prepare_frontier(corpus["seeds"])
-    cands = filter_disallowed(attach_robots(fr, corpus["robots"]))
+    _register_views(spark, sf_dir)
+    seeds = spark.sql(seeds_sql(SPARK))
+    robots = spark.sql(robots_sql(SPARK))
+    fr = prepare_frontier(seeds)
+    cands = filter_disallowed(attach_robots(fr, robots))
     scheduled, _ = schedule_round(cands)
     return scheduled.select(
         "crawl_order", "url", "host", "rank_in_host", "scheduled_ms", "priority", "seq"
-    ).orderBy("crawl_order")
+    )
 
 
 def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-sharded URL-seen filter (B2) — equals the exact anti-join."""
-    from pathik_spark.fixtures import corpus_to_spark
+    """Bloom-sharded URL-seen filter (B2) over the REAL operators; the
+    oracle is the exact anti-join on canonical URLs it must equal
+    (a bloom false positive can only add rows to the exact join)."""
+    from pathik_spark.entry_queries import SPARK, URLS_CTE
     from pathik_spark.operators.frontier import prepare_frontier
     from pathik_spark.operators.seen import build_bloom_shards, seen_filter
 
-    corpus = corpus_to_spark(spark, _corpus())
-    fr = prepare_frontier(corpus["seeds"], num_shards=32).cache()
-    seen = fr.filter(F.col("seq") % 2 == 0).select("url_hash", "host_hash", "url")
+    _register_views(spark, sf_dir)
+    seeds = spark.sql(
+        f"WITH {URLS_CTE} SELECT url, id AS seq, CAST(0 AS INT) AS priority FROM urls_cte"
+    )
+    seen_seeds = spark.sql(
+        f"WITH {URLS_CTE} SELECT url, id AS seq, CAST(0 AS INT) AS priority "
+        f"FROM urls_cte WHERE id % 3 = 0"
+    )
+    fr = prepare_frontier(seeds, num_shards=32)
+    seen = prepare_frontier(seen_seeds, num_shards=32).select(
+        "url_hash", "host_hash", "url"
+    )
     shards = build_bloom_shards(seen)
     bc = spark.sparkContext.broadcast(shards)
-    return seen_filter(fr, seen, bc).select("url", "url_hash").orderBy("url")
+    return seen_filter(fr, seen, bc).select("url")
 
 
 def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 vectorized extraction over the pages table (byte-identity vs the
-    golden text column is asserted in tests; here the driver checks shape)."""
-    from pathik_spark.fixtures import corpus_to_spark
+    """X5 vectorized extraction: the REAL Arrow UDF runs over HTML pages
+    templated around the documents table's text; the DuckDB oracle states
+    the readability kernel's expected output for that template (article
+    selection + link-farm anchor penalty + body fallback). Byte-identity
+    against the fixture corpus is separately pinned in tests/."""
+    from pathik_spark.entry_queries import SPARK, extract_html_sql
     from pathik_spark.functions.extract_udfs import extract_text_udf
 
-    corpus = corpus_to_spark(spark, _corpus())
-    pages = corpus["pages"]
+    _register_views(spark, sf_dir)
+    pages = spark.sql(extract_html_sql(SPARK))
     return pages.select(
-        "url",
-        F.length(extract_text_udf(F.col("html"))).alias("extracted_len"),
-        (extract_text_udf(F.col("html")) == F.col("text")).alias("byte_identical"),
+        "doc_id",
+        extract_text_udf(F.encode(F.col("html_str"), "UTF-8")).alias("extracted"),
     )
 
 
@@ -143,15 +161,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash->LSH->verify pipeline on documents (xxhash64 prod path;
-    the portable-hash signature variant is oracle-checked as
-    minhash_signature)."""
+    """Full MinHash->LSH->verify pipeline on documents, portable-hash
+    family end-to-end so the DuckDB oracle reproduces signatures, bands,
+    candidates AND the verified pairs bit-for-bit. (The xxhash64 prod
+    variant is plan-identical; only the hash family differs.)"""
     from pathik_spark.operators import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
     sh = D.word_shingles(docs, n=3)
-    sig = D.minhash_signatures(sh, num_hashes=16)
-    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2)
+    sig = D.minhash_signatures(sh, num_hashes=16, portable=True)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2, portable=True)
     return D.jaccard_pairs(sh, cands, threshold=0.4)
 
 
@@ -165,14 +184,23 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
-ROWS_ONLY_QUERIES = {
-    "crawl_flagship_round": _q_crawl_flagship,
+# Engine-operator queries with independent DuckDB oracles: the Spark
+# side runs the real operators/UDFs, the oracle restates their semantics
+# relationally (entry_queries.ENGINE_ORACLE_SQL).
+ENGINE_ORACLE_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "bloom_seen_filter": _q_bloom_seen,
     "extract_text_vectorized": _q_extract_text,
+    "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+}
+
+# Genuinely non-SQL-expressible (iterative driver loop, UDF-resolved
+# hrefs, binary decode, LSH recall): rows-only here, each with a pytest
+# oracle (sim-oracle equality / golden fixtures / recall bounds).
+ROWS_ONLY_QUERIES = {
+    "crawl_flagship_round": _q_crawl_flagship,
     "extract_links_discovery": _q_extract_links,
     "multimodal_features": _q_multimodal_features,
-    "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "lsh_ann_topk": _q_lsh_ann,
 }
 
@@ -187,9 +215,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in ORACLE_QUERIES
     }
+    out.update(ENGINE_ORACLE_QUERIES)
     out.update(ROWS_ONLY_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: duck_sql_for(name) for name in ORACLE_QUERIES}
+    from pathik_spark.entry_queries import ENGINE_ORACLE_SQL
+
+    out = {name: duck_sql_for(name) for name in ORACLE_QUERIES}
+    out.update({name: fn() for name, fn in ENGINE_ORACLE_SQL.items()})
+    return out

@@ -105,12 +105,20 @@ urls_cte AS (
 )
 """
 
-_NETLOC = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
-_PATH = "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+def _netloc_of(col: str) -> str:
+    return f"regexp_extract({col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
 
 
-def _host(d) -> str:
-    no_user = d["RE_REPLACE"](_NETLOC, "^[^@]*@", "")
+def _path_of(col: str) -> str:
+    return f"regexp_extract({col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+
+
+_NETLOC = _netloc_of("url")
+_PATH = _path_of("url")
+
+
+def _host(d, col: str = "url") -> str:
+    no_user = d["RE_REPLACE"](_netloc_of(col), "^[^@]*@", "")
     no_port = d["RE_REPLACE"](no_user, ":[0-9]*$", "")
     return f"lower({no_port})"
 
@@ -145,15 +153,17 @@ def _domain_name(d) -> str:
 def q_tpch_q1(d):
     # integer-cents sums: per-term doubles are IEEE-identical across
     # engines, so term-level rounding is exact; post-sum ROUND would sit
-    # on add-order-sensitive boundaries.
+    # on add-order-sensitive boundaries. The OUTER cast pins the result
+    # type: DuckDB promotes SUM(BIGINT) to HUGEINT, Spark stays BIGINT,
+    # and the driver's hash compare is typed.
     qty_c = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
     base_c = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
     disc_c = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
     return f"""
 SELECT l_returnflag, l_linestatus,
-       SUM({qty_c}) AS sum_qty_cents,
-       SUM({base_c}) AS sum_base_price_cents,
-       SUM({disc_c}) AS sum_disc_price_cents,
+       CAST(SUM({qty_c}) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM({base_c}) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM({disc_c}) AS BIGINT) AS sum_disc_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -169,7 +179,7 @@ def q_join_agg(d):
     cents = "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)"
     return f"""
 SELECT o.o_orderkey AS orderkey,
-       SUM({cents}) AS revenue_cents,
+       CAST(SUM({cents}) AS BIGINT) AS revenue_cents,
        c.c_mktsegment AS mktsegment
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -246,11 +256,11 @@ FROM urls_cte
 """
 
 
-def q_url_canonicalize(d):
+def _canonical_expr(d, col: str = "url") -> str:
     # B1 canonicalization, SQL-expressible subset (no dot-segments in these
     # URLs): lowercase scheme+host, strip default port, drop fragment, strip
     # tracking params, sort surviving params.
-    no_frag = d["RE_REPLACE"]("url", "#.*$", "")
+    no_frag = d["RE_REPLACE"](col, "#.*$", "")
     scheme = f"lower({d['RE_EXTRACT'](no_frag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)})"
     netloc_nf = d["RE_EXTRACT"](no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     host_nf = f"lower({d['RE_REPLACE'](d['RE_REPLACE'](netloc_nf, '^[^@]*@', ''), ':[0-9]*$', '')})"
@@ -268,11 +278,16 @@ def q_url_canonicalize(d):
         f"ELSE {host_nf} || ':' || {port} END"
     )
     canon_path = f"CASE WHEN {path_nf} = '' THEN '/' ELSE {path_nf} END"
+    return (
+        f"{scheme} || '://' || {canon_netloc} || {canon_path} || "
+        f"CASE WHEN {sorted_q} = '' THEN '' ELSE '?' || {sorted_q} END"
+    )
+
+
+def q_url_canonicalize(d):
     return f"""
 WITH {URLS_CTE}
-SELECT id, url,
-  {scheme} || '://' || {canon_netloc} || {canon_path} ||
-  CASE WHEN {sorted_q} = '' THEN '' ELSE '?' || {sorted_q} END AS canonical
+SELECT id, url, {_canonical_expr(d)} AS canonical
 FROM urls_cte
 WHERE {_valid_pred(d)}
 """
@@ -305,7 +320,7 @@ def q_host_metrics(d):
     return f"""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM({v_c}) AS total_value_e4,
+       CAST(SUM({v_c}) AS BIGINT) AS total_value_e4,
        COUNT(CASE WHEN value < 0 THEN 1 END) AS n_negative
 FROM events GROUP BY event_type
 """
@@ -336,7 +351,7 @@ SELECT attempt, COUNT(*) AS n FROM (
 def q_manifest_rollup(d):
     # A1 result-dict rollup shape over documents
     return """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang, source
 """
 
@@ -515,6 +530,210 @@ SELECT 'doc:' || CAST(doc_id AS STRING) AS key,
        lang AS header_lang
 FROM documents WHERE doc_id % 2 = 0
 """
+
+
+# --- engine-side oracle queries ---------------------------------------------
+# For these, the Spark side runs the ENGINE'S REAL OPERATORS (see
+# __spark_entry__.ENGINE_ORACLE_QUERIES) over inputs synthesized by the
+# shared SQL below; the DuckDB side is an independent relational
+# restatement of the operator semantics. This closes the round-1 gap
+# where the driver compared two SQL restatements of each other.
+
+ROBOTS_N_HOSTS = 40
+
+
+def seeds_sql(d) -> str:
+    """Deterministic seed list from orders: (url, seq, priority)."""
+    return f"WITH {URLS_CTE} SELECT url, id AS seq, CAST(id % 3 AS INT) AS priority FROM urls_cte"
+
+
+def _range_i(d, n: int) -> str:
+    if d["NAME"] == "spark":
+        return f"(SELECT id AS i FROM range(0, {n}))"
+    return f"(SELECT range AS i FROM range(0, {n}))"
+
+
+def robots_sql(d) -> str:
+    """Per-host politeness budgets: delay (i%4)*250 ms, cap 20+i%11 per
+    round, hosts with i%6==0 disallow the '/sec1' path prefix."""
+    arr_one = "array('/sec1')" if d["NAME"] == "spark" else "['/sec1']"
+    arr_empty = (
+        "CAST(array() AS ARRAY<STRING>)" if d["NAME"] == "spark" else "CAST([] AS STRING[])"
+    )
+    return (
+        f"SELECT 'host' || CAST(i AS STRING) || '.example' AS host, "
+        f"CAST(i % 4 AS BIGINT) * 250 AS crawl_delay_ms, "
+        f"CAST(20 + i % 11 AS INT) AS max_per_round, "
+        f"CASE WHEN i % 6 = 0 THEN {arr_one} ELSE {arr_empty} END AS disallow_prefixes "
+        f"FROM {_range_i(d, ROBOTS_N_HOSTS)} t"
+    )
+
+
+def duck_schedule_order_sql() -> str:
+    """DuckDB twin of prepare_frontier -> attach_robots ->
+    filter_disallowed -> schedule_round (operators/{frontier,robots,
+    scheduler}.py): validate, canonicalize, first-(priority,seq)-wins
+    dedup, per-host FIFO rank under max_per_round, desired_ms =
+    rank0*crawl_delay, global crawl order by (scheduled_ms, priority,
+    seq)."""
+    d = DUCK
+    canon = _canonical_expr(d)
+    host = _host(d, "url2")
+    path = _path_of("url2")
+    return f"""
+WITH {URLS_CTE},
+seeds AS (SELECT url, id AS seq, CAST(id % 3 AS INT) AS priority FROM urls_cte),
+valid AS (SELECT {canon} AS url2, seq, priority FROM seeds WHERE {_valid_pred(d)}),
+dedup AS (
+  SELECT url2, seq, priority,
+         ROW_NUMBER() OVER (PARTITION BY url2 ORDER BY priority, seq) AS rn
+  FROM valid
+),
+fr AS (
+  SELECT url2, {host} AS host,
+         CASE WHEN {path} = '' THEN '/' ELSE {path} END AS path,
+         seq, priority
+  FROM dedup WHERE rn = 1
+),
+robots AS ({robots_sql(d)}),
+joined AS (
+  SELECT f.url2, f.host, f.seq, f.priority,
+         COALESCE(r.crawl_delay_ms, 0) AS crawl_delay_ms,
+         COALESCE(r.max_per_round, 1000000000) AS max_per_round
+  FROM fr f LEFT JOIN robots r ON f.host = r.host
+  WHERE NOT (r.host IS NOT NULL AND len(r.disallow_prefixes) > 0
+             AND f.path LIKE '/sec1%')
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, seq) AS rank_in_host
+  FROM joined
+),
+selected AS (
+  SELECT *, CAST(rank_in_host - 1 AS BIGINT) * crawl_delay_ms AS scheduled_ms
+  FROM ranked WHERE rank_in_host <= max_per_round
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY scheduled_ms, priority, seq) AS INT) AS crawl_order,
+       url2 AS url, host, CAST(rank_in_host AS INT) AS rank_in_host,
+       scheduled_ms, priority, seq
+FROM selected
+"""
+
+
+def duck_bloom_seen_sql() -> str:
+    """DuckDB twin of the bloom-sharded URL-seen filter (operators/
+    seen.py): semantics are EXACTLY the anti-join (a bloom false positive
+    can only route rows into the exact join, never drop them), so the
+    oracle is the plain set difference on canonical URLs."""
+    d = DUCK
+    canon = _canonical_expr(d)
+    return f"""
+WITH {URLS_CTE},
+frontier AS (SELECT DISTINCT {canon} AS url FROM urls_cte WHERE {_valid_pred(d)}),
+seen AS (SELECT DISTINCT {canon} AS url FROM urls_cte WHERE id % 3 = 0 AND {_valid_pred(d)})
+SELECT f.url AS url FROM frontier f
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+"""
+
+
+# deterministic link farm used by the extraction-oracle HTML template:
+# anchor-text length 19 gives the template's non-article nodes a fixed
+# negative readability score (see kernels/extract.py scoring spec)
+LINK_FARM_TEXT = "AAAA BBBB CCCC DDDD"
+
+
+def extract_clean_expr(d, col: str = "text") -> str:
+    """Article body for the extraction-oracle template: restricted to
+    [a-zA-Z0-9 .,] with collapsed single spaces, so the readability
+    kernel's whitespace collapse is the identity on it and the expected
+    extraction output is SQL-expressible."""
+    stripped = d["RE_REPLACE"](col, "[^a-zA-Z0-9 .,]", " ")
+    collapsed = d["RE_REPLACE"](stripped, "  +", " ")
+    return f"trim({collapsed})"
+
+
+def extract_html_sql(d) -> str:
+    """(doc_id, html_str): deterministic HTML page around the cleaned
+    document text. Structure exercises drop-tags (head), the anchor
+    penalty (link-farm div), article selection, and the body fallback
+    (empty article)."""
+    clean = extract_clean_expr(d)
+    return f"""
+SELECT doc_id,
+  '<html><head><title>t</title></head><body><div><a href="/a">{LINK_FARM_TEXT}</a></div><article><p>'
+  || {clean} || '</p></article></body></html>' AS html_str
+FROM documents
+"""
+
+
+def duck_extract_text_sql() -> str:
+    """Expected readability output for the template in extract_html_sql:
+    the cleaned text when non-empty (article wins: score 2*len vs body's
+    2*len-57 and the link div's -57), else the body fallback emits the
+    link-farm text."""
+    d = DUCK
+    clean = extract_clean_expr(d)
+    return f"""
+SELECT doc_id,
+  CASE WHEN {clean} = '' THEN '{LINK_FARM_TEXT}' ELSE {clean} END AS extracted
+FROM documents
+"""
+
+
+def _minhash16_h(d, i: int) -> str:
+    return d["HASH60"](f"'{i}:' || shingle")
+
+
+def duck_minhash_lsh_sql(n_docs: int = 300) -> str:
+    """DuckDB twin of word_shingles -> minhash_signatures(portable) ->
+    lsh_candidate_pairs(portable) -> jaccard_pairs(threshold=0.4)
+    (operators/dedup.py): 3-gram shingles, 16 portable-hash minima,
+    8 bands of 2 hashed portably, candidate equi-join on (band_id,
+    band_hash), exact-Jaccard verification at >= 0.4."""
+    d = DUCK
+    sig_cols = ", ".join(f"MIN({_minhash16_h(d, i)}) AS h{i}" for i in range(16))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + d["HASH60"](f"CAST(h{2 * b} AS STRING) || ',' || CAST(h{2 * b + 1} AS STRING)")
+        + " AS band_hash FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+WITH {_tokens_cte(d, where=f"WHERE doc_id < {n_docs}")},
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM tokens a
+  JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokens c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE EXISTS (SELECT 1 FROM cands c WHERE c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+  AND ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.4
+"""
+
+
+ENGINE_ORACLE_SQL = {
+    "crawl_schedule_order": duck_schedule_order_sql,
+    "bloom_seen_filter": duck_bloom_seen_sql,
+    "extract_text_vectorized": duck_extract_text_sql,
+    "minhash_lsh_pairs": duck_minhash_lsh_sql,
+}
 
 
 ORACLE_QUERIES = {

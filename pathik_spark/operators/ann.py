@@ -5,10 +5,15 @@
   via ``zip_with`` + ``aggregate`` higher-order functions (no Python,
   no shuffle of the corpus beyond the final per-query top-k window).
 - ``lsh_bucketed_topk``: the scale path — sign-random-projection LSH.
-  Hyperplanes are *deterministic* pseudo-random vectors derived from
-  xxhash64(plane, dim) so the plan is replayable with no driver-side
-  randomness. Buckets equi-join; top-k within bucket candidates.
-  Recall<1 by construction; multi-probe = more planes/tables.
+  Hyperplanes are a *deterministic* Gaussian matrix (fixed-seed PCG64 —
+  bit-stable across machines/runs, no driver-side randomness), broadcast
+  implicitly in the UDF closure (n_planes x dim doubles — a few KB even
+  at dim=4096). Bucketing is ONE numpy matmul per Arrow batch: at
+  dim=768 the round-1 expression formulation inlined ~4,600 plan terms
+  per column (plan-compile blowup); the matmul path is O(1) plan size at
+  any dim. Buckets equi-join; top-k within bucket candidates. Recall<1
+  by construction (recall floor property-tested vs brute force);
+  multi-probe = more planes/tables.
 
 Double-precision math throughout (cast before multiply) so results are
 stable and comparable against the DuckDB oracle to 1e-6.
@@ -16,8 +21,11 @@ stable and comparable against the DuckDB oracle to 1e-6.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -69,25 +77,33 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec, plane: int, dim: int):
-    """sign(<vec, h_plane>) with h_plane[d] = xxhash64(plane,d) mapped to
-    [-1,1) — deterministic, computed inline, never materialized."""
-    comps = [
-        F.element_at(vec, d + 1).cast("double")
-        * ((F.xxhash64(F.lit(plane), F.lit(d)) % F.lit(10_000_019)).cast("double") / F.lit(10_000_019.0))
-        for d in range(dim)
-    ]
-    total = comps[0]
-    for c in comps[1:]:
-        total = total + c
-    return (total >= 0).cast("int")
+_HYPERPLANE_SEED = 90210
 
 
-def lsh_bucket_expr(vec, n_planes: int, dim: int):
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, p, dim)
-    return bucket
+def hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic Gaussian SRP hyperplanes (n_planes x dim). PCG64
+    with a fixed seed is bit-stable across platforms, so the bucketing
+    is replayable with no materialized random state."""
+    return np.random.default_rng(_HYPERPLANE_SEED).standard_normal((n_planes, dim))
+
+
+def make_lsh_bucket_udf(n_planes: int, dim: int):
+    """Vectorized SRP bucketing: ONE (batch x dim) @ (dim x n_planes)
+    matmul per Arrow batch; sign bits pack into an int bucket id.
+    Plan size is O(1) in dim (the round-1 expression form was O(dim *
+    n_planes) — unusable at real embedding widths)."""
+    planes_t = hyperplanes(n_planes, dim).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def lsh_bucket(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vec.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (mat @ planes_t) >= 0.0
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return lsh_bucket
 
 
 def lsh_bucketed_topk(
@@ -101,15 +117,16 @@ def lsh_bucketed_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket."""
+    bucket_udf = make_lsh_bucket_udf(n_planes, dim)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket_expr(F.col(vec_col), n_planes, dim).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_bucket_expr(F.col(vec_col), n_planes, dim).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     scored = corpus.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
@@ -139,11 +156,9 @@ def embedding_near_dup_pairs(
     all-pairs join (oracle-comparable); default blocks by LSH bucket."""
     base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if not exact:
-        base = base.withColumn("bucket", lsh_bucket_expr(F.col("vec"), n_planes, dim))
-        cond_cols = ["bucket"]
+        base = base.withColumn("bucket", make_lsh_bucket_udf(n_planes, dim)(F.col("vec")))
     else:
         base = base.withColumn("bucket", F.lit(0))
-        cond_cols = ["bucket"]
     a = base.alias("a")
     b = base.alias("b")
     pairs = a.join(

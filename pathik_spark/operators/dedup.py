@@ -66,11 +66,16 @@ def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> D
         "doc_id", F.split(normalized_text(F.col(text_col)), " ").alias("toks")
     )
     n_sh = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0))
+    # guard: sequence(0, -1) would generate a DESCENDING [0, -1] for docs
+    # shorter than n tokens — emit an empty array instead (explode drops it)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(0), n_sh - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), n_sh - 1),
+                idx,
                 lambda i: F.concat_ws(" ", *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]),
             )
         ).alias("shingle"),
@@ -91,11 +96,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, band_size: int = 2
+    signatures: DataFrame, num_hashes: int = 16, band_size: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signature, self-join on (band_id, band_hash); returns
-    distinct (doc_a, doc_b) with doc_a < doc_b."""
+    distinct (doc_a, doc_b) with doc_a < doc_b. ``portable=True`` hashes
+    bands with the md5-based family so DuckDB can reproduce the
+    candidate set bit-for-bit (oracle path); default is xxhash64."""
     n_bands = num_hashes // band_size
+
+    def band_hash(b: int):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        if portable:
+            return portable_hash64(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
     bands = signatures.select(
         "doc_id",
         F.explode(
@@ -103,9 +118,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(n_bands)
                 ]

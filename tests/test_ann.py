@@ -65,6 +65,40 @@ def test_lsh_topk_subset_quality(spark, emb):
             assert abs(scored[key] - r["score"]) < 1e-9
 
 
+def test_lsh_bucket_udf_matches_numpy(spark, emb):
+    """The UDF's buckets equal a direct numpy computation with the same
+    deterministic hyperplanes (replayability of the SRP bucketing)."""
+    import numpy as np
+
+    got = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", A.make_lsh_bucket_udf(6, 64)(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    signs = (mat @ A.hyperplanes(6, 64).T) >= 0.0
+    weights = (1 << np.arange(5, -1, -1)).astype(np.int64)
+    expected = dict(zip(pdf["vec_id"].tolist(), (signs @ weights).astype(int).tolist()))
+    assert got == expected
+
+
+def test_lsh_wide_dim_no_plan_blowup(spark, emb):
+    """dim=768 runs through the matmul bucketing with a constant-size
+    plan (the round-1 expression form inlined ~4,600 terms here)."""
+    wide = emb.select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
+    )
+    queries = wide.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.lsh_bucketed_topk(wide, queries, k=5, n_planes=8, dim=768)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)} chars"
+    assert out.count() > 0
+
+
 def test_near_dup_pairs_symmetric_threshold(spark, emb):
     sub = emb.filter(F.col("vec_id") < 60)
     pairs = A.embedding_near_dup_pairs(sub, threshold=0.5, exact=True)
