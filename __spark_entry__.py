@@ -184,14 +184,169 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
+def _urls_base(spark: SparkSession, sf_dir: str, valid_only: bool = False) -> DataFrame:
+    from pathik_spark.entry_queries import URLS_CTE
+
+    _register_views(spark, sf_dir)
+    # orders is a single parquet file: without a repartition the regex
+    # kernels would evaluate on 1-2 tasks regardless of cores
+    df = spark.sql(f"WITH {URLS_CTE} SELECT id, url, o_orderdate FROM urls_cte")
+    df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    if valid_only:
+        from pathik_spark.functions import urls as U
+
+        df = df.filter(U.is_valid_url_expr(F.col("url")))
+    return df
+
+
+def _q_url_validate(spark, sf_dir):
+    from pathik_spark.functions import urls as U
+
+    return _urls_base(spark, sf_dir).select(
+        "id", "url",
+        F.when(U.is_valid_url_expr(F.col("url")), 1).otherwise(0).alias("is_valid"),
+    )
+
+
+def _q_url_domain(spark, sf_dir):
+    from pathik_spark.functions import urls as U
+
+    return _urls_base(spark, sf_dir).select(
+        "id", "url", U.domain_name_expr(F.col("url")).alias("domain_name")
+    )
+
+
+def _q_url_sanitize(spark, sf_dir):
+    from pathik_spark.functions import urls as U
+
+    return _urls_base(spark, sf_dir).select(
+        "id", "url", U.sanitize_url_expr(F.col("url")).alias("sanitized")
+    )
+
+
+def _q_filename_assembly(spark, sf_dir):
+    from pathik_spark.functions import urls as U
+
+    return _urls_base(spark, sf_dir).select(
+        "id",
+        U.filename_expr(F.col("url"), F.col("o_orderdate"), "html").alias("filename_html"),
+        U.filename_expr(F.col("url"), F.col("o_orderdate"), "md").alias("filename_md"),
+    )
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """The PRODUCTION canonicalization path (expression fast path routed
+    around the kernel UDF) against the SQL restatement oracle."""
+    from pathik_spark.functions import urls as U
+
+    return _urls_base(spark, sf_dir, valid_only=True).select(
+        "id", "url", U.canonical_col(F.col("url")).alias("canonical")
+    )
+
+
+def _docs(spark, sf_dir):
+    _register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _q_lang_id(spark, sf_dir):
+    from pathik_spark.functions.text import lang_id
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_quality_score(spark, sf_dir):
+    from pathik_spark.functions.text import quality_score
+
+    return _docs(spark, sf_dir).select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_token_count(spark, sf_dir):
+    from pathik_spark.functions.text import bpe_ish_token_count, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from pathik_spark.functions.text import doc_fingerprint
+    from pathik_spark.operators.dedup import normalized_text, portable_hash64
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        portable_hash64(normalized_text(F.col("text"))).alias("fingerprint60"),
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from pathik_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "content_hash", "group_size", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from pathik_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return D.jaccard_pairs(D.word_shingles(docs, n=2), None, threshold=0.2)
+
+
+def _q_minhash_signature(spark, sf_dir):
+    from pathik_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return D.minhash_signatures(D.word_shingles(docs, n=3), num_hashes=4, portable=True)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from pathik_spark.operators.ann import brute_force_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5).withColumnRenamed("rank", "rnk")
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from pathik_spark.operators.ann import embedding_near_dup_pairs
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 120)
+    return embedding_near_dup_pairs(emb, threshold=0.25, exact=True)
+
+
 # Engine-operator queries with independent DuckDB oracles: the Spark
-# side runs the real operators/UDFs, the oracle restates their semantics
-# relationally (entry_queries.ENGINE_ORACLE_SQL).
+# side runs the real operators / column functions / UDFs, the oracle
+# restates their semantics relationally (for the first four the duck SQL
+# lives in entry_queries.ENGINE_ORACLE_SQL; for the rest it is the duck
+# rendering of the same-named ORACLE_QUERIES template).
 ENGINE_ORACLE_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "bloom_seen_filter": _q_bloom_seen,
     "extract_text_vectorized": _q_extract_text,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "url_validate": _q_url_validate,
+    "url_domain_derivation": _q_url_domain,
+    "url_sanitize": _q_url_sanitize,
+    "filename_assembly": _q_filename_assembly,
+    "url_canonicalize": _q_url_canonicalize,
+    "lang_id": _q_lang_id,
+    "quality_score": _q_quality_score,
+    "token_count": _q_token_count,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "exact_dedup": _q_exact_dedup,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "minhash_signature": _q_minhash_signature,
+    "ann_cosine_topk": _q_ann_cosine,
+    "embedding_neardup": _q_embedding_neardup,
 }
 
 # Genuinely non-SQL-expressible (iterative driver loop, UDF-resolved

@@ -47,9 +47,13 @@ class CrawlConfig:
     # thousands of buckets sized to ~128-512 MB each.
     pages_buckets: int = 64
     # the seen table is a per-round delta log; every K rounds the union
-    # of deltas is rewritten as one compacted table so the anti-join's
-    # scan fan-in and the resume manifest chain stay bounded
+    # of deltas is rewritten as ONE table bucketed by url_hash so the
+    # anti-join's scan fan-in stays bounded and the seen side never
+    # re-shuffles (plans/driver._write_seen_compact)
     seen_compact_every: int = 16
+    # fixed bucket count for the compacted seen table — like
+    # pages_buckets, decoupled from cluster size; thousands at 10^10
+    seen_buckets: int = 64
     # True: frontier link discovery comes from hrefs extracted out of the
     # fetched html itself (fused into the extraction UDF — one parse per
     # page). False: discovery joins the external links table (fixture /

@@ -230,7 +230,8 @@ FROM urls_cte
 
 def q_url_sanitize(d):
     # X2 SanitizeURL (storage.go:79-119): netloc+path, unsafe->_, ..->_, <=200
-    unsafe_from = ':/\\?*"<>| \t\n\r&=+$,;^`{}[]()#%'
+    from pathik_spark.kernels.canonical import UNSAFE_CHARS as unsafe_from
+
     trimmed = _trimpath(d)
     combined = (
         f"CASE WHEN {trimmed} = '' THEN {_NETLOC} "
@@ -391,7 +392,7 @@ SELECT doc_a, doc_b, n_inter,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.2
 """
 
 
@@ -459,19 +460,15 @@ def q_embedding_neardup(d):
     return f"""
 WITH qvecs AS ({qsrc}), cvecs AS ({csrc}), {_COS_CTE}
 SELECT query_id AS id_a, vec_id AS id_b, ROUND(dot / (nq * nc), 6) AS score
-FROM pairs WHERE query_id < vec_id AND dot / (nq * nc) >= 0.25
+FROM pairs WHERE query_id < vec_id AND ROUND(dot / (nq * nc), 6) >= 0.25
 """
 
 
 def q_lang_id(d):
-    markers = {
-        "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
-        "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
-        "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
-        "es": r"\b(el|los|las|es|una|para|con|del|por|como)\b",
-    }
-    counts = {k: d["RECOUNT"]("lower(text)", p) for k, p in markers.items()}
-    ja = d["RECOUNT"]("text", "[぀-ヿ一-鿿]")
+    from pathik_spark.functions.text_constants import JA_CLASS, LANG_MARKERS
+
+    counts = {k: d["RECOUNT"]("lower(text)", p) for k, p in LANG_MARKERS.items()}
+    ja = d["RECOUNT"]("text", JA_CLASS)
     best = (
         f"CASE WHEN {ja} > 0 THEN 'ja' "
         f"WHEN {counts['de']} > 0 AND {counts['de']} >= {counts['en']} AND {counts['de']} >= {counts['es']} AND {counts['de']} >= {counts['fr']} THEN 'de' "
@@ -484,11 +481,13 @@ def q_lang_id(d):
 
 
 def q_quality_score(d):
+    from pathik_spark.functions.text_constants import LANG_MARKERS, PUNCT_CLASS
+
     n_chars = "CAST(length(text) AS DOUBLE)"
     norm = _norm_text(d, "text")
     arrlen = d["ARRLEN"](d["SPLIT_WS"](norm))
-    punct_count = d["RECOUNT"]("text", "[^a-zA-Z0-9_ ]")
-    stop_count = d["RECOUNT"]("lower(text)", r"\b(the|and|of|to|in|is|that|for|with|was)\b")
+    punct_count = d["RECOUNT"]("text", PUNCT_CLASS)
+    stop_count = d["RECOUNT"]("lower(text)", LANG_MARKERS["en"])
     n_tokens = f"CAST(CASE WHEN {norm} = '' THEN 0 ELSE {arrlen} END AS DOUBLE)"
     n_punct = f"CAST({punct_count} AS DOUBLE)"
     n_stop = f"CAST({stop_count} AS DOUBLE)"
@@ -505,9 +504,11 @@ FROM documents
 
 
 def q_token_count(d):
+    from pathik_spark.functions.text_constants import BPE_TOKEN_RE
+
     norm = _norm_text(d, "text")
     arrlen = d["ARRLEN"](d["SPLIT_WS"](norm))
-    bpe = d["RECOUNT"]("text", r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]")
+    bpe = d["RECOUNT"]("text", BPE_TOKEN_RE)
     n = f"CASE WHEN {norm} = '' THEN 0 ELSE {arrlen} END"
     return f"SELECT doc_id, {n} AS n_tokens, {bpe} AS n_bpe_ish FROM documents"
 

@@ -86,6 +86,29 @@ def make_extract_full_udf(fetch_cap: int = X.FETCH_CAP):
     return extract_full_udf
 
 
+def make_extract_text_links_udf(fetch_cap: int = X.FETCH_CAP):
+    """Fused (text, links) extraction — the from-html discovery path with
+    content_type='html': one parse, no markdown work."""
+    schema = T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def extract_text_links_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for html, url in it:
+            texts, links = [], []
+            for b, u in zip(html, url):
+                t, l = X.extract_text_links(b, u or "", fetch_cap)
+                texts.append(t)
+                links.append(l)
+            yield pd.DataFrame({"text": texts, "links": links})
+
+    return extract_text_links_udf
+
+
 def make_extract_links_udf(fetch_cap: int = X.FETCH_CAP):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def extract_links_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:

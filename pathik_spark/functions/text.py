@@ -10,16 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pathik_spark.functions.text_constants import (
+    BPE_TOKEN_RE,
+    JA_CLASS,
+    LANG_MARKERS,
+    LANG_TIE_PRIORITY,
+    PUNCT_CLASS,
+)
 from pathik_spark.operators.dedup import normalized_text, portable_hash64
-
-# marker-word inventories for the n-gram/stopword language heuristic
-LANG_MARKERS = {
-    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
-    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
-    "es": r"\b(el|los|las|es|una|para|con|del|por|como)\b",
-}
-_JA_RE = r"[぀-ヿ一-鿿]"
 
 
 def lang_scores(text_col):
@@ -27,17 +25,22 @@ def lang_scores(text_col):
     toks = token_count(text_col)
     return {
         lang: F.regexp_count(F.lower(text_col), F.lit(pattern)) for lang, pattern in LANG_MARKERS.items()
-    }, F.regexp_count(text_col, F.lit(_JA_RE)), toks
+    }, F.regexp_count(text_col, F.lit(JA_CLASS)), toks
 
 
 def lang_id(text_col):
     """Heuristic language ID: ja if CJK chars present; else the marker
-    language with the most hits (ties broken alphabetically via the
-    greatest(struct) trick); 'und' when nothing matches."""
+    language with the most hits, ties broken by LANG_TIE_PRIORITY (de >
+    en > es > fr — the same precedence the oracle's CASE chain encodes);
+    'und' when nothing matches."""
     scores, ja_hits, _ = lang_scores(text_col)
     pairs = [
-        F.struct(cnt.alias("n"), F.lit(lang).alias("lang"))
-        for lang, cnt in sorted(scores.items(), reverse=True)  # reverse => ties pick alphabetically-first
+        F.struct(
+            cnt.alias("n"),
+            F.lit(LANG_TIE_PRIORITY[lang]).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, cnt in scores.items()
     ]
     best = F.greatest(*pairs)
     return (
@@ -56,7 +59,7 @@ def token_count(text_col):
 def bpe_ish_token_count(text_col):
     """BPE-flavored proxy: count of word pieces + digits runs + punct
     singletons (a regex over the text; deterministic, portable)."""
-    return F.regexp_count(text_col, F.lit(r"[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]"))
+    return F.regexp_count(text_col, F.lit(BPE_TOKEN_RE))
 
 
 def quality_score(text_col):
@@ -65,7 +68,7 @@ def quality_score(text_col):
     expression. Rounded to 6 dp for cross-engine comparability."""
     n_chars = F.length(text_col)
     n_tokens = token_count(text_col)
-    n_punct = F.regexp_count(text_col, F.lit(r"[^\w\s]"))
+    n_punct = F.regexp_count(text_col, F.lit(PUNCT_CLASS))
     n_stop = F.regexp_count(F.lower(text_col), F.lit(LANG_MARKERS["en"]))
     len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
     punct_ratio = n_punct.cast("double") / (n_chars.cast("double") + F.lit(1.0))

@@ -146,6 +146,89 @@ def host_hash_expr(host: Column, num_shards: int = 4096) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Canonicalization (B1): expression fast path + UDF slow path
+# ---------------------------------------------------------------------------
+
+# URLs this regex admits canonicalize identically under the pure-column
+# expression and the normative kernel (property-tested): http(s) scheme,
+# ASCII host with no userinfo/trailing dot/IPv6 bracket, numeric port
+# 1..9999 with no leading zero (Python would re-format other ports), no
+# whitespace or backslash in path/query. Everything else (a small
+# minority of real-web URLs) routes through the kernel UDF.
+_SIMPLE_URL_RE = (
+    r"^(?i:https?)://"
+    r"[A-Za-z0-9._-]*[A-Za-z0-9_-]"  # host; cannot end with '.'
+    r"(:[1-9][0-9]{0,3})?"  # optional port, no leading zeros
+    r"(/[^?#\s\\]*)?"  # optional path
+    r"(\?[^#\s\\]*)?"  # optional query
+    r"(#[^\s]*)?$"  # optional fragment (dropped)
+)
+def is_simple_url_expr(trimmed: Column) -> Column:
+    # dot-segments need the RFC 3986 resolution loop -> kernel. Any
+    # dot-segment contains the substring "/." — a plain contains() scan
+    # (no regex) over-routes a few innocents like "/.well-known" to the
+    # kernel, which is correct either way and far cheaper than a second
+    # regex per row.
+    return trimmed.rlike(_SIMPLE_URL_RE) & ~trimmed.contains("/.")
+
+
+def _is_tracking_pair(pair: Column) -> Column:
+    key = F.lower(F.substring_index(pair, "=", 1))
+    cond = key.startswith("utm_")
+    for exact in sorted(K.TRACKING_EXACT):
+        cond = cond | (key == exact)
+    return cond
+
+
+def canonicalize_simple_expr(trimmed: Column) -> Column:
+    """Pure-expression canonicalization for URLs passing
+    ``is_simple_url_expr`` — whole-stage-codegen'd, no Python. Mirrors
+    kernels.canonical.canonicalize_url exactly on that subset
+    (lowercase scheme/host, default-port strip, dot-free path or '/',
+    tracking-param strip + sort, fragment drop)."""
+    no_frag = F.regexp_replace(trimmed, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    netloc = netloc_of(no_frag)
+    host = F.lower(F.regexp_replace(netloc, r":[0-9]+$", ""))
+    port = F.regexp_extract(netloc, r":([0-9]+)$", 1)
+    path = F.regexp_extract(no_frag, _PATH_RE, 1)
+    query = F.regexp_extract(no_frag, r"\?([^#]*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"), lambda x: (x != "") & ~_is_tracking_pair(x)
+    )
+    sorted_q = F.array_join(F.sort_array(kept), "&")
+    default_port = ((scheme == "https") & (port == "443")) | (
+        (scheme == "http") & (port == "80")
+    )
+    canon_netloc = F.when((port == "") | default_port, host).otherwise(
+        F.concat(host, F.lit(":"), port)
+    )
+    canon_path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        canon_netloc,
+        canon_path,
+        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def canonical_col(url_col: Column) -> Column:
+    """Routed canonicalization as ONE column expression: the simple
+    majority is canonicalized JVM-side; only exceptional rows
+    (dot-segments, userinfo, odd ports, non-http...) reach the kernel.
+    Spark extracts Python UDFs out of CASE WHEN and evaluates them for
+    every row, so the routing MASKS the UDF's input instead: simple rows
+    send NULL through the Arrow batch (the kernel returns None in O(1))
+    and the CASE picks the expression result for them — one scan, no
+    union, Python parsing only for the exceptional minority."""
+    trimmed = F.trim(url_col)
+    simple = F.coalesce(is_simple_url_expr(trimmed), F.lit(False))
+    masked_udf = canonicalize_udf(F.when(~simple, url_col))
+    return F.when(simple, canonicalize_simple_expr(trimmed)).otherwise(masked_udf)
+
+
+# ---------------------------------------------------------------------------
 # Vectorized pandas UDFs (Arrow-batched; bodies are the normative kernels)
 # ---------------------------------------------------------------------------
 

@@ -439,6 +439,23 @@ def extract_full(
     return text, "\n\n".join(out), _resolve_hrefs(hrefs, base_url)
 
 
+def extract_text_links(
+    html_bytes: bytes | None, base_url: str = "", fetch_cap: int = FETCH_CAP
+) -> tuple[str, list[str]]:
+    """(text, links) from ONE parse — the from-html discovery path when
+    markdown is NOT requested (content_type='html'): skips the markdown
+    renderer entirely instead of computing and discarding it."""
+    html = decode_html(html_bytes, fetch_cap)
+    if not html.strip():
+        return "", []
+    root = parse_html(html)
+    article = find_article(root)
+    text = "\n\n".join(_paragraphs(article))
+    hrefs: list[str] = []
+    _collect_hrefs(root, hrefs)
+    return text, _resolve_hrefs(hrefs, base_url)
+
+
 def truncate_for_save(content: str, save_cap: int = SAVE_CAP) -> str:
     """storage.go:211-216 save-side truncation (bytes, utf-8)."""
     raw = content.encode("utf-8")

@@ -38,7 +38,7 @@ def discover_links(
         src = links
     else:
         src = links.withColumn(
-            "src_hash", U.url_hash_expr(U.canonicalize_udf(F.col("src_url")))
+            "src_hash", U.url_hash_expr(U.canonical_col(F.col("src_url")))
         )
     fetched_keys = fetched.select(
         F.col("url_hash").alias("src_hash"), F.col("seq").alias("parent_seq")

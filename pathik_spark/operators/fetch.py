@@ -35,7 +35,7 @@ def pages_by_hash(pages: DataFrame) -> DataFrame:
     """Project the pages table to the fetch-join shape keyed by the
     canonical-url hash."""
     return pages.select(
-        U.url_hash_expr(U.canonicalize_udf(F.col("url"))).alias("url_hash"),
+        U.url_hash_expr(U.canonical_col(F.col("url"))).alias("url_hash"),
         F.col("warc_ts"),
         F.col("html"),
         F.col("lang"),
@@ -85,19 +85,33 @@ def extract_artifacts(
         U.user_agent_expr(F.col("url")).alias("user_agent"),
     ]
     if with_links:
-        # fused UDF: one parse per page yields text + markdown + hrefs —
-        # link discovery costs no second pass over the corpus
-        from pathik_spark.functions.extract_udfs import make_extract_full_udf
+        # fused UDF: one parse per page yields text (+ markdown only when
+        # requested) + hrefs — link discovery costs no second pass over
+        # the corpus, and content_type='html' skips the markdown renderer
+        if with_markdown:
+            from pathik_spark.functions.extract_udfs import make_extract_full_udf
 
-        full_udf = make_extract_full_udf(fetch_cap)
+            full_udf = make_extract_full_udf(fetch_cap)
+            out = fetched.select(
+                F.col("*"), *common,
+                F.when(is_fetched, full_udf(F.col("html"), F.col("url"))).alias("_ext"),
+            )
+            return out.select(
+                "*",
+                F.col("_ext.text").alias("text"),
+                F.col("_ext.markdown").alias("markdown"),
+                F.col("_ext.links").alias("outlinks"),
+            ).drop("_ext")
+        from pathik_spark.functions.extract_udfs import make_extract_text_links_udf
+
+        tl_udf = make_extract_text_links_udf(fetch_cap)
         out = fetched.select(
             F.col("*"), *common,
-            F.when(is_fetched, full_udf(F.col("html"), F.col("url"))).alias("_ext"),
+            F.when(is_fetched, tl_udf(F.col("html"), F.col("url"))).alias("_ext"),
         )
         return out.select(
             "*",
             F.col("_ext.text").alias("text"),
-            F.col("_ext.markdown").alias("markdown"),
             F.col("_ext.links").alias("outlinks"),
         ).drop("_ext")
     if with_markdown:

@@ -42,7 +42,7 @@ def prepare_frontier(
     canon = (
         seeds.filter(U.is_valid_url_expr(F.col("url")))
         .withColumn("url_raw", F.col("url"))
-        .withColumn("url", U.canonicalize_udf(F.col("url")))
+        .withColumn("url", U.canonical_col(F.col("url")))
         .filter(F.col("url").isNotNull())
     )
     has_attempt = "attempt" in seeds.columns

@@ -77,18 +77,33 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame": []}
-            for _, r in pdf.iterrows():
-                if r["media_type"] != "video" or r["media"] is None:
-                    continue
-                n = max(1, int(r["duration_ms"] or 0) // every_ms)
-                blob = bytes(r["media"])
-                step = max(1, len(blob) // n)
-                for i in range(n):
-                    rows["doc_id"].append(r["doc_id"])
-                    rows["frame_idx"].append(i)
-                    rows["frame"].append(blob[i * step : (i + 1) * step])
-            yield pd.DataFrame(rows)
+            vid = pdf[(pdf["media_type"] == "video") & pdf["media"].notna()]
+            if vid.empty:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "frame_idx": pd.Series([], dtype="int32"),
+                        "frame": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            # vectorized fan-out: per-row frame counts via numpy repeat,
+            # frame indices via one concatenated arange — no iterrows
+            n = np.maximum(
+                1, vid["duration_ms"].fillna(0).astype("int64").to_numpy() // every_ms
+            )
+            doc_ids = np.repeat(vid["doc_id"].to_numpy(), n)
+            frame_idx = np.concatenate([np.arange(k, dtype=np.int32) for k in n])
+            blobs = [bytes(b) for b in vid["media"]]
+            steps = [max(1, len(b) // int(k)) for b, k in zip(blobs, n)]
+            frames = [
+                blobs[r][i * steps[r] : (i + 1) * steps[r]]
+                for r in range(len(blobs))
+                for i in range(int(n[r]))
+            ]
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": frame_idx, "frame": frames}
+            )
 
     return media.mapInPandas(op, FRAME_SCHEMA)
 

@@ -47,17 +47,20 @@ FRONTIER_COLS = ["url", "seq", "priority", "attempt"]
 SEEN_COLS = ["url_hash", "host_hash", "url"]
 
 
-def _parquet_row_count(path: str) -> int:
+def _parquet_row_count(spark: SparkSession, path: str) -> int:
     """Row count from local parquet footers — driver-side metadata read,
-    no Spark job (used for the per-round emptiness check)."""
+    no Spark job (used for the per-round emptiness check). A non-local
+    state_dir (object store) is invisible to glob, so an empty match
+    falls back to a Spark-side count instead of silently reporting 0
+    (which would terminate the crawl loop after one round)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    total = 0
-    for f in _glob.glob(os.path.join(path, "*.parquet")):
-        total += pq.read_metadata(f).num_rows
-    return total
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return spark.read.parquet(path).count()
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 @dataclass
@@ -91,6 +94,11 @@ class CrawlRun:
         self.store = SnapshotStore(spark, state_dir, self.config.run_id)
         self._pages_prepared: DataFrame | None = None
         self._links_prepared: DataFrame | None = None
+        # bloom shards for round k+1 are built DURING round k's derived
+        # writes (overlapped) — at round start the build would otherwise
+        # be a serial job on the critical path before any scheduling
+        self._bloom_future = None
+        self._bloom_for_round: int | None = None
 
     def _table_name(self, suffix: str) -> str:
         import re
@@ -111,10 +119,20 @@ class CrawlRun:
             name = self._table_name("pages")
             path = os.path.join(self.store.root, "pages_prepared")
             marker = os.path.join(self.store.root, "pages_prepared.done")
-            n_buckets = max(
-                self.config.pages_buckets,
-                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
-            )
+            # FIXED bucket count, decoupled from cluster size (the basis of
+            # the N vs 4N protocol: physical layout must not change when
+            # executors are added). Warn when shuffle parallelism exceeds it
+            # — at real scale pages_buckets is sized in the thousands.
+            n_buckets = self.config.pages_buckets
+            shuffle_p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            if shuffle_p > n_buckets:
+                import warnings
+
+                warnings.warn(
+                    f"shuffle partitions ({shuffle_p}) > pages_buckets "
+                    f"({n_buckets}); the fetch join's parallelism is capped "
+                    f"by the fixed bucket layout", stacklevel=2,
+                )
             if not os.path.exists(marker):
                 # repartition on the bucket key FIRST so each bucket lands in
                 # exactly ONE file: only then does the scan report its sortBy
@@ -151,7 +169,7 @@ class CrawlRun:
             marker = os.path.join(self.store.root, "links_prepared.done")
             if not os.path.exists(marker):
                 self.links.withColumn(
-                    "src_hash", U.url_hash_expr(U.canonicalize_udf(F.col("src_url")))
+                    "src_hash", U.url_hash_expr(U.canonical_col(F.col("src_url")))
                 ).write.mode("overwrite").parquet(path)
                 with open(marker, "w") as f:
                     f.write("ok")
@@ -188,7 +206,11 @@ class CrawlRun:
 
         bloom_bc = None
         if cfg.use_bloom and seen is not None and seen_size_hint >= cfg.bloom_min_seen:
-            shards = build_bloom_shards(seen, fpp=cfg.bloom_fpp)
+            if self._bloom_future is not None and self._bloom_for_round == round_no:
+                shards = self._bloom_future.result()  # prebuilt last round
+            else:
+                shards = build_bloom_shards(seen, fpp=cfg.bloom_fpp)
+            self._bloom_future = None
             if shards:
                 bloom_bc = spark.sparkContext.broadcast(shards)
         # unseen feeds both the budget selection and the deferred anti-join;
@@ -253,7 +275,17 @@ class CrawlRun:
         # the whole seen set (O(|seen|) per round kills a 10^10 crawl) and
         # no distinct() shuffle. Every seen_compact_every rounds the union
         # is compacted into one table to bound the scan fan-in.
-        consumed = arts.filter(
+        # round stats ride the seen-delta write as an Observation on the
+        # artifacts scan (pre-filter) — no dedicated aggregation job
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        arts_obs = arts.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("status") == "fetched", 1)).alias("f"),
+        )
+        consumed = arts_obs.filter(
             (F.col("status") == "fetched") | (F.col("attempt") + 1 >= cfg.max_attempts)
         ).select("url_hash", "host_hash", "url")
 
@@ -292,17 +324,12 @@ class CrawlRun:
                 )
             return nf
 
-        # the four derived tables + the stats agg all scan the committed
-        # artifacts parquet and are mutually independent — submit them as
-        # concurrent Spark jobs (threads share the context; the scheduler
-        # interleaves their tasks) so their fixed per-job latency overlaps
-        # instead of summing. This is the local-mode analogue of a real
-        # cluster keeping its executors busy across small stages.
-        stats_plan = arts.agg(
-            F.count("*").alias("n"),
-            F.count(F.when(F.col("status") == "fetched", 1)).alias("f"),
-        )
-
+        # the derived tables all scan the committed artifacts parquet and
+        # are mutually independent — submit them as concurrent Spark jobs
+        # (threads share the context; the scheduler interleaves their
+        # tasks) so their fixed per-job latency overlaps instead of
+        # summing. This is the local-mode analogue of a real cluster
+        # keeping its executors busy across small stages.
         def _append_frontier_rest():
             next_frontier = _frontier_rest()
             f_deferred.result()  # deferred slice finished (overlapped with artifacts)
@@ -317,14 +344,13 @@ class CrawlRun:
         f_lin = pool.submit(self.store.write_table, round_no, "lineage", lineage)
         f_seen = pool.submit(self.store.write_table, round_no, "seen", consumed)
         f_front = pool.submit(_append_frontier_rest)
-        f_stats = pool.submit(lambda: stats_plan.collect()[0])
         # only the round-(k+1) inputs are waited on here; host_metrics and
         # lineage (off the critical path) keep running and are joined by
         # finalize(), which the NEXT round calls just before its own commit
         # — so their job latency overlaps the next round's heavy compute.
         seen_delta = f_seen.result()
         frontier_out = f_front.result()
-        art_counts = f_stats.result()
+        art_counts = obs.get  # filled by the seen-delta write's action
         overlap_pool.shutdown(wait=False)
         _tick("derived_writes")
 
@@ -337,7 +363,7 @@ class CrawlRun:
         )
         compacted = cfg.seen_compact_every and (round_no + 1) % cfg.seen_compact_every == 0
         if compacted:
-            seen_out = self.store.write_table(round_no, "seen_compact", seen_out)
+            seen_out = self._write_seen_compact(round_no, seen_out)
         if cfg.collect_stats:
             nf_counts = {
                 r["src"]: r["n"]
@@ -348,7 +374,13 @@ class CrawlRun:
             nf_counts = {}
             seen_total = seen_size_hint + art_counts["f"]  # upper-bound estimate
         # next-frontier emptiness from parquet footers (driver-side, no job)
-        nf_rows = _parquet_row_count(nf_path)
+        nf_rows = _parquet_row_count(spark, nf_path)
+        # prebuild round-(k+1)'s bloom shards now, overlapped with the
+        # next round's compute (the build is a full scan of the seen set —
+        # serial at round start, free here)
+        if cfg.use_bloom and nf_rows > 0 and seen_total >= cfg.bloom_min_seen:
+            self._bloom_future = pool.submit(build_bloom_shards, seen_out, cfg.bloom_fpp)
+            self._bloom_for_round = round_no + 1
         stats = RoundStats(
             round=round_no,
             scheduled=art_counts["n"],
@@ -384,6 +416,31 @@ class CrawlRun:
         if finalize_prev is not None:
             finalize_prev()  # previous round's commit, overlapped with this compute
         return frontier_out.drop("src"), seen_out, stats, finalize
+
+    def _write_seen_compact(self, round_no: int, seen_out: DataFrame) -> DataFrame:
+        """Compaction writes ONE table BUCKETED by url_hash with a fixed
+        bucket count (same one-file-per-bucket discipline as the prepared
+        pages table, operators/seen.py scale-regimes design): the J3
+        anti-join then shuffles only the frontier side onto the bucketing
+        — the seen set (the 10^10-row side) never re-shuffles. The
+        in-session handle keeps bucket metadata (spark.table); a resume in
+        a fresh session re-reads the parquet path and loses only the
+        bucketing hint, not correctness."""
+        n_buckets = self.config.seen_buckets
+        name = self._table_name(f"seen_compact_{round_no}")
+        rdir = self.store._round_dir(round_no)
+        os.makedirs(rdir, exist_ok=True)
+        path = os.path.join(rdir, "seen_compact.parquet")
+        (
+            seen_out.select(*SEEN_COLS)
+            .repartition(n_buckets, "url_hash")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "url_hash")
+            .sortBy("url_hash")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        return self.spark.table(name)
 
     def _read_seen_upto(self, last: int) -> DataFrame:
         """Cumulative seen set after round ``last``: the latest compacted

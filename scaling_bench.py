@@ -114,6 +114,23 @@ def worker(cpus: int, corpus_dir: str) -> None:
     shutil.rmtree(warm.store.root, ignore_errors=True)
 
 
+def _ceiling_section(speedup: float, hw_speedup: float | None) -> str:
+    if hw_speedup is None:
+        return (
+            "- hardware-ceiling measurement FAILED this run (hw_ceiling.py "
+            "produced no output); ceiling-normalized numbers omitted.\n"
+        )
+    return (
+        f"- same-box hardware ceiling for this workload, measured in the same\n"
+        f"  time window: **{hw_speedup:.2f}x / {hw_speedup / 4:.2f}**\n"
+        f"  (`python hw_ceiling.py` — the extraction kernel over the same pages\n"
+        f"  in 4 vs 16 fully independent Python processes, no Spark; the box's\n"
+        f"  frequency/memory clamp a real 4N cluster does not share). Engine\n"
+        f"  efficiency relative to the achievable ceiling:\n"
+        f"  **{speedup / hw_speedup:.3f}**\n"
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
@@ -160,8 +177,13 @@ def main() -> None:
         capture_output=True, text=True, cwd=REPO, timeout=1200,
     )
     ceil_lines = [l for l in ceil_out.stdout.strip().splitlines() if l.startswith("{")]
-    hw = json.loads(ceil_lines[-1]) if ceil_lines else {"speedup_4_to_16": 3.8}
-    hw_speedup = hw["speedup_4_to_16"]
+    if ceil_lines:
+        hw_speedup = json.loads(ceil_lines[-1])["speedup_4_to_16"]
+    else:
+        # ceiling measurement failed: report that, never a made-up number
+        print("WARNING: hw_ceiling.py produced no output; "
+              "ceiling-normalized efficiency omitted", file=sys.stderr)
+        hw_speedup = None
 
     thr8 = results[N_CORES]["urls_per_sec"]
     thr32 = results[N4_CORES]["urls_per_sec"]
@@ -173,9 +195,10 @@ def main() -> None:
         "urls_per_sec_local4N": round(thr32, 2),
         "speedup_N_to_4N": round(thr32 / thr8, 3),
         "scaling_efficiency": round(eff, 3),
-        "hw_ceiling_speedup": round(hw_speedup, 3),
-        "efficiency_vs_hw_ceiling": round((thr32 / thr8) / hw_speedup, 3),
     }
+    if hw_speedup is not None:
+        summary["hw_ceiling_speedup"] = round(hw_speedup, 3)
+        summary["efficiency_vs_hw_ceiling"] = round((thr32 / thr8) / hw_speedup, 3)
     print(json.dumps(summary))
 
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
@@ -220,14 +243,7 @@ Protocol notes (single-box stand-ins for a real N/4N cluster):
 
 - throughput speedup N->4N: **{thr32 / thr8:.3f}x**
 - scaling efficiency (speedup / 4): **{eff:.3f}** (criterion: >= 0.8)
-- same-box hardware ceiling for this workload, measured in the same
-  time window: **{hw_speedup:.2f}x / {hw_speedup / 4:.2f}**
-  (`python hw_ceiling.py` — the extraction kernel over the same pages
-  in 4 vs 16 fully independent Python processes, no Spark; the box's
-  frequency/memory clamp a real 4N cluster does not share). Engine
-  efficiency relative to the achievable ceiling:
-  **{(thr32 / thr8) / hw_speedup:.3f}**
-
+{_ceiling_section(thr32 / thr8, hw_speedup)}
 Reference architectural ceiling for the same work: 0.13-0.64 URL/s
 (global 1 rps limiter + 5-way semaphore — BASELINE.md); the engine's
 politeness budget is per-host, so throughput scales with cores.

@@ -106,3 +106,22 @@ def test_discover_from_html_mode(spark, corpus, tmp_path):
     # raw url only for those that appear verbatim)
     verbatim = discovered_h & table_edges
     assert len(verbatim) >= len(discovered_h) * 0.5
+
+
+def test_text_links_path_skips_markdown_matches_full(spark, corpus):
+    """content_type='html' + from-html discovery: no markdown column is
+    computed or stored, and text/outlinks are byte-identical to the full
+    (text+markdown+links) fused path."""
+    from pathik_spark.operators.fetch import extract_artifacts, fetch_join
+    from pathik_spark.operators.frontier import prepare_frontier
+
+    fr = prepare_frontier(corpus["seeds"]).limit(40)
+    fetched = fetch_join(fr, corpus["pages"])
+    full = extract_artifacts(fetched, with_markdown=True, with_links=True)
+    lite = extract_artifacts(fetched, with_markdown=False, with_links=True)
+    assert "markdown" in full.columns and "markdown" not in lite.columns
+    a = {r["url"]: (r["text"], tuple(r["outlinks"] or ()))
+         for r in full.select("url", "text", "outlinks").collect()}
+    b = {r["url"]: (r["text"], tuple(r["outlinks"] or ()))
+         for r in lite.select("url", "text", "outlinks").collect()}
+    assert a == b

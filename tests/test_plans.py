@@ -50,6 +50,41 @@ def test_groupby_has_partial_aggregation(spark, corpus):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_seen_compact_bucketed_no_seen_side_exchange(spark, corpus, tmp_path):
+    """Post-compaction, the J3 anti-join must shuffle ONLY the frontier:
+    the compacted seen table is bucketed by url_hash, so its side of the
+    join (the 10^10-row side at scale) contributes no Exchange."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.operators.seen import seen_filter
+    from pathik_spark.plans.driver import CrawlRun
+
+    run = CrawlRun(
+        spark,
+        pages=corpus["pages"],
+        robots=corpus["robots"],
+        links=corpus["links"],
+        state_dir=str(tmp_path),
+        config=CrawlConfig(run_id="compact-plan", seen_compact_every=1),
+    )
+    run.run(corpus["seeds"], n_rounds=1)
+    seen = spark.table(run._table_name("seen_compact_0"))
+    fr = prepare_frontier(corpus["seeds"])
+    # at fixture scale the tiny seen table would broadcast (also fine);
+    # force the shuffle-join path the 10^10 deployment takes
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = seen_filter(fr, seen, None)
+        plan = _plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # exactly ONE shuffle on the join key — the frontier side; the seen
+    # side's distinct+join reuse the bucketed layout with no Exchange
+    assert plan.count("hashpartitioning(url_hash") == 1, plan
+    # and the seen side is read as a bucketed scan
+    assert "Bucketed: true" in plan, plan
+
+
 def test_seen_antijoin_shape(spark, corpus):
     fr = prepare_frontier(corpus["seeds"])
     seen = fr.limit(10).select("url_hash")
