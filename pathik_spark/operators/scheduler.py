@@ -118,8 +118,15 @@ def scalable_global_rank(
     """Global row_number over ``order_cols`` WITHOUT a single-partition
     window (which serializes the whole round through one task): range-
     repartition on the order key, rank locally per partition, then add
-    broadcast per-partition offsets. Identical result to
-    ``row_number().over(Window.orderBy(*order_cols))`` — property-tested."""
+    per-partition offsets via a broadcast join. Identical result to
+    ``row_number().over(Window.orderBy(*order_cols))`` — property-tested.
+
+    The offsets are computed LAZILY — a prefix-sum window over the tiny
+    per-partition-count aggregate (one row per shuffle partition) that
+    Spark evaluates as the broadcast subjob of whatever action consumes
+    the rank. No driver-blocking ``collect()``: the whole rank folds
+    into the consuming job instead of adding a fixed per-round job on
+    the critical path (the N→4N fixed-cost killer)."""
     spark = df.sparkSession
     ranged = df.repartitionByRange(
         int(spark.conf.get("spark.sql.shuffle.partitions")), *[F.col(c) for c in order_cols]
@@ -130,14 +137,15 @@ def scalable_global_rank(
     local = local.persist()
     if persisted is not None:
         persisted.append(local)
-    counts = sorted(
-        (r["_pid"], r["n"]) for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    # exclusive prefix sum over ≤ shuffle.partitions rows — the single-
+    # partition window here is over the COUNTS, not the data
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets_df = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .drop("_n")
     )
-    offsets, acc = {}, 0
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
-    offsets_df = spark.createDataFrame(list(offsets.items()), "_pid int, _offset long")
     out = (
         local.join(F.broadcast(offsets_df), "_pid")
         .withColumn(out_col, (F.col("_offset") + F.col("_lrank")).cast("int"))
