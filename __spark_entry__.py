@@ -137,6 +137,22 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-sel CSS-selector extraction (reference API surface
+    pathik/cli.py:129-131, schema.py:81-86): the REAL selector UDF runs
+    over HTML templated around the documents table's text; the DuckDB
+    oracle states the deterministic matched-text output."""
+    from pathik_spark.entry_queries import CSS_SELECTOR, SPARK, select_html_sql
+    from pathik_spark.functions.extract_udfs import make_select_udf
+
+    _register_views(spark, sf_dir)
+    pages = spark.sql(select_html_sql(SPARK))
+    return pages.select(
+        "doc_id",
+        make_select_udf(CSS_SELECTOR)(F.encode(F.col("html_str"), "UTF-8")).alias("selected"),
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Href extraction for frontier discovery (from-html mode): hrefs out
     of the fetched html, resolved against the page url, one parse per page
@@ -332,6 +348,7 @@ ENGINE_ORACLE_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "bloom_seen_filter": _q_bloom_seen,
     "extract_text_vectorized": _q_extract_text,
+    "css_select": _q_css_select,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,

@@ -8,3 +8,15 @@ frontier driver with checkpoint/resume. See SURVEY.md for the design.
 """
 
 __version__ = "0.1.0"
+
+_FACADE = ("crawl", "crawl_to_r2", "stream_to_kafka")
+
+
+def __getattr__(name):
+    # one-call facade (reference pathik/__init__.py surface), imported
+    # lazily so `import pathik_spark` stays free of pyspark import cost
+    if name in _FACADE:
+        from pathik_spark import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module 'pathik_spark' has no attribute {name!r}")

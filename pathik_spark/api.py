@@ -1,0 +1,287 @@
+"""User-facing facade: the reference's one-call API over the engine.
+
+Reference surface being re-expressed (NOT ported):
+- ``pathik.crawl(urls, output_dir, parallel) -> Dict[url, result]``
+  (/root/reference/pathik/crawler.py:395-506; result schema
+  pathik/schema.py:43-66 ``PathikFileResult``: html/markdown paths +
+  success/error),
+- ``pathik.crawl_to_r2(urls, uuid_str, parallel)``
+  (pathik/__init__.py:265-297, crawler.py:508-578),
+- ``pathik.stream_to_kafka(urls, content_type, topic, session, ...)``
+  (pathik/__init__.py:40-208).
+
+Differences, by design: the engine is replay-from-table (the sandbox has
+no network), so content comes from a ``pages`` DataFrame/parquet of
+(url, warc_ts, html, ...) instead of live fetches, and the reference's
+random uuids/wall-clock timestamps are determinized (uuid = f(run_id,
+url); file timestamps from warc_ts). ``parallel`` is accepted for API
+parity — Spark parallelizes regardless.
+
+The dict-returning facade collect()s: it exists for the reference's
+interactive few-to-thousands-of-URLs use case. The 10^10-scale path is
+plans.driver.CrawlRun, which never returns rows to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pathik_spark.config import CrawlConfig
+from pathik_spark.kernels.extract import SAVE_CAP
+from pathik_spark.operators.fetch import extract_artifacts, fetch_join
+from pathik_spark.operators.frontier import prepare_frontier
+from pathik_spark.sources import sinks
+
+__all__ = ["crawl", "crawl_to_r2", "stream_to_kafka"]
+
+
+def _as_list(urls: str | list[str]) -> list[str]:
+    if isinstance(urls, str):
+        urls = [urls]
+    if not urls:
+        raise ValueError("No URLs provided")
+    return list(urls)
+
+
+def _pages_df(spark: SparkSession, pages: DataFrame | str) -> DataFrame:
+    if isinstance(pages, str):
+        return spark.read.parquet(pages)
+    return pages
+
+
+def _crawl_artifacts(
+    spark: SparkSession,
+    urls: list[str],
+    pages: DataFrame | str,
+    selector: str | None = None,
+) -> DataFrame:
+    """One fetch+extract pass over the url list; returns artifact rows
+    keyed by the ORIGINAL input url string (url_raw)."""
+    seeds = spark.createDataFrame(
+        [(u, i, 0) for i, u in enumerate(urls)], "url string, seq long, priority int"
+    )
+    frontier = prepare_frontier(seeds)
+    fetched = fetch_join(frontier, _pages_df(spark, pages))
+    arts = extract_artifacts(fetched, with_markdown=True)
+    if selector is not None:
+        from pathik_spark.functions.extract_udfs import make_select_udf
+
+        arts = arts.withColumn("selected", make_select_udf(selector)(F.col("html")))
+    return arts
+
+
+def _write_file(path: str, content: str | bytes, save_cap: int = SAVE_CAP) -> str:
+    data = content.encode("utf-8") if isinstance(content, str) else bytes(content)
+    with open(path, "wb") as f:
+        f.write(data[:save_cap])  # storage.go:211-216 save-side cap
+    return path
+
+
+def crawl(
+    urls: str | list[str],
+    output_dir: str | None = None,
+    parallel: bool = True,  # noqa: ARG001 — API parity; Spark is always parallel
+    *,
+    spark: SparkSession,
+    pages: DataFrame | str,
+    selector: str | None = None,
+    selector_files: bool = False,
+    save_cap: int = SAVE_CAP,
+) -> dict[str, dict]:
+    """Reference ``pathik.crawl``: fetch+extract each URL, write
+    ``<sanitized>_<ts>.html`` / ``.md`` files under ``output_dir`` (a
+    fresh temp dir when None — crawler.py:418-421), return
+    ``{url: {"html": path, "markdown": path, "success": bool,
+    "error": str|None}}`` (PathikFileResult, schema.py:43-66).
+
+    ``selector`` (cli.py:129-131) extracts matched-element text into a
+    "selected" result key; ``selector_files=True`` additionally writes
+    it as ``<sanitized>_<ts>.selected.txt`` (schema.py:87-91).
+    """
+    urls = _as_list(urls)
+    if output_dir is None:
+        output_dir = tempfile.mkdtemp(prefix="pathik_")
+    else:
+        output_dir = os.path.abspath(output_dir)
+        os.makedirs(output_dir, exist_ok=True)
+
+    cols = ["url_raw", "url", "status", "filename_html", "filename_md", "html", "markdown"]
+    if selector is not None:
+        cols.append("selected")
+    rows = _crawl_artifacts(spark, urls, pages, selector=selector).select(*cols).collect()
+    by_raw = {r["url_raw"]: r for r in rows}
+
+    result: dict[str, dict] = {}
+    for u in urls:
+        r = by_raw.get(u)
+        if r is None:
+            result[u] = {
+                "html": None,
+                "markdown": None,
+                "success": False,
+                "error": "invalid URL (failed validation)",
+            }
+            continue
+        if r["status"] != "fetched":
+            result[u] = {
+                "html": None,
+                "markdown": None,
+                "success": False,
+                "error": f"fetch failed: {r['status']}",
+            }
+            continue
+        html_path = _write_file(
+            os.path.join(output_dir, r["filename_html"]), r["html"], save_cap
+        )
+        md_path = _write_file(
+            os.path.join(output_dir, r["filename_md"]), r["markdown"], save_cap
+        )
+        entry: dict = {"html": html_path, "markdown": md_path, "success": True, "error": None}
+        if selector is not None:
+            entry["selected"] = r["selected"]
+            if selector_files:
+                sel_name = r["filename_html"].rsplit(".", 1)[0] + ".selected.txt"
+                entry["selected_file"] = _write_file(
+                    os.path.join(output_dir, sel_name), r["selected"] or "", save_cap
+                )
+        result[u] = entry
+    return result
+
+
+def crawl_to_r2(
+    urls: str | list[str],
+    uuid_str: str | None = None,
+    parallel: bool = True,  # noqa: ARG001 — API parity
+    *,
+    spark: SparkSession,
+    pages: DataFrame | str,
+    output_dir: str | None = None,
+) -> dict[str, dict]:
+    """Reference ``pathik.crawl_to_r2`` (crawler.py:508-578): returns
+    per-url R2 object keys ``{uuid}+{sanitized}.{html|md}``
+    (storage.go:129-131) plus the local file paths. The reference's
+    random uuid is determinized as f(run_id, url) when ``uuid_str`` is
+    None (sinks.deterministic_uuid) so runs replay."""
+    urls = _as_list(urls)
+    local = crawl(urls, output_dir=output_dir, spark=spark, pages=pages)
+    arts = _crawl_artifacts(spark, urls, pages)
+    run_id = uuid_str if uuid_str is not None else "r2"
+    uuid_col = (
+        F.lit(uuid_str) if uuid_str is not None else sinks.deterministic_uuid(run_id)
+    )
+    from pathik_spark.functions import urls as U
+
+    keyed = (
+        arts.filter(F.col("status") == "fetched")
+        .select(
+            "url_raw",
+            uuid_col.alias("uuid"),
+            U.r2_key_expr(uuid_col, F.col("url"), "html").alias("r2_html_key"),
+            U.r2_key_expr(uuid_col, F.col("url"), "md").alias("r2_markdown_key"),
+        )
+        .collect()
+    )
+    by_raw = {r["url_raw"]: r for r in keyed}
+    result: dict[str, dict] = {}
+    for u in urls:
+        r = by_raw.get(u)
+        if r is None:
+            result[u] = {"success": False, "error": local[u].get("error", "fetch failed")}
+            continue
+        result[u] = {
+            "uuid": r["uuid"],
+            "r2_html_key": r["r2_html_key"],
+            "r2_markdown_key": r["r2_markdown_key"],
+            "local_html_file": local[u]["html"],
+            "local_markdown_file": local[u]["markdown"],
+            "success": True,
+        }
+    return result
+
+
+def stream_to_kafka(
+    urls: str | list[str],
+    content_type: str = "both",
+    topic: str | None = None,
+    session: str | None = None,
+    parallel: bool = True,  # noqa: ARG001 — API parity
+    compression_type: str | None = None,
+    max_message_size: int | None = None,
+    buffer_memory: int | None = None,
+    *,
+    spark: SparkSession,
+    pages: DataFrame | str,
+    brokers: str | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    use_tls: bool = False,
+    output_table: str | None = None,
+) -> dict[str, dict]:
+    """Reference ``pathik.stream_to_kafka`` (pathik/__init__.py:40-208):
+    crawl the urls and produce one Kafka message per (url, content_type)
+    with url/timestamp/sessionID/contentType headers (kafka.go:226-273).
+
+    With ``brokers`` set, messages go to the real broker via
+    ``write.format("kafka")`` with the reference's producer config
+    surface (SASL user/pass, TLS, compression, max size, buffer). The
+    sandbox has no broker, so the default writes the identically-shaped
+    rows as a parquet table at ``output_table`` (or leaves them lazy),
+    mirroring the reference's own no-broker simulation fallback
+    (pathik/__init__.py:73-77)."""
+    urls = _as_list(urls)
+    if content_type not in sinks.CONTENT_TYPES:
+        raise ValueError(
+            f"content_type must be one of {sinks.CONTENT_TYPES}, got {content_type}"
+        )
+    cfg = CrawlConfig(session_id=session).validate()  # main.go:67-87 session rule
+    topic = topic or "pathik_crawl_data"  # reference default topic
+    arts = _crawl_artifacts(spark, urls, pages)
+    messages = sinks.kafka_message_rows(
+        arts, content_type=content_type, session_id=cfg.session_id
+    )
+    delivered = "lazy"
+    if brokers is not None:
+        opts = sinks.kafka_writer_options(
+            brokers,
+            topic,
+            username=username,
+            password=password,
+            use_tls=use_tls,
+            compression_type=compression_type,
+            max_message_size=max_message_size,
+            buffer_memory=buffer_memory,
+        )
+        sinks.write_kafka_batch(messages, opts)
+        delivered = "kafka"
+    elif output_table is not None:
+        messages.write.mode("overwrite").parquet(output_table)
+        delivered = output_table
+
+    ok = {
+        r["url_raw"]
+        for r in arts.filter(F.col("status") == "fetched").select("url_raw").collect()
+    }
+    result: dict[str, dict] = {}
+    for u in urls:
+        if u in ok:
+            result[u] = {
+                "success": True,
+                "details": {
+                    "topic": topic,
+                    "content_type": content_type,
+                    "session": cfg.session_id,
+                    "sink": delivered,
+                    **(
+                        {"compression_type": compression_type}
+                        if compression_type
+                        else {}
+                    ),
+                },
+            }
+        else:
+            result[u] = {"success": False, "error": "URL was not successfully crawled"}
+    return result

@@ -680,6 +680,42 @@ FROM documents
 """
 
 
+SELECT_NOISE = "Sidebar noise block"
+
+
+def select_html_sql(d) -> str:
+    """(doc_id, html_str) for the css-selector oracle: the cleaned
+    document text sits in ``#main > p.lead``; a sidebar paragraph and an
+    unselected trailing paragraph surround it so the selector has to
+    discriminate (group alternative, descendant AND child combinators,
+    class + id compounds)."""
+    clean = extract_clean_expr(d)
+    return f"""
+SELECT doc_id,
+  '<html><body><div class="sidebar"><p>{SELECT_NOISE}</p></div><article id="main"><p class="lead">'
+  || {clean} || '</p><p>Unselected trailing block</p></article></body></html>' AS html_str
+FROM documents
+"""
+
+
+CSS_SELECTOR = ".sidebar p, #main > .lead"
+
+
+def duck_css_select_sql() -> str:
+    """Expected ``select_text`` output for select_html_sql's template
+    under CSS_SELECTOR: matches in document order (sidebar paragraph,
+    then the lead paragraph) joined by blank lines; an empty cleaned
+    text contributes no paragraph (kernels/selector.py discipline)."""
+    d = DUCK
+    clean = extract_clean_expr(d)
+    return f"""
+SELECT doc_id,
+  CASE WHEN {clean} = '' THEN '{SELECT_NOISE}'
+       ELSE '{SELECT_NOISE}' || chr(10) || chr(10) || {clean} END AS selected
+FROM documents
+"""
+
+
 def _minhash16_h(d, i: int) -> str:
     return d["HASH60"](f"'{i}:' || shingle")
 
@@ -733,6 +769,7 @@ ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
     "extract_text_vectorized": duck_extract_text_sql,
+    "css_select": duck_css_select_sql,
     "minhash_lsh_pairs": duck_minhash_lsh_sql,
 }
 

@@ -109,6 +109,33 @@ def make_extract_text_links_udf(fetch_cap: int = X.FETCH_CAP):
     return extract_text_links_udf
 
 
+def make_select_udf(selector: str, fetch_cap: int = X.FETCH_CAP):
+    """CSS-selector content extraction (reference API surface
+    pathik/cli.py:129-131, schema.py:81-86 ``selector``): matched
+    elements' text per kernels/selector.select_text. The selector parses
+    ONCE on the driver (fail-fast on unsupported syntax); executors get
+    the compiled group."""
+    from pathik_spark.kernels import selector as S
+
+    group = S.parse_selector(selector)  # validate + compile driver-side
+
+    @F.pandas_udf(T.StringType())
+    def select_udf(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(b):
+            doc = X.decode_html(b, fetch_cap)
+            if not doc.strip():
+                return ""
+            paras: list[str] = []
+            for node in S.select_nodes(X.parse_html(doc), group):
+                paras.extend(X._paragraphs(node))
+            return "\n\n".join(paras)
+
+        for batch in html:
+            yield batch.map(one)
+
+    return select_udf
+
+
 def make_extract_links_udf(fetch_cap: int = X.FETCH_CAP):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def extract_links_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:

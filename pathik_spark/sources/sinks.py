@@ -123,6 +123,64 @@ def kafka_message_rows(
     return df
 
 
+def kafka_writer_options(
+    brokers: str,
+    topic: str,
+    username: str | None = None,
+    password: str | None = None,
+    use_tls: bool = False,
+    client_id: str | None = None,
+    compression_type: str | None = None,
+    max_message_size: int | None = None,
+    buffer_memory: int | None = None,
+) -> dict[str, str]:
+    """Spark Kafka-sink option map mirroring the reference's producer
+    config surface (pathik/__init__.py:40-208 compression/max-size/
+    buffer; kafka_consumer_direct.py:86-120 SASL user/pass + TLS).
+    SASL PLAIN over TLS when credentials are given — the same auth
+    matrix the reference's clients speak."""
+    from pathik_spark.config import COMPRESSIONS
+
+    opts = {"kafka.bootstrap.servers": brokers, "topic": topic}
+    if username is not None:
+        mech = "SASL_SSL" if use_tls else "SASL_PLAINTEXT"
+        jaas = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule required "
+            f'username="{username}" password="{password or ""}";'
+        )
+        opts["kafka.security.protocol"] = mech
+        opts["kafka.sasl.mechanism"] = "PLAIN"
+        opts["kafka.sasl.jaas.config"] = jaas
+    elif use_tls:
+        opts["kafka.security.protocol"] = "SSL"
+    if client_id:
+        opts["kafka.client.id"] = client_id
+    if compression_type is not None:
+        if compression_type not in COMPRESSIONS:
+            raise ValueError(
+                f"compression_type must be one of {COMPRESSIONS}, got {compression_type}"
+            )
+        opts["kafka.compression.type"] = compression_type
+    if max_message_size is not None:
+        opts["kafka.max.request.size"] = str(max_message_size)
+    if buffer_memory is not None:
+        opts["kafka.buffer.memory"] = str(buffer_memory)
+    return opts
+
+
+def write_kafka_batch(messages: DataFrame, options: dict[str, str]) -> None:
+    """Batch twin of streaming/kafka_shaped's writeStream: push
+    kafka_message_rows at a real broker via ``write.format("kafka")``.
+    In-sandbox (no broker, no kafka connector jar) this raises — callers
+    fall back to writing the same rows as a kafka-shaped table."""
+    (
+        messages.select("key", "value", "headers")
+        .write.format("kafka")
+        .options(**options)
+        .save()
+    )
+
+
 def filter_kafka_rows(
     messages: DataFrame,
     content_type_substr: str | None = None,

@@ -1,0 +1,142 @@
+"""Facade API (reference pathik/__init__.py surface): result-dict shape
+parity with PathikFileResult (schema.py:43-66), R2 key shape
+(crawler.py:508-578), Kafka producer wrapper (__init__.py:40-208)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import pathik_spark
+from pathik_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def some_urls(corpus):
+    rows = corpus["pages"].select("url").limit(3).collect()
+    return [r["url"] for r in rows]
+
+
+def test_crawl_result_dict_shape(spark, corpus, some_urls, tmp_path):
+    urls = some_urls + [
+        "notaurl",  # fails validation
+        "https://host-missing.example.com/nowhere",  # valid but unfetchable
+    ]
+    out = pathik_spark.crawl(
+        urls, output_dir=str(tmp_path), spark=spark, pages=corpus["pages"]
+    )
+    assert set(out) == set(urls)  # keyed by ORIGINAL input strings
+    for u in some_urls:
+        r = out[u]
+        assert r["success"] is True and r["error"] is None
+        assert os.path.isfile(r["html"]) and os.path.isfile(r["markdown"])
+        assert r["html"].endswith(".html") and r["markdown"].endswith(".md")
+        with open(r["html"], "rb") as f:
+            assert len(f.read()) > 0
+    assert out["notaurl"]["success"] is False
+    assert out["notaurl"]["html"] is None
+    assert "invalid" in out["notaurl"]["error"]
+    missing = out["https://host-missing.example.com/nowhere"]
+    assert missing["success"] is False and missing["error"].startswith("fetch failed")
+
+
+def test_crawl_single_url_string_and_default_dir(spark, corpus, some_urls):
+    out = pathik_spark.crawl(some_urls[0], spark=spark, pages=corpus["pages"])
+    assert list(out) == [some_urls[0]]
+    r = out[some_urls[0]]
+    assert r["success"] and os.path.isfile(r["html"])
+
+
+def test_crawl_rejects_empty_urls(spark, corpus):
+    with pytest.raises(ValueError):
+        pathik_spark.crawl([], spark=spark, pages=corpus["pages"])
+
+
+def test_crawl_selector_and_selector_files(spark, corpus, some_urls, tmp_path):
+    out = pathik_spark.crawl(
+        some_urls[:1],
+        output_dir=str(tmp_path),
+        spark=spark,
+        pages=corpus["pages"],
+        selector="p",
+        selector_files=True,
+    )
+    r = out[some_urls[0]]
+    assert r["success"]
+    assert isinstance(r["selected"], str) and len(r["selected"]) > 0
+    assert r["selected_file"].endswith(".selected.txt")
+    with open(r["selected_file"], encoding="utf-8") as f:
+        assert f.read() == r["selected"]
+
+
+def test_crawl_to_r2_key_shape(spark, corpus, some_urls, tmp_path):
+    out = pathik_spark.crawl_to_r2(
+        some_urls[:2],
+        uuid_str="fixed-uuid",
+        spark=spark,
+        pages=corpus["pages"],
+        output_dir=str(tmp_path),
+    )
+    for u in some_urls[:2]:
+        r = out[u]
+        assert r["success"]
+        assert r["uuid"] == "fixed-uuid"
+        # storage.go:129-131 key format: {uuid}+{sanitized}.{ext}
+        assert r["r2_html_key"].startswith("fixed-uuid+")
+        assert r["r2_html_key"].endswith(".html")
+        assert r["r2_markdown_key"].endswith(".md")
+        assert os.path.isfile(r["local_html_file"])
+
+
+def test_crawl_to_r2_deterministic_uuid_replays(spark, corpus, some_urls):
+    a = pathik_spark.crawl_to_r2(some_urls[:1], spark=spark, pages=corpus["pages"])
+    b = pathik_spark.crawl_to_r2(some_urls[:1], spark=spark, pages=corpus["pages"])
+    u = some_urls[0]
+    assert a[u]["r2_html_key"] == b[u]["r2_html_key"]
+
+
+def test_stream_to_kafka_table_fallback(spark, corpus, some_urls, tmp_path):
+    table = str(tmp_path / "kafka_out")
+    out = pathik_spark.stream_to_kafka(
+        some_urls + ["notaurl"],
+        content_type="both",
+        session="sess12345",
+        spark=spark,
+        pages=corpus["pages"],
+        output_table=table,
+    )
+    for u in some_urls:
+        assert out[u]["success"]
+        assert out[u]["details"]["topic"] == "pathik_crawl_data"
+        assert out[u]["details"]["session"] == "sess12345"
+    assert out["notaurl"]["success"] is False
+    msgs = spark.read.parquet(table)
+    assert {"key", "value", "headers"} <= set(msgs.columns)
+    # both => one html + one md message per fetched url
+    assert msgs.count() == 2 * len(some_urls)
+
+
+def test_stream_to_kafka_rejects_bad_content_type(spark, corpus, some_urls):
+    with pytest.raises(ValueError):
+        pathik_spark.stream_to_kafka(
+            some_urls[:1], content_type="pdf", spark=spark, pages=corpus["pages"]
+        )
+
+
+def test_kafka_writer_options_auth_matrix():
+    plain = sinks.kafka_writer_options("b:9092", "t")
+    assert plain == {"kafka.bootstrap.servers": "b:9092", "topic": "t"}
+    sasl = sinks.kafka_writer_options(
+        "b:9092", "t", username="u", password="p", use_tls=True,
+        compression_type="gzip", max_message_size=1048576, buffer_memory=1024,
+    )
+    assert sasl["kafka.security.protocol"] == "SASL_SSL"
+    assert sasl["kafka.sasl.mechanism"] == "PLAIN"
+    assert 'username="u"' in sasl["kafka.sasl.jaas.config"]
+    assert sasl["kafka.compression.type"] == "gzip"
+    assert sasl["kafka.max.request.size"] == "1048576"
+    no_auth_tls = sinks.kafka_writer_options("b:9092", "t", use_tls=True)
+    assert no_auth_tls["kafka.security.protocol"] == "SSL"
+    with pytest.raises(ValueError):
+        sinks.kafka_writer_options("b:9092", "t", compression_type="zip")
