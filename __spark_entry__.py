@@ -200,6 +200,20 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (inverted-file scale path): deterministic
+    spherical-kmeans coarse quantizer, nprobe cell probe, exact cosine
+    re-rank. Full probe (nprobe=n_centroids) equals brute force — that
+    equality plus recall floors are pytest-oracled (tests/test_ann.py)."""
+    from pathik_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+
+
 def _urls_base(spark: SparkSession, sf_dir: str, valid_only: bool = False) -> DataFrame:
     from pathik_spark.entry_queries import URLS_CTE
 
@@ -374,6 +388,7 @@ ROWS_ONLY_QUERIES = {
     "extract_links_discovery": _q_extract_links,
     "multimodal_features": _q_multimodal_features,
     "lsh_ann_topk": _q_lsh_ann,
+    "ivf_ann_topk": _q_ivf_ann,
 }
 
 

@@ -124,11 +124,29 @@ def main() -> None:
         "ann_cosine_topk",
         "lang_id",
         "quality_score",
+        "css_select",
     ):
         t0 = time.perf_counter()
         df = qset[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # LSH ANN at a production embedding width (dim=768, tiled from the
+    # 64-dim fixture): one matmul per Arrow batch, constant-size plan
+    from pathik_spark.operators.ann import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    wide = emb.select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
+    )
+    wq = wide.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.perf_counter()
+    lsh_bucketed_topk(wide, wq, k=10, n_planes=8, dim=768).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["lsh_ann_dim768"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

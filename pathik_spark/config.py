@@ -59,6 +59,13 @@ class CrawlConfig:
     # page). False: discovery joins the external links table (fixture /
     # precomputed link-graph mode).
     discover_from_html: bool = False
+    # Durability/throughput knob: by default round k's manifest commit is
+    # deferred to overlap round k+1's compute (saves a serial barrier per
+    # round) at the cost of a one-round-wide loss window on hard kill —
+    # the work is recomputed, never corrupted. Set True to publish each
+    # round's manifest before the next round starts (expensive rounds /
+    # spot-instance clusters).
+    eager_commit: bool = False
     n_rounds: int = 1
     kafka_compression: str = "gzip"  # kafka.go:152-165 default
     max_message_bytes: int = 10 * 1024 * 1024  # schema.py:205-243 range

@@ -143,6 +143,171 @@ def lsh_bucketed_topk(
     )
 
 
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer for cosine space.
+
+    Initial centroids are the ``n_centroids`` corpus vectors with the
+    smallest ``xxhash64(vec_id)`` — a deterministic uniform sample with
+    no RNG state to materialize. ``n_iters`` spherical-Lloyd steps
+    refine them; each step is fully distributed:
+
+      assign (one matmul-argmax per Arrow batch)
+      -> per-batch partial (cid, sum_vec, n) via mapInPandas
+         (map-side combine: rows leaving a partition are O(batches x
+         n_centroids), never O(corpus))
+      -> posexplode the few partials and groupBy (cid, pos) to sum
+      -> collect n_centroids x dim floats to the driver.
+
+    The returned (n_centroids, dim) array is row-normalized (spherical
+    k-means) and small enough to broadcast in a UDF closure at any
+    realistic (n_centroids, dim)."""
+    base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    init = (
+        base.withColumn("_h", F.xxhash64(F.col("vid")))
+        .orderBy("_h", "vid")
+        .limit(n_centroids)
+        .select("vec")
+        .collect()
+    )
+    cents = _normalize_rows(np.array([r["vec"] for r in init], dtype=np.float64))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("psum", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    for _ in range(n_iters):
+        cents_t = cents.T  # closure-captured (dim, n_centroids)
+
+        def partials(batches, _ct=cents_t):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _normalize_rows(
+                    np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                )
+                cid = np.argmax(mat @ _ct, axis=1)
+                rows = []
+                for c in np.unique(cid):
+                    sel = mat[cid == c]
+                    rows.append((int(c), sel.sum(axis=0).tolist(), int(len(sel))))
+                yield pd.DataFrame(rows, columns=["cid", "psum", "n"])
+
+        agg = (
+            base.select("vec")
+            .mapInPandas(partials, out_schema)
+            .select("cid", "n", F.posexplode("psum").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        acc: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in agg:
+            acc.setdefault(r["cid"], np.zeros(dim))[r["pos"]] = r["s"]
+            counts[r["cid"]] = r["n"]  # same total for every pos of a cid
+        for c, row in acc.items():
+            if counts[c] > 0:
+                new[c] = row / counts[c]
+        cents = _normalize_rows(new)
+    return cents
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """cid assignment (nprobe=1) or nprobe-nearest centroid list: one
+    matmul per Arrow batch against the normalized centroid matrix."""
+    cents_t = _normalize_rows(centroids.astype(np.float64)).T
+
+    if nprobe == 1:
+
+        @F.pandas_udf(T.IntegerType())
+        def assign(vec: pd.Series) -> pd.Series:
+            if len(vec) == 0:
+                return pd.Series([], dtype="int32")
+            mat = _normalize_rows(np.stack(vec.to_numpy()).astype(np.float64))
+            return pd.Series(np.argmax(mat @ cents_t, axis=1).astype(np.int32))
+
+        return assign
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign_n(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        mat = _normalize_rows(np.stack(vec.to_numpy()).astype(np.float64))
+        sims = mat @ cents_t
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in top])
+
+    return assign_n
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path beside LSH.
+
+    Corpus vectors are assigned to their nearest coarse centroid (one
+    int column — at 10^10 rows this is the partition key an Iceberg
+    layout would bucket by, so a probe scans only nprobe/n_centroids of
+    the corpus). Queries explode to their ``nprobe`` nearest centroids
+    and equi-join the corpus on cid — broadcast (queries are small), no
+    corpus shuffle. Exact cosine re-ranks within the probed cells.
+    Recall < 1 by construction; raise ``nprobe`` to trade compute for
+    recall (property-tested floor vs brute force)."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, dim, id_col=id_col, vec_col=vec_col
+        )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        make_ivf_assign_udf(centroids, 1)(F.col(vec_col)).alias("cid"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(make_ivf_assign_udf(centroids, nprobe)(F.col(vec_col))).alias("cid"),
+    )
+    scored = corpus.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("qvec"), F.col("vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

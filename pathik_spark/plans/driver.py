@@ -487,6 +487,9 @@ class CrawlRun:
                 frontier, seen, st, finalize = self.run_round(
                     k, frontier, seen, seen_size_hint=seen_hint, finalize_prev=finalize_prev
                 )
+                if self.config.eager_commit:
+                    finalize()  # durability over overlap (config.eager_commit)
+                    finalize = None
                 finalize_prev = finalize
                 nf_rows = st.extras.get("next_frontier_rows")
                 seen_hint = st.seen_total

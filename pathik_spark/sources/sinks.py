@@ -70,6 +70,65 @@ def r2_object_rows(artifacts: DataFrame, run_id: str) -> DataFrame:
     return html_rows.unionByName(md_rows)
 
 
+def r2_hadoop_conf(
+    account_id: str,
+    access_key_id: str,
+    access_key_secret: str,
+    region: str | None = None,
+) -> dict[str, str]:
+    """Hadoop-S3A configuration for Cloudflare R2, mirroring the
+    reference's client config (storage.go:23-67: env surface
+    R2_ACCOUNT_ID / R2_ACCESS_KEY_ID / R2_ACCESS_KEY_SECRET /
+    R2_BUCKET_NAME, endpoint https://{account}.r2.cloudflarestorage.com).
+    Path-style access — R2 buckets are not virtual-hosted. Missing
+    required fields fail loudly exactly like the Go validation
+    (storage.go:41-44)."""
+    missing = [
+        name
+        for name, v in (
+            ("R2_ACCOUNT_ID", account_id),
+            ("R2_ACCESS_KEY_ID", access_key_id),
+            ("R2_ACCESS_KEY_SECRET", access_key_secret),
+        )
+        if not v
+    ]
+    if missing:
+        raise ValueError(f"incomplete R2 config, missing: {', '.join(missing)}")
+    conf = {
+        "fs.s3a.endpoint": f"https://{account_id}.r2.cloudflarestorage.com",
+        "fs.s3a.access.key": access_key_id,
+        "fs.s3a.secret.key": access_key_secret,
+        "fs.s3a.path.style.access": "true",
+        "fs.s3a.connection.ssl.enabled": "true",
+        # object stores have no atomic rename: commit by writing files
+        # directly (magic committer discipline), never rename-in-place
+        "fs.s3a.committer.name": "magic",
+    }
+    if region:
+        conf["fs.s3a.endpoint.region"] = region
+    return conf
+
+
+def write_r2_objects(
+    objects: DataFrame, dest: str, hadoop_conf: dict[str, str] | None = None
+) -> None:
+    """Batch write of ``r2_object_rows`` at an object-store path
+    (``s3a://bucket/prefix`` with ``r2_hadoop_conf``; ``file:/...`` in
+    tests). The reference PUTs one object per file
+    (storage.go:122-147) — at 10^10 objects per-key PUTs are the
+    bottleneck, so the engine writes the same (key, content, mime) rows
+    as large splittable parquet addressable by key; a thin unloader can
+    fan out per-key objects where true key-per-object layout is needed.
+    In-sandbox there is no s3a jar/credentials, so s3a dests raise —
+    callers fall back to a local path."""
+    spark = objects.sparkSession
+    if hadoop_conf:
+        jconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in hadoop_conf.items():
+            jconf.set(k, v)
+    objects.write.mode("append").parquet(dest)
+
+
 def _headers(url_col, ts_col, session_id: str | None, content_type: str):
     """kafka.go:226-273 header construction: url, timestamp (RFC3339 from
     warc_ts, never wall clock — X9), optional sessionID, contentType."""

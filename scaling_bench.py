@@ -106,7 +106,10 @@ def worker(cpus: int, corpus_dir: str) -> None:
     stats = run.run(corpus["seeds"], n_rounds=2)
     dt = time.perf_counter() - t0
     n_urls = sum(s.scheduled for s in stats)
-    print(json.dumps({"cpus": cpus, "sec": dt, "urls": n_urls, "urls_per_sec": n_urls / dt}))
+    print(json.dumps({
+        "cpus": cpus, "sec": dt, "urls": n_urls, "urls_per_sec": n_urls / dt,
+        "timers": [s.extras.get("timers", {}) for s in stats],
+    }))
     spark.stop()
     import shutil
 

@@ -106,3 +106,51 @@ def test_near_dup_pairs_symmetric_threshold(spark, emb):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert r["score"] >= 0.5
+
+
+def test_ivf_centroids_deterministic_and_normalized(spark, emb):
+    import numpy as np
+
+    c1 = A.ivf_centroids(emb, n_centroids=8, dim=64, n_iters=2)
+    c2 = A.ivf_centroids(emb, n_centroids=8, dim=64, n_iters=2)
+    assert np.array_equal(c1, c2)  # no RNG state anywhere
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_assignment_covers_all_centroid_cells(spark, emb):
+    cents = A.ivf_centroids(emb, n_centroids=8, dim=64)
+    assigned = emb.select(
+        A.make_ivf_assign_udf(cents, 1)(F.col("embedding")).alias("cid")
+    )
+    cids = {r["cid"] for r in assigned.distinct().collect()}
+    assert cids <= set(range(8))
+    assert len(cids) >= 4  # the fixture corpus is not degenerate
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in A.brute_force_topk(emb, queries, k=10).collect()
+    }
+    # full probe = exact within re-ranked cells covering everything
+    full = A.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=8)
+    assert {(r["query_id"], r["vec_id"]) for r in full.collect()} == exact
+    # partial probe trades recall for compute but keeps a floor
+    part = A.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=3)
+    got = {(r["query_id"], r["vec_id"]) for r in part.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall > 0.5, f"recall {recall}"
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = A.ivf_centroids(emb, n_centroids=8, dim=64)
+    out = A.ivf_topk(emb, queries, k=5, centroids=cents, n_centroids=8, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the corpus side never shuffles for the probe

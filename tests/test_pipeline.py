@@ -115,3 +115,28 @@ def test_metrics_and_lineage_written(spark, corpus, tmp_path):
     total = lin.agg(F.sum("n_rows")).collect()[0][0]
     arts = run.store.read_table(0, "artifacts")
     assert total == arts.count()
+
+
+def test_eager_commit_equals_deferred(spark, corpus, tmp_path):
+    """config.eager_commit publishes each round's manifest before the
+    next round starts (durability over commit/compute overlap) and must
+    not change any produced table or stat."""
+    import json
+
+    run_d = _run(spark, corpus, tmp_path / "d", "rc", n_rounds=2)
+    stats_d = run_d.run(corpus["seeds"], n_rounds=2)
+    run_e = _run(spark, corpus, tmp_path / "e", "rc", n_rounds=2, eager_commit=True)
+    stats_e = run_e.run(corpus["seeds"], n_rounds=2)
+    for sd, se in zip(stats_d, stats_e):
+        assert (sd.scheduled, sd.fetched, sd.seen_total) == (
+            se.scheduled, se.fetched, se.seen_total
+        )
+    for k in (0, 1):
+        with open(tmp_path / "e" / "rc" / f"round={k}" / "manifest.json") as f:
+            assert json.load(f)["stats"]["scheduled"] == stats_e[k].scheduled
+        a = run_d.store.read_table(k, "artifacts")
+        b = run_e.store.read_table(k, "artifacts")
+        cols = sorted(a.columns)
+        assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+            map(tuple, b.select(*cols).collect())
+        )
