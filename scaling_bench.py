@@ -86,7 +86,10 @@ def worker(cpus: int, corpus_dir: str) -> None:
         robots=corpus["robots"].withColumn("max_per_round", F.lit(1_000_000_000)),
         links=corpus["links"],
         state_dir=tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir=_state_root()),
-        config=CrawlConfig(run_id=f"scale-{cpus}", n_salts=8, collect_stats=False),
+        config=CrawlConfig(
+            run_id=f"scale-{cpus}", n_salts=8, collect_stats=False,
+            pages_buckets=int(os.environ.get("PATHIK_PAGES_BUCKETS", "64")),
+        ),
     )
     run._prepared_pages()  # one-time per-corpus cost, excluded from timing
 
