@@ -42,10 +42,13 @@ class CrawlConfig:
     # bucket count for the prepared pages table. Fixed and DECOUPLED from
     # cluster size: tasks-per-core slack is what absorbs stragglers, and
     # the physical layout must not change when executors are added
-    # (measured: bucket==cores joins scale 3.4x from N to 4N cores,
-    # 64 buckets scale 3.9x on the same corpus). At 10^10 scale this is
-    # thousands of buckets sized to ~128-512 MB each.
-    pages_buckets: int = 64
+    # (measured: bucket==cores joins scale 3.4x from N to 4N cores, 64
+    # buckets 3.9x; 256 buckets cut the 16-core crawl wall another ~27%
+    # — 64 buckets at 16 slots is 4 even waves, so the per-wave straggler
+    # gates the stage, while 256 amortizes the tail to 1/16 of a wave).
+    # At 10^10 scale this is thousands of buckets at ~128-512 MB each;
+    # the invariant is buckets >> slots, never buckets == cores.
+    pages_buckets: int = 256
     # the seen table is a per-round delta log; every K rounds the union
     # of deltas is rewritten as ONE table bucketed by url_hash so the
     # anti-join's scan fan-in stays bounded and the seen side never

@@ -70,7 +70,7 @@ def worker(cpus: int, corpus_dir: str) -> None:
     # against 2x-cores partitions — the frontier-metadata shuffles are
     # small, so extra tasks cost scheduling/python-worker churn without
     # balancing anything (the heavy stage's parallelism comes from the
-    # fixed 64-bucket pages layout, not this knob)
+    # fixed 256-bucket pages layout, not this knob)
     spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
     from pyspark.sql import functions as F
 
@@ -88,7 +88,7 @@ def worker(cpus: int, corpus_dir: str) -> None:
         state_dir=tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir=_state_root()),
         config=CrawlConfig(
             run_id=f"scale-{cpus}", n_salts=8, collect_stats=False,
-            pages_buckets=int(os.environ.get("PATHIK_PAGES_BUCKETS", "64")),
+            pages_buckets=int(os.environ.get("PATHIK_PAGES_BUCKETS", "256")),
         ),
     )
     run._prepared_pages()  # one-time per-corpus cost, excluded from timing
@@ -118,6 +118,31 @@ def worker(cpus: int, corpus_dir: str) -> None:
 
     shutil.rmtree(run.store.root, ignore_errors=True)
     shutil.rmtree(warm.store.root, ignore_errors=True)
+
+
+def _stage_table(results: dict, n: int, n4: int) -> str:
+    """Per-stage speedup table from the best runs' round timers (the
+    lazy global rank folds all frontier/schedule compute into the
+    artifacts action, so artifacts_write is the heavy stage)."""
+    tn, t4 = results[n].get("timers") or [], results[n4].get("timers") or []
+    if not tn or not t4 or len(tn) != len(t4):
+        return ""
+    rows = []
+    for r, (a, b) in enumerate(zip(tn, t4)):
+        for stage in ("schedule_rank", "artifacts_write", "derived_writes"):
+            if stage in a and stage in b and b[stage] > 0:
+                rows.append(
+                    f"| {stage} r{r} | {a[stage]:.1f} | {b[stage]:.1f} "
+                    f"| {a[stage] / b[stage]:.2f}x |"
+                )
+    if not rows:
+        return ""
+    return (
+        "\nPer-stage wall seconds (best runs; schedule/derived are lazy —\n"
+        "frontier + rank compute folds into the artifacts action):\n\n"
+        f"| stage | @{n} s | @{n4} s | speedup |\n|---|---|---|---|\n"
+        + "\n".join(rows) + "\n"
+    )
 
 
 def _ceiling_section(speedup: float, hw_speedup: float | None) -> str:
@@ -232,9 +257,13 @@ Protocol notes (single-box stand-ins for a real N/4N cluster):
   does not have. The input corpus stays on disk (page-cached after a
   warm-up count, like a hot Iceberg scan cache).
 - The prepared pages table is bucketed by url_hash with a FIXED bucket
-  count (64) at both sizes — physical layout must not change with the
-  cluster; measured 3.9x join+extract scaling at 64 buckets vs 3.4x
-  when buckets == cores.
+  count ({os.environ.get('PATHIK_PAGES_BUCKETS', '256')}) at both sizes
+  — physical layout must not change with the cluster. Bucket-count
+  sweep (interleaved, 16 cores): buckets == cores scales 3.4x, 64
+  buckets 3.9x, 256 buckets another ~27% wall-time cut (64 buckets at
+  16 slots = 4 even waves, so each wave's straggler gates the stage;
+  256 amortizes the tail to 1/16 of a wave). Invariant: buckets >>
+  task slots, never buckets == cores.
 - Best of {os.environ.get('PATHIK_SCALE_REPEATS', '3')} INTERLEAVED
   repeats per cluster size: this shared VM's effective speed drifts
   10-20% over minutes and the drift hits wide runs hardest, so the
@@ -249,7 +278,7 @@ Protocol notes (single-box stand-ins for a real N/4N cluster):
 
 - throughput speedup N->4N: **{thr32 / thr8:.3f}x**
 - scaling efficiency (speedup / 4): **{eff:.3f}** (criterion: >= 0.8)
-{_ceiling_section(thr32 / thr8, hw_speedup)}
+{_ceiling_section(thr32 / thr8, hw_speedup)}{_stage_table(results, N_CORES, N4_CORES)}
 Reference architectural ceiling for the same work: 0.13-0.64 URL/s
 (global 1 rps limiter + 5-way semaphore — BASELINE.md); the engine's
 politeness budget is per-host, so throughput scales with cores.
