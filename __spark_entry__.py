@@ -154,18 +154,19 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Href extraction for frontier discovery (from-html mode): hrefs out
-    of the fetched html, resolved against the page url, one parse per page
-    (fused with X5/X6 in production via extract_full)."""
-    from pathik_spark.fixtures import corpus_to_spark
+    """Href extraction for frontier discovery (from-html mode): the REAL
+    links UDF (one parse per page; fused with X5/X6 in production via
+    extract_full) runs over HTML templated around the documents table;
+    the DuckDB oracle states the resolved document-order hrefs (nav /
+    fragment / mailto anchors dropped, relative hrefs resolved against
+    base_url per RFC 3986)."""
+    from pathik_spark.entry_queries import SPARK, links_html_sql
     from pathik_spark.functions.extract_udfs import extract_links_udf
 
-    corpus = corpus_to_spark(spark, _corpus())
-    return (
-        corpus["pages"]
-        .select("url", F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"))
-        .orderBy("url", "dst_url")
-    )
+    _register_views(spark, sf_dir)
+    pages = spark.sql(links_html_sql(SPARK))
+    links = extract_links_udf(F.encode(F.col("html_str"), "UTF-8"), F.col("base_url"))
+    return pages.select("doc_id", F.posexplode(links).alias("pos", "dst_url"))
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,6 +365,7 @@ ENGINE_ORACLE_QUERIES = {
     "extract_text_vectorized": _q_extract_text,
     "css_select": _q_css_select,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,
     "url_sanitize": _q_url_sanitize,
@@ -385,7 +387,6 @@ ENGINE_ORACLE_QUERIES = {
 # oracle (sim-oracle equality / golden fixtures / recall bounds).
 ROWS_ONLY_QUERIES = {
     "crawl_flagship_round": _q_crawl_flagship,
-    "extract_links_discovery": _q_extract_links,
     "multimodal_features": _q_multimodal_features,
     "lsh_ann_topk": _q_lsh_ann,
     "ivf_ann_topk": _q_ivf_ann,

@@ -148,6 +148,16 @@ def main() -> None:
     ).mode("overwrite").save()
     timings["lsh_ann_dim768"] = round(time.perf_counter() - t0, 3)
 
+    # IVF at the same production width: coarse-quantizer training (2
+    # distributed Lloyd steps) + nprobe probe + exact re-rank
+    from pathik_spark.operators.ann import ivf_topk
+
+    t0 = time.perf_counter()
+    ivf_topk(wide, wq, k=10, n_centroids=16, nprobe=4, dim=768).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["ivf_ann_dim768"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -39,16 +39,19 @@ class CrawlConfig:
     # per-round stats beyond the core artifact counts cost extra jobs;
     # turn off for throughput runs (manifest then records -1 for them)
     collect_stats: bool = True
-    # bucket count for the prepared pages table. Fixed and DECOUPLED from
-    # cluster size: tasks-per-core slack is what absorbs stragglers, and
-    # the physical layout must not change when executors are added
-    # (measured: bucket==cores joins scale 3.4x from N to 4N cores, 64
-    # buckets 3.9x; 256 buckets cut the 16-core crawl wall another ~27%
-    # — 64 buckets at 16 slots is 4 even waves, so the per-wave straggler
-    # gates the stage, while 256 amortizes the tail to 1/16 of a wave).
-    # At 10^10 scale this is thousands of buckets at ~128-512 MB each;
-    # the invariant is buckets >> slots, never buckets == cores.
-    pages_buckets: int = 256
+    # bucket count for the prepared pages table. Fixed per run and
+    # DECOUPLED from cluster size (the layout must not change when
+    # executors are added); SIZED TO DATA: target ~128-512 MB per bucket
+    # AND >= ~4x the task slots so the straggler tail amortizes across
+    # waves. Measured on the 300k-page bench corpus at 16 slots:
+    # buckets == cores scales 3.4x N->4N, 64 buckets 3.9x, and 256
+    # buckets cut the 16-core wall another ~27% (64 buckets = 4 even
+    # waves, so each wave's straggler gates the stage; 256 amortizes the
+    # tail to 1/16 of a wave). On a small 20k-page corpus the per-bucket
+    # work is too thin for 256 (task overhead dominates; 64 wins), hence
+    # the modest default — scaling_bench pins 256 for its corpus, and a
+    # 10^10 deployment sizes this in the thousands.
+    pages_buckets: int = 64
     # the seen table is a per-round delta log; every K rounds the union
     # of deltas is rewritten as ONE table bucketed by url_hash so the
     # anti-join's scan fan-in stays bounded and the seen side never

@@ -716,6 +716,47 @@ FROM documents
 """
 
 
+def links_html_sql(d) -> str:
+    """(doc_id, base_url, html_str) for the link-discovery oracle: six
+    anchors per page exercising the extract_links contract
+    (kernels/extract.py:407) — a <nav> chrome anchor (dropped subtree),
+    a fragment-only href (skipped), a root-relative and a path-relative
+    href (RFC 3986 resolution against base_url, whitespace-stripped),
+    a mailto (non-http scheme, skipped), and an absolute href."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+SELECT doc_id,
+  'https://h' || CAST(doc_id % 7 AS STRING) || '.example.com/dir/page' AS base_url,
+  '<html><body><nav><a href="/chrome">chrome</a></nav><p><a href="#top">skip</a>'
+  || '<a href=" /root/' || {did} || ' ">r</a>'
+  || '<a href="rel/' || {did} || '">p</a>'
+  || '<a href="mailto:a@b.example">m</a>'
+  || '<a href="https://abs.example.org/x/' || {did} || '">a</a></p></body></html>' AS html_str
+FROM documents
+"""
+
+
+def duck_extract_links_sql() -> str:
+    """Expected resolved hrefs for links_html_sql's template, in document
+    order: the nav / fragment / mailto anchors contribute nothing; the
+    two relative hrefs resolve against base_url; the absolute href
+    passes through."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+WITH b AS (
+  SELECT doc_id, 'https://h' || CAST(doc_id % 7 AS STRING) || '.example.com' AS origin
+  FROM documents
+)
+SELECT doc_id, pos, dst_url FROM (
+  SELECT doc_id, 0 AS pos, origin || '/root/' || {did} AS dst_url FROM b
+  UNION ALL
+  SELECT doc_id, 1 AS pos, origin || '/dir/rel/' || {did} AS dst_url FROM b
+  UNION ALL
+  SELECT doc_id, 2 AS pos, 'https://abs.example.org/x/' || {did} AS dst_url FROM b
+) t
+"""
+
+
 def _minhash16_h(d, i: int) -> str:
     return d["HASH60"](f"'{i}:' || shingle")
 
@@ -771,6 +812,7 @@ ENGINE_ORACLE_SQL = {
     "extract_text_vectorized": duck_extract_text_sql,
     "css_select": duck_css_select_sql,
     "minhash_lsh_pairs": duck_minhash_lsh_sql,
+    "extract_links_discovery": duck_extract_links_sql,
 }
 
 

@@ -159,6 +159,9 @@ def _ceiling_section(speedup: float, hw_speedup: float | None) -> str:
         f"  frequency/memory clamp a real 4N cluster does not share). Engine\n"
         f"  efficiency relative to the achievable ceiling:\n"
         f"  **{speedup / hw_speedup:.3f}**\n"
+        f"  (the ceiling is one draw taken after the repeats; best-of engine\n"
+        f"  runs sample quieter moments, so a value near/above 1 means the\n"
+        f"  box's clamp — not the engine — is the noisy term)\n"
     )
 
 
@@ -269,7 +272,7 @@ Protocol notes (single-box stand-ins for a real N/4N cluster):
   10-20% over minutes and the drift hits wide runs hardest, so the
   sizes are sampled across the same window and the best of each kept.
   Shuffle partitions = cores at both sizes; the heavy stage's
-  parallelism comes from the fixed 64-bucket layout.
+  parallelism comes from the fixed bucket layout.
 
 | cluster | cores | wall s | URLs scheduled | URLs/s |
 |---|---|---|---|---|
