@@ -169,6 +169,31 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("doc_id", F.posexplode(links).alias("pos", "dst_url"))
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data scrub pass): the REAL regexp chain
+    from functions/text.pii_scrub over text with deterministic planted
+    email/IP/phone targets; the oracle renders the identical pattern
+    chain (shared constants: text_constants.PII_PATTERNS)."""
+    from pathik_spark.entry_queries import SPARK, pii_text_sql
+    from pathik_spark.functions.text import pii_scrub
+
+    _register_views(spark, sf_dir)
+    return spark.sql(pii_text_sql(SPARK)).select(
+        "doc_id", pii_scrub(F.col("ptext")).alias("scrubbed")
+    )
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-quality signals: the REAL shuffle-free
+    operator (sorted-bigram longest-run, array expressions) vs the
+    relational GROUP BY restatement in DuckDB."""
+    from pathik_spark.entry_queries import SPARK, repetition_text_sql
+    from pathik_spark.operators.quality import repetition_signals
+
+    _register_views(spark, sf_dir)
+    return repetition_signals(spark.sql(repetition_text_sql(SPARK)))
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.multimodal import extract_features, synth_media
 
@@ -375,6 +400,8 @@ ENGINE_ORACLE_QUERIES = {
     "quality_score": _q_quality_score,
     "token_count": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
+    "pii_scrub": _q_pii_scrub,
+    "repetition_signals": _q_repetition_signals,
     "exact_dedup": _q_exact_dedup,
     "ngram_jaccard": _q_ngram_jaccard,
     "minhash_signature": _q_minhash_signature,

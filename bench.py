@@ -124,6 +124,8 @@ def main() -> None:
         "ann_cosine_topk",
         "lang_id",
         "quality_score",
+        "repetition_signals",
+        "pii_scrub",
         "css_select",
     ):
         t0 = time.perf_counter()

@@ -757,6 +757,98 @@ SELECT doc_id, pos, dst_url FROM (
 """
 
 
+def pii_text_sql(d) -> str:
+    """(doc_id, ptext): document text with deterministic PII planted —
+    an email whose local part is a bare number, a dotted-quad IP, and a
+    +-prefixed phone run — so the scrub pass has real targets."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+SELECT doc_id,
+  'contact ' || {did} || '@ex' || CAST(doc_id % 9 AS STRING)
+  || '.com ping 10.0.' || CAST(doc_id % 250 AS STRING) || '.7 call +1415555'
+  || CAST(1000 + doc_id % 9000 AS STRING) || ' ' || text AS ptext
+FROM documents
+"""
+
+
+def duck_pii_scrub_sql() -> str:
+    """The PII_PATTERNS chain applied in order to pii_text_sql's
+    template — the oracle twin of functions/text.pii_scrub."""
+    from pathik_spark.functions.text_constants import PII_PATTERNS
+
+    d = DUCK
+    inner = pii_text_sql(d)
+    expr = "ptext"
+    for pattern, repl in PII_PATTERNS:
+        expr = d["RE_REPLACE"](expr, pattern, repl)
+    return f"SELECT doc_id, {expr} AS scrubbed FROM ({inner}) t"
+
+
+def repetition_text_sql(d) -> str:
+    """(doc_id, text) with synthesized line breaks (every ' the ' becomes
+    a newline — plain string replace, byte-identical in both dialects)
+    so the line-repetition signal has lines to measure."""
+    return "SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents"
+
+
+def duck_repetition_signals_sql() -> str:
+    """SQL twin of operators/quality.repetition_signals over
+    repetition_text_sql's lined text. The operator computes the
+    top-bigram multiplicity as a longest-equal-run over the doc's
+    sorted bigram array (no shuffle); the oracle states the same
+    quantity the relational way (GROUP BY doc_id, bigram -> MAX).
+    Tokens filter ``tok <> ''`` to mirror the empty-text -> empty
+    token-array convention of the Spark side."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    return f"""
+WITH lined AS ({repetition_text_sql(d)}),
+toks_cte AS (SELECT doc_id, {d['SPLIT_WS'](norm)} AS toks FROM lined),
+tokens AS (SELECT * FROM ({d['POSEXPLODE_FROM']('toks_cte', 'toks')}) WHERE tok <> ''),
+tstats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_dtok
+  FROM tokens GROUP BY doc_id
+),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+  FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bstats AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_c
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram) g
+  GROUP BY doc_id
+),
+lines AS (
+  SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line FROM lined
+),
+lstats AS (
+  SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT line) AS n_dlines
+  FROM lines WHERE line <> '' GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+    CAST(coalesce(t.n_tokens, 0) AS INTEGER) AS n_tokens,
+    CASE WHEN coalesce(l.n_lines, 0) > 0
+      THEN ROUND(CAST(l.n_lines - l.n_dlines AS DOUBLE) / l.n_lines, 6)
+      ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN coalesce(t.n_tokens, 0) > 0
+      THEN ROUND(CAST(t.n_tokens - t.n_dtok AS DOUBLE) / t.n_tokens, 6)
+      ELSE 0.0 END AS dup_token_frac,
+    CASE WHEN coalesce(b.n_bigrams, 0) > 0
+      THEN ROUND(CAST(b.top_c AS DOUBLE) / b.n_bigrams, 6)
+      ELSE 0.0 END AS top_bigram_frac
+  FROM lined d
+  LEFT JOIN tstats t ON t.doc_id = d.doc_id
+  LEFT JOIN bstats b ON b.doc_id = d.doc_id
+  LEFT JOIN lstats l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, n_tokens, dup_line_frac, dup_token_frac, top_bigram_frac,
+  (n_tokens >= 5 AND dup_line_frac <= 0.30 AND dup_token_frac <= 0.50
+   AND top_bigram_frac <= 0.20) AS keep
+FROM sig
+"""
+
+
 def _minhash16_h(d, i: int) -> str:
     return d["HASH60"](f"'{i}:' || shingle")
 
@@ -813,6 +905,8 @@ ENGINE_ORACLE_SQL = {
     "css_select": duck_css_select_sql,
     "minhash_lsh_pairs": duck_minhash_lsh_sql,
     "extract_links_discovery": duck_extract_links_sql,
+    "pii_scrub": duck_pii_scrub_sql,
+    "repetition_signals": duck_repetition_signals_sql,
 }
 
 

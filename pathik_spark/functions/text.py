@@ -85,6 +85,21 @@ def quality_score(text_col):
     )
 
 
+def pii_scrub(text_col):
+    """Redact emails / IPv4s / phone-ish digit runs with typed tokens
+    (<EMAIL>/<IP>/<PHONE>) — the standard pre-training scrub pass, as a
+    chain of codegen'd regexp_replace (no Python). Patterns and their
+    order are the shared constants in text_constants.PII_PATTERNS; the
+    DuckDB oracle renders the same chain, so both engines apply the
+    identical automatons in the identical order."""
+    from pathik_spark.functions.text_constants import PII_PATTERNS
+
+    out = text_col
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
 def doc_fingerprint(text_col):
     """Content fingerprint: md5 of normalized text (exact-dup key)."""
     return F.md5(normalized_text(text_col))

@@ -37,3 +37,17 @@ JA_CLASS = r"[぀-ヿ一-鿿]"
 # tie-break priority when marker counts are equal (the oracle's CASE
 # chain checks de first, then en, es, fr)
 LANG_TIE_PRIORITY = {"de": 3, "en": 2, "es": 1, "fr": 0}
+
+# PII redaction patterns, applied IN ORDER (emails first — they contain
+# digits a later pattern could chew on; IPv4 before phone so dotted
+# quads never half-match as phone digits). Explicit classes only, and
+# no lookarounds — Java regex (Spark) and RE2 (DuckDB) must compile the
+# identical automaton. The phone pattern is deliberately conservative
+# (>= 7 chars of digits/()/-, optional leading +): redaction recall
+# beats precision for training data, but mass false positives on years/
+# ids are worse.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9()\-]{5,}[0-9]", "<PHONE>"),
+)

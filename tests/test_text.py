@@ -73,3 +73,78 @@ def test_bpe_ish_token_count(spark):
     n = df.select(TX.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0]["n"]
     # hell+o, comma, worl+d, 123 -> 2 + 1 + 2 + 1 = 6
     assert n == 6
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.ex.co now",),
+            ("ip 192.168.1.250 end",),
+            ("call +1(415)555-0199 ok",),
+            ("year 2024 and id 123 stay",),
+            ("a@b.io 10.0.0.1 8005550123",),
+            ("",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(TX.pii_scrub(F.col("text"))).collect()]
+    assert got == [
+        "mail <EMAIL> now",
+        "ip <IP> end",
+        "call <PHONE> ok",
+        "year 2024 and id 123 stay",  # short digit runs untouched
+        "<EMAIL> <IP> <PHONE>",
+        "",
+    ]
+
+
+def test_repetition_signals_edges(spark):
+    from pathik_spark.operators.quality import repetition_signals
+
+    rows = [
+        # 0: all-duplicate lines, all-duplicate tokens, one bigram
+        (0, "spam ham\nspam ham\nspam ham"),
+        # 1: all distinct -> everything passes
+        (1, "the quick brown fox jumps over lazy dogs"),
+        # 2: empty text -> zero signals, filtered by MIN_TOKENS
+        (2, ""),
+        # 3: single token -> no bigrams
+        (3, "word"),
+        # 4: dominant bigram: 'x y' 3 times out of 7 bigrams
+        (4, "x y a x y b x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert got[0]["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[0]["dup_token_frac"] == pytest.approx(4 / 6, abs=1e-6)
+    assert got[0]["top_bigram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert got[0]["keep"] is False
+    assert got[1]["keep"] is True
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 0, "dup_line_frac": 0.0, "dup_token_frac": 0.0,
+        "top_bigram_frac": 0.0, "keep": False,
+    }
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == pytest.approx(3 / 7, abs=1e-6)
+
+
+def test_repetition_top_bigram_vs_pandas(spark):
+    """Sorted-run formulation == hashmap count on pseudo-random docs."""
+    import collections
+    import random
+
+    from pathik_spark.operators.quality import repetition_signals
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        toks = [rng.choice("abcdefg") for _ in range(rng.randrange(0, 40))]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["top_bigram_frac"] for r in repetition_signals(df).collect()}
+    for i, text in rows:
+        toks = text.split()
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = round(max(collections.Counter(bgs).values()) / len(bgs), 6) if bgs else 0.0
+        assert got[i] == pytest.approx(want, abs=1e-6), i
