@@ -6,10 +6,14 @@ entry per implemented operator from SURVEY.md §2 (+ the training-data
 operator family); ``oracle_sql()`` gives the DuckDB twin for every
 SQL-expressible one — both sides are rendered from a single dialect-
 templated definition in pathik_spark/entry_queries.py, so the compared
-semantics are genuinely identical. Crawl-pipeline queries that need the
-iterative driver (scheduling, bloom-seen, extraction UDFs) are
-rows-only checked here and oracle-checked in tests/ against the
-sequential simulator and golden fixtures instead.
+semantics are genuinely identical. Queries that run the real
+operators/UDFs (scheduling, bloom-seen, extraction, selectors, link
+discovery, PII scrub, repetition signals)
+are ALSO DuckDB-checked: the oracle restates the operator's semantics
+relationally over templated inputs. Only the genuinely non-SQL four
+(iterative crawl loop, binary decode, approximate ANN) are rows-only
+here, each oracle-checked in tests/ against the sequential simulator,
+golden fixtures, or brute-force recall floors instead.
 """
 
 from __future__ import annotations
@@ -45,8 +49,9 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-# --- crawl-pipeline queries (rows-only checked by the driver; oracle'd in
-# pytest against the sequential simulator + golden fixtures) -----------------
+# --- queries that run the REAL crawl/extraction operators (most have a
+# DuckDB oracle over templated inputs; the flagship loop is rows-only
+# here and oracle'd in pytest against the sequential simulator) --------------
 
 def _q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full crawl round: seeds -> canonicalize -> seen -> robots ->

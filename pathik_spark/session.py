@@ -31,7 +31,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("PATHIK_ARROW_BATCH", "2048"),
+        )
         # html:binary rows are 5-80 KB; the default 4096-row columnar batch
         # means ~250 MB live per scan task — with 32 concurrent tasks that
         # alone exceeds an 8g heap. 512 bounds scan memory at ~30 MB/task
@@ -41,7 +44,10 @@ def get_spark(
         # zstd ~3x smaller than snappy on extracted text/markdown: the
         # compress CPU is parallel, the saved bytes are serial disk/network
         # time — the right trade for write-heavy crawl rounds
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("PATHIK_PARQUET_CODEC", "zstd"),
+        )
         # bucketed+sorted tables are written one-file-per-bucket (see
         # CrawlRun._prepared_pages); let the scan report that ordering so
         # sort-merge joins against them skip re-sorting the html payload

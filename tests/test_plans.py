@@ -91,3 +91,17 @@ def test_seen_antijoin_shape(spark, corpus):
     out = fr.join(seen, "url_hash", "left_anti")
     plan = _plan(out)
     assert "LeftAnti" in plan, plan
+
+
+def test_repetition_signals_no_shuffle(spark, corpus):
+    """The repetition-quality signals are per-document array expressions:
+    the whole operator must compile into the scan's projection — zero
+    Exchange, zero Python UDF (operators/quality.py discipline)."""
+    from pathik_spark.operators.quality import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(i, f"line a\nline b {i}") for i in range(10)], "doc_id int, text string"
+    )
+    plan = _plan(repetition_signals(docs))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
