@@ -148,3 +148,41 @@ def test_repetition_top_bigram_vs_pandas(spark):
         bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         want = round(max(collections.Counter(bgs).values()) / len(bgs), 6) if bgs else 0.0
         assert got[i] == pytest.approx(want, abs=1e-6), i
+
+
+def test_pii_scrub_matches_python_re_on_ascii(spark):
+    """The Spark (Java-regex) scrub chain == the same chain under Python
+    re, over adversarial ASCII inputs (planted PII fragments glued with
+    random separators). ASCII only: Java/RE2 \\b is ASCII-word-bounded
+    while Python's is Unicode-aware — the engine pair's consistency on
+    the full range is what the DuckDB oracle checks."""
+    import random
+    import re
+
+    from pathik_spark.functions.text_constants import PII_PATTERNS
+
+    rng = random.Random(11)
+    frags = [
+        "a@b.co", "x.y+z@mail.example.org", "@nolocal.com", "trail@dot.",
+        "1.2.3.4", "999.999.999.999", "1.2.3.4.5", "v1.2.3",
+        "+1234567", "123456", "(415)555-0199", "12-34-56-78", "+-()",
+        "word", "42", ".", "@", "-", "a_b%c", "10.0.0.", "x1.2.3.4y",
+    ]
+    seps = ["", " ", "  ", ",", "\n", ":", "/", "<", ">"]
+    texts = [
+        "".join(
+            rng.choice(frags) + rng.choice(seps)
+            for _ in range(rng.randrange(1, 8))
+        )
+        for _ in range(300)
+    ]
+
+    def py_scrub(t: str) -> str:
+        for pattern, repl in PII_PATTERNS:
+            t = re.sub(pattern, repl, t)
+        return t
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {r["i"]: r["s"] for r in df.select("i", TX.pii_scrub(F.col("text")).alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_scrub(t), (i, repr(t), repr(got[i]), repr(py_scrub(t)))
