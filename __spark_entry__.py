@@ -200,9 +200,12 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pathik_spark.operators.multimodal import extract_features, synth_media
+    """REAL stdlib decode (PNG/BMP/WAV containers -> pixel/waveform
+    features, kernels/media.py) through the mapInPandas plumbing;
+    rows-only here, decoded values pinned in tests/test_multimodal.py."""
+    from pathik_spark.operators.multimodal import extract_features, synth_media_real
 
-    return extract_features(synth_media(spark, 60), dim=8).select(
+    return extract_features(synth_media_real(spark, 60), dim=8).select(
         "doc_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
 

@@ -2,13 +2,15 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
-The decode step itself is STUBBED — the sandbox has no image/audio
-libraries — behind ``decoder=`` hooks: the default deterministic fake
-decoder derives byte-level features (so tests pin real plumbing: schema,
-batch shape, partitioning, null handling); passing ``strict=True``
-raises NotImplementedError exactly where a real decoder (PIL/ffmpeg)
-would plug in. Everything around the stub — the schema contract, the
-Arrow batching, the fan-out of frame samples — is real Spark and tested.
+Decoding is REAL for the stdlib-decodable formats — PNG, 24-bit BMP and
+PCM WAV payloads go through kernels/media.py (zlib/struct/wave; full
+PNG scanline unfiltering) and their features are actual pixel / wave
+statistics. Formats that genuinely need external codecs (JPEG, MP4...)
+fall back to the deterministic byte-histogram stand-in; pass
+``strict=True`` to raise NotImplementedError at that boundary instead,
+or inject any ``decoder=`` callable. The plumbing — schema contract,
+Arrow batching, null handling, frame fan-out — is identical either way
+and tested.
 """
 
 from __future__ import annotations
@@ -28,8 +30,9 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
 def fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for image/audio feature extraction: a
-    byte-histogram projection. Replace with a real decoder in prod."""
+    """Deterministic stand-in for formats without a stdlib decoder: a
+    byte-histogram projection (also the fallback arm of
+    kernels/media.stdlib_decode_features)."""
     if payload is None:
         return [0.0] * dim
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -50,10 +53,15 @@ def extract_features(
     ``strict=True`` marks the real-decoder integration point."""
     if strict:
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg — not available in this "
-            "environment; inject decoder= or use the deterministic fake"
+            "formats beyond stdlib PNG/BMP/WAV (JPEG, MP4, ...) require "
+            "PIL/ffmpeg — not available in this environment; inject "
+            "decoder= or accept the deterministic fallback"
         )
-    decode = decoder or fake_decode_features
+    if decoder is None:
+        from pathik_spark.kernels.media import stdlib_decode_features
+
+        decoder = stdlib_decode_features
+    decode = decoder
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,6 +114,34 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(op, FRAME_SCHEMA)
+
+
+def synth_media_real(spark, n: int = 64) -> DataFrame:
+    """Synthetic media table whose payloads are REAL containers: PNG
+    gradients, PCM-WAV sine bursts, and BMP frames for video rows —
+    deterministic per doc_id, so the decoded features are replayable
+    fixtures (encoders: kernels/media.py)."""
+    import numpy as np
+
+    from pathik_spark.kernels import media as K
+
+    rows = []
+    for i in range(n):
+        mt = ("image", "audio", "video")[i % 3]
+        if mt == "image":
+            px = np.add.outer(
+                np.arange(16) * (3 + i % 5), np.arange(16) * (2 + i % 7)
+            ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+            payload = K.encode_png(px)
+            rows.append((i, payload, mt, 16, 16, None))
+        elif mt == "audio":
+            t = np.arange(640, dtype=np.float64)
+            wave = 0.5 * np.sin(2 * np.pi * t * (1 + i % 9) / 80.0)
+            rows.append((i, K.encode_wav(wave, rate=8000), mt, None, None, 80))
+        else:
+            px = np.full((8, 8, 3), (i * 11) % 256, dtype=np.uint8)
+            rows.append((i, K.encode_bmp(px), mt, 8, 8, 4000))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:

@@ -40,3 +40,152 @@ def test_null_media_safe(spark):
     )
     out = M.extract_features(df).collect()
     assert out[0]["n_bytes"] == 0 and out[0]["feature"] == [0.0] * 8
+
+
+# ---------------------------------------------------------------------------
+# stdlib REAL-decode kernels (kernels/media.py)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from pathik_spark.kernels import media as M
+
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 17, c), dtype=np.uint8)
+        out = M.decode_png(M.encode_png(px))
+        assert out.shape == (13, 17, c)
+        assert (out == px).all()
+
+
+def test_png_unfilters_all_five_filter_types():
+    """Craft an IDAT whose scanlines cycle filters 0..4 and check the
+    decoder reproduces the exact source pixels (RFC 2083 §6)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pathik_spark.kernels import media as M
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    h, w, ch = px.shape
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y].tobytes()
+        ft = y % 5
+        f = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                f[i] = (f[i] - line[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                f[i] = (f[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                f[i] = (f[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                f[i] = (f[i] - M._paeth(left, prev[i], ul)) & 0xFF
+        raw += bytes([ft]) + bytes(f)
+        prev = line
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    png = (
+        M.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (M.decode_png(png) == px).all()
+
+
+def test_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    from pathik_spark.kernels import media as M
+
+    px = np.random.default_rng(7).integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (M.decode_bmp(M.encode_bmp(px)) == px).all()
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from pathik_spark.kernels import media as M
+
+    s = np.sin(np.linspace(0, 20, 800))
+    rate, got = M.decode_wav(M.encode_wav(s, rate=8000))
+    assert rate == 8000 and got.shape == (800, 1)
+    assert np.abs(got[:, 0] - s).max() < 1e-3
+
+
+def test_stdlib_decode_features_dispatch_and_totality():
+    import numpy as np
+
+    from pathik_spark.kernels import media as M
+    from pathik_spark.operators.multimodal import fake_decode_features
+
+    px = np.full((4, 8, 3), 128, dtype=np.uint8)
+    feat = M.stdlib_decode_features(M.encode_png(px), 8)
+    assert feat == [round(128 / 255.0, 6)] * 8  # real pixels, not byte salad
+
+    silent = M.stdlib_decode_features(M.encode_wav(np.zeros(64)), 4)
+    assert silent == [0.0] * 4
+
+    # corrupt container / None / unknown magic -> byte-histogram fallback
+    bad = b"\x89PNG\r\n\x1a\ngarbage"
+    assert M.stdlib_decode_features(bad, 8) == fake_decode_features(bad, 8)
+    assert M.stdlib_decode_features(None, 8) == fake_decode_features(None, 8)
+    assert M.stdlib_decode_features(b"JFIF-ish", 8) == fake_decode_features(b"JFIF-ish", 8)
+
+
+def test_resize_nearest_shape_and_determinism():
+    import numpy as np
+
+    from pathik_spark.kernels import media as M
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    r = M.resize_nearest(px, 3, 2)
+    assert r.shape == (2, 3, 3)
+    assert (r == M.resize_nearest(px, 3, 2)).all()
+    # upscale repeats source pixels
+    up = M.resize_nearest(px, 12, 8)
+    assert up.shape == (8, 12, 3)
+
+
+def test_extract_features_real_decode_through_spark(spark):
+    """The default decoder now REALLY decodes PNG/BMP/WAV payloads: the
+    operator's features over synth_media_real equal the kernel's
+    locally computed pixel/waveform statistics, row for row."""
+    import numpy as np
+
+    from pathik_spark.kernels import media as K
+
+    media = M.synth_media_real(spark, 18)
+    local = {
+        r["doc_id"]: K.stdlib_decode_features(bytes(r["media"]), 8)
+        for r in media.collect()
+    }
+    got = {
+        r["doc_id"]: r["feature"]
+        for r in M.extract_features(media, dim=8).collect()
+    }
+    assert set(got) == set(local)
+    for i in got:
+        assert np.allclose(got[i], local[i], atol=1e-6), i
+    # and the image rows' features are genuine pixel means, not histograms
+    img0 = [r for r in media.collect() if r["media_type"] == "image"][0]
+    px = K.decode_png(bytes(img0["media"]))
+    assert got[img0["doc_id"]] == pytest.approx(K.image_features(px, 8), abs=1e-6)
