@@ -224,6 +224,22 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, cands, threshold=0.4)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labeling: MinHash-LSH verified pairs (portable
+    hash family) -> connected components (large-star/small-star) ->
+    per-doc cluster_id / size / canonical flag. The DuckDB oracle
+    recomputes the same pair graph and labels components with a
+    recursive min-propagation CTE."""
+    from pathik_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+    sh = D.word_shingles(docs, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16, portable=True)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2, portable=True)
+    pairs = D.jaccard_pairs(sh, cands, threshold=0.4)
+    return D.dedup_clusters(docs, pairs)
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -398,6 +414,8 @@ ENGINE_ORACLE_QUERIES = {
     "extract_text_vectorized": _q_extract_text,
     "css_select": _q_css_select,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "dedup_clusters": _q_dedup_clusters,
+    "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,
@@ -417,13 +435,12 @@ ENGINE_ORACLE_QUERIES = {
     "embedding_neardup": _q_embedding_neardup,
 }
 
-# Genuinely non-SQL-expressible (iterative driver loop, UDF-resolved
-# hrefs, binary decode, LSH recall): rows-only here, each with a pytest
+# Genuinely non-SQL-expressible (iterative driver loop, binary decode,
+# float-order-sensitive k-means): rows-only here, each with a pytest
 # oracle (sim-oracle equality / golden fixtures / recall bounds).
 ROWS_ONLY_QUERIES = {
     "crawl_flagship_round": _q_crawl_flagship,
     "multimodal_features": _q_multimodal_features,
-    "lsh_ann_topk": _q_lsh_ann,
     "ivf_ann_topk": _q_ivf_ann,
 }
 

@@ -853,12 +853,11 @@ def _minhash16_h(d, i: int) -> str:
     return d["HASH60"](f"'{i}:' || shingle")
 
 
-def duck_minhash_lsh_sql(n_docs: int = 300) -> str:
-    """DuckDB twin of word_shingles -> minhash_signatures(portable) ->
-    lsh_candidate_pairs(portable) -> jaccard_pairs(threshold=0.4)
-    (operators/dedup.py): 3-gram shingles, 16 portable-hash minima,
-    8 bands of 2 hashed portably, candidate equi-join on (band_id,
-    band_hash), exact-Jaccard verification at >= 0.4."""
+def _minhash_pairs_ctes(n_docs: int = 300) -> str:
+    """Shared DuckDB CTE chain: word_shingles -> minhash_signatures
+    (portable) -> lsh_candidate_pairs(portable) -> verified pairs at
+    jaccard >= 0.4 (operators/dedup.py semantics); terminal CTE is
+    ``vpairs (doc_a, doc_b, n_inter, jaccard)``."""
     d = DUCK
     sig_cols = ", ".join(f"MIN({_minhash16_h(d, i)}) AS h{i}" for i in range(16))
     band_selects = " UNION ALL ".join(
@@ -867,8 +866,7 @@ def duck_minhash_lsh_sql(n_docs: int = 300) -> str:
         + " AS band_hash FROM sigs"
         for b in range(8)
     )
-    return f"""
-WITH {_tokens_cte(d, where=f"WHERE doc_id < {n_docs}")},
+    return f"""{_tokens_cte(d, where=f"WHERE doc_id < {n_docs}")},
 shingles AS (
   SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
   FROM tokens a
@@ -887,14 +885,115 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+vpairs AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE EXISTS (SELECT 1 FROM cands c WHERE c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+    AND ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.4
+)"""
+
+
+def duck_minhash_lsh_sql(n_docs: int = 300) -> str:
+    """DuckDB twin of word_shingles -> minhash_signatures(portable) ->
+    lsh_candidate_pairs(portable) -> jaccard_pairs(threshold=0.4)
+    (operators/dedup.py): 3-gram shingles, 16 portable-hash minima,
+    8 bands of 2 hashed portably, candidate equi-join on (band_id,
+    band_hash), exact-Jaccard verification at >= 0.4."""
+    return f"""
+WITH {_minhash_pairs_ctes(n_docs)}
+SELECT doc_a, doc_b, n_inter, jaccard FROM vpairs
+"""
+
+
+def duck_dedup_clusters_sql(n_docs: int = 300) -> str:
+    """DuckDB twin of dedup_clusters (operators/dedup.py): connected
+    components over the verified MinHash-LSH pair graph via a recursive
+    min-label-propagation CTE (the engine's large-star/small-star loop
+    computes the same component-min labeling), every document labeled
+    (itself when unpaired), cluster sizes, canonical = component min."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(n_docs)},
+docs AS (SELECT doc_id FROM documents WHERE doc_id < {n_docs}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM vpairs
+),
+reach AS (
+  SELECT doc_id AS u, doc_id AS label FROM docs
+  UNION
+  SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.u
+),
+labels AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, c.cluster_size,
+       (l.doc_id = l.cluster_id) AS is_canonical
+FROM labels l JOIN csize c ON c.cluster_id = l.cluster_id
+"""
+
+
+def duck_lsh_ann_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of lsh_bucketed_topk (operators/ann.py): the engine's
+    deterministic SRP hyperplanes (fixed-seed PCG64, bit-stable) are
+    inlined as literal (plane, pos, weight) rows, buckets are the packed
+    sign bits of vec . plane, candidates share the query's bucket, and
+    the exact cosine re-rank matches the engine's round-6 + vec_id
+    tiebreak. Sign flips would need |dot| within ~1e-13 of 0 — excluded
+    by the synthetic corpus; ties are broken identically in both engines."""
+    from pathik_spark.operators.ann import hyperplanes
+
+    pl = hyperplanes(n_planes, dim)
+    plane_rows = ", ".join(
+        f"({p}, {i}, {float(pl[p, i])!r})"
+        for p in range(n_planes)
+        for i in range(dim)
+    )
+    weight_rows = ", ".join(
+        f"({p}, {1 << (n_planes - 1 - p)})" for p in range(n_planes)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, generate_subscripts(embedding,1)-1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+planes AS (SELECT * FROM (VALUES {plane_rows}) t(p, pos, w)),
+pweights AS (SELECT * FROM (VALUES {weight_rows}) t(p, bitw)),
+dots AS (
+  SELECT v.vec_id, pl.p, SUM(v.v * pl.w) AS dot
+  FROM vecs v JOIN planes pl ON v.pos = pl.pos
+  GROUP BY v.vec_id, pl.p
+),
+buckets AS (
+  SELECT d.vec_id,
+         SUM(CASE WHEN d.dot >= 0 THEN pw.bitw ELSE 0 END) AS bucket
+  FROM dots d JOIN pweights pw ON d.p = pw.p
+  GROUP BY d.vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         SUM(qv.v * cv.v) AS dot,
+         SQRT(SUM(qv.v * qv.v)) AS nq,
+         SQRT(SUM(cv.v * cv.v)) AS nc
+  FROM buckets q
+  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN vecs qv ON qv.vec_id = q.vec_id
+  JOIN vecs cv ON cv.vec_id = c.vec_id AND cv.pos = qv.pos
+  WHERE q.vec_id < 5
+  GROUP BY q.vec_id, c.vec_id
 )
-SELECT i.doc_a, i.doc_b, i.n_inter,
-       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE EXISTS (SELECT 1 FROM cands c WHERE c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
-  AND ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.4
+SELECT query_id, vec_id, score, "rank" FROM (
+  SELECT query_id, vec_id, ROUND(dot / (nq * nc), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(dot / (nq * nc), 6) DESC, vec_id
+         ) AS "rank"
+  FROM pairs
+) t WHERE "rank" <= {k}
 """
 
 
@@ -907,6 +1006,8 @@ ENGINE_ORACLE_SQL = {
     "extract_links_discovery": duck_extract_links_sql,
     "pii_scrub": duck_pii_scrub_sql,
     "repetition_signals": duck_repetition_signals_sql,
+    "lsh_ann_topk": duck_lsh_ann_sql,
+    "dedup_clusters": duck_dedup_clusters_sql,
 }
 
 

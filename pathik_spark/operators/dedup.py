@@ -238,3 +238,116 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: the step that
+    turns pairwise similarity (LSH / SimHash / embedding pairs) into
+    dedup *clusters* so one canonical doc per component survives.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log^2 n) rounds (2-3 in practice for shallow dedup graphs), each
+    round two shuffles of the CURRENT edge set only. No driver-side
+    graph state: the only driver values are per-round convergence
+    checksums (2 longs). Per-round ``localCheckpoint`` truncates the
+    lineage so the loop's plan does not grow (the Spark-loop pitfall).
+
+    At 100 TB the edge set after LSH banding is sparse (pairs, not
+    all-pairs), so each iteration is a pair-table groupBy — the same
+    shuffle shape as the banding join that produced it.
+
+    Returns (doc_id, cluster_id) for every node present in ``edges``;
+    cluster_id is the component's minimum doc_id (deterministic).
+    """
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _canon(df: DataFrame) -> DataFrame:
+        # undirected edge as (min, max), self-loops dropped, deduped
+        return (
+            df.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # direct edges toward the smaller endpoint: (u, v) with v < u
+        directed = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = directed.groupBy("u").agg(F.min("v").alias("m"))
+        relink = directed.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_link = m.select("u", F.col("m").alias("v"))
+        return relink.union(self_link)
+
+    e = _canon(e).localCheckpoint()
+    prev = (-1, -1)
+    for _ in range(max_iters):
+        e = _canon(_small_star(_large_star(e))).localCheckpoint()
+        chk = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
+            ).alias("s"),
+        ).collect()[0]
+        cur = (chk["n"], chk["s"])
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set is a star forest in (min, max) canonical form:
+    # u is the component-min root, v a member
+    members = e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+    roots = e.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id"))
+    return members.union(roots).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus cluster labeling: every document gets a cluster_id
+    (its component min over the near-dup pair graph; itself when
+    unpaired), the cluster's size, and an is_canonical flag (the keep
+    decision: lowest doc_id in the cluster). The pair side is tiny
+    relative to the corpus, so the label join broadcasts when small and
+    shuffles on doc_id otherwise — never on the cluster key (skew-free:
+    a viral boilerplate cluster stays one label, not one partition)."""
+    labels = connected_components(pairs)
+    lab = documents.select(F.col(id_col).alias("doc_id")).join(
+        labels, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = lab.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return lab.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

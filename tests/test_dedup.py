@@ -84,3 +84,83 @@ def test_portable_hash_matches_duckdb(spark):
             "SELECT CAST(('0x' || substr(md5(?),1,15)) AS BIGINT)", [v]
         ).fetchone()[0]
         assert got[v] == expected, v
+
+
+def test_connected_components_known_graph(spark):
+    # components {1..4} (chain), {10,11}, {20,21,22} (triangle-ish), long
+    # chain 30..37 (forces >1 large/small-star round), self-loop dropped
+    edges = [
+        (2, 1), (3, 2), (4, 3),
+        (10, 11),
+        (20, 21), (21, 22), (20, 22),
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35), (35, 36), (36, 37),
+        (5, 5),
+    ]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.connected_components(df).collect()
+    }
+    want = (
+        {(i, 1) for i in (1, 2, 3, 4)}
+        | {(10, 10), (11, 10)}
+        | {(i, 20) for i in (20, 21, 22)}
+        | {(i, 30) for i in range(30, 38)}
+    )
+    assert got == want
+
+
+def test_connected_components_matches_union_find(spark):
+    # randomized graphs vs a driver-side union-find oracle
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(30, 140))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {}
+        for x in touched:
+            root = find(x)
+            want[x] = min(y for y in touched if find(y) == root)
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.connected_components(df).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_dedup_clusters_labels_every_doc(spark, docs):
+    sub = docs.filter(F.col("doc_id") < 150)
+    sh = D.word_shingles(sub, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16, portable=True)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2, portable=True)
+    pairs = D.jaccard_pairs(sh, cands, threshold=0.4)
+    out = D.dedup_clusters(sub, pairs).cache()
+    assert out.count() == sub.count()
+    # exactly one canonical per cluster, and it is the cluster min
+    bad = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.min("doc_id").alias("lo"),
+    ).filter((F.col("n_canon") != 1) | (F.col("lo") != F.col("cluster_id")))
+    assert bad.count() == 0
+    # cluster_size consistent with the labeling
+    sz = out.groupBy("cluster_id").count()
+    mism = out.join(sz, "cluster_id").filter(F.col("cluster_size") != F.col("count"))
+    assert mism.count() == 0
