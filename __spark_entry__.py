@@ -240,6 +240,35 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, pairs)
 
 
+def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (crawl prioritization signal): the real
+    iterative operator vs the oracle's chained power-iteration CTEs."""
+    from pathik_spark.entry_queries import HOST_EDGES_CTE
+    from pathik_spark.operators.rank import host_rank
+
+    _register_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {HOST_EDGES_CTE} SELECT * FROM edges")
+    return host_rank(edges)
+
+
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning decision (lang AND quality AND repetition
+    AND near-dup canonical): the real clean_corpus operator over the
+    documents table; the oracle joins the four component SQL twins."""
+    from pathik_spark.entry_queries import SPARK, repetition_text_sql
+    from pathik_spark.operators import dedup as D
+    from pathik_spark.operators.quality import clean_corpus
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 300)
+    lined = spark.sql(repetition_text_sql(SPARK)).filter(F.col("doc_id") < 300)
+    sh = D.word_shingles(docs, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16, portable=True)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2, portable=True)
+    pairs = D.jaccard_pairs(sh, cands, threshold=0.4)
+    return clean_corpus(docs, pairs, repetition_docs=lined)
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -268,10 +297,18 @@ def _urls_base(spark: SparkSession, sf_dir: str, valid_only: bool = False) -> Da
     from pathik_spark.entry_queries import URLS_CTE
 
     _register_views(spark, sf_dir)
-    # orders is a single parquet file: without a repartition the regex
-    # kernels would evaluate on 1-2 tasks regardless of cores
-    df = spark.sql(f"WITH {URLS_CTE} SELECT id, url, o_orderdate FROM urls_cte")
-    df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    # orders is a single parquet file: repartition the RAW rows first so
+    # the URL synthesis (and everything downstream) runs on all cores —
+    # repartitioning after synthesis would leave the concat/CASE chain
+    # serialized on the one input split
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).repartition(nparts).createOrReplaceTempView("orders_rep")
+    df = spark.sql(
+        f"WITH {URLS_CTE.replace('FROM orders', 'FROM orders_rep')} "
+        "SELECT id, url, o_orderdate FROM urls_cte"
+    )
     if valid_only:
         from pathik_spark.functions import urls as U
 
@@ -415,6 +452,8 @@ ENGINE_ORACLE_QUERIES = {
     "css_select": _q_css_select,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "dedup_clusters": _q_dedup_clusters,
+    "clean_corpus": _q_clean_corpus,
+    "host_rank": _q_host_rank,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

@@ -120,11 +120,14 @@ def main() -> None:
         "exact_dedup",
         "ngram_jaccard",
         "minhash_lsh_pairs",
+        "dedup_clusters",
         "simhash16",
         "ann_cosine_topk",
         "lang_id",
         "quality_score",
         "repetition_signals",
+        "clean_corpus",
+        "host_rank",
         "pii_scrub",
         "css_select",
     ):

@@ -997,6 +997,79 @@ SELECT query_id, vec_id, score, "rank" FROM (
 """
 
 
+# Deterministic host-level link graph synthesized from orders (same
+# text parses in Spark SQL and DuckDB): edge (src_host, dst_host) with
+# link-count weight, self-loops dropped.
+HOST_EDGES_CTE = """
+edges AS (
+  SELECT 'host' || CAST(o_orderkey % 40 AS STRING) AS src_host,
+         'host' || CAST(o_custkey % 40 AS STRING) AS dst_host,
+         COUNT(*) AS weight
+  FROM orders
+  WHERE (o_orderkey % 40) <> (o_custkey % 40)
+  GROUP BY 1, 2
+)
+"""
+
+
+def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
+    """DuckDB twin of host_rank (operators/rank.py): the same fixed
+    power iterations stated as chained CTEs (r0 -> c1/r1 -> ... -> rN),
+    same leak-the-dangling-mass variant, final ROUND(6)."""
+    teleport = f"((1.0 - {damping}) / (SELECT n FROM nn))"
+    parts = [
+        HOST_EDGES_CTE.strip().rstrip(),
+        """nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host AS host FROM edges
+)""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        """outw AS (
+  SELECT src_host, CAST(SUM(weight) AS DOUBLE) AS out_w FROM edges GROUP BY src_host
+)""",
+        "r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst_host AS host,
+         SUM(r.rank * CAST(e.weight AS DOUBLE) / o.out_w) AS c
+  FROM edges e
+  JOIN r{k - 1} r ON r.host = e.src_host
+  JOIN outw o ON o.src_host = e.src_host
+  GROUP BY e.dst_host
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT n0.host, {teleport} + {damping} * COALESCE(c{k}.c, 0.0) AS rank
+  FROM nodes n0 LEFT JOIN c{k} ON c{k}.host = n0.host
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
+
+
+def duck_clean_corpus_sql(n_docs: int = 300) -> str:
+    """DuckDB twin of clean_corpus (operators/quality.py): the composed
+    training-data cleaning decision — language gate AND quality gate AND
+    Gopher repetition gate AND near-dup canonical gate — built by
+    joining the four already-oracled component subqueries on doc_id."""
+    lang = q_lang_id(DUCK)
+    qual = q_quality_score(DUCK)
+    rep = duck_repetition_signals_sql()
+    clus = duck_dedup_clusters_sql(n_docs)
+    return f"""
+SELECT c.doc_id, l.lang_guess, q.quality, r.keep AS rep_keep,
+       c.cluster_id, c.cluster_size, c.is_canonical,
+       (l.lang_guess IN ('en') AND q.quality >= 0.5
+        AND r.keep AND c.is_canonical) AS keep
+FROM ({clus}) c
+JOIN ({lang}) l ON l.doc_id = c.doc_id
+JOIN ({qual}) q ON q.doc_id = c.doc_id
+JOIN ({rep}) r ON r.doc_id = c.doc_id
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -1008,6 +1081,8 @@ ENGINE_ORACLE_SQL = {
     "repetition_signals": duck_repetition_signals_sql,
     "lsh_ann_topk": duck_lsh_ann_sql,
     "dedup_clusters": duck_dedup_clusters_sql,
+    "clean_corpus": duck_clean_corpus_sql,
+    "host_rank": duck_host_rank_sql,
 }
 
 

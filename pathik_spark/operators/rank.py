@@ -1,0 +1,80 @@
+"""Host-graph link analysis for crawl prioritization.
+
+A frontier at 10^10 URLs cannot treat every host equally: the politeness
+scheduler (operators/scheduler.py) caps per-host throughput, so the
+*order* in which hosts get their budget is the real lever. PageRank over
+the host-level link graph (hosts as nodes, inter-host link counts as
+edge weights) is the classic prioritization signal — this module
+computes it with a FIXED number of power iterations so the result is a
+deterministic function of the edge table (checkable cross-engine, no
+convergence-dependent stopping).
+
+Scale shape: the host graph is tiny relative to the page graph (one row
+per (src_host, dst_host) pair, pre-aggregated), every iteration is two
+joins + one groupBy keyed by host, and the rank table is one row per
+host — broadcastable against the frontier when the scheduler consumes
+it. ``localCheckpoint`` per iteration keeps the loop's plan flat.
+
+Dangling hosts (no out-links) leak their rank mass — the deterministic
+simple variant; both the engine and the DuckDB oracle state the same
+formula, so the check is exact (final round to 6 decimals absorbs
+float-summation-order noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_rank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iters: int = 3,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank with ``n_iters`` fixed power iterations.
+
+    r_0(v)     = 1/n
+    r_{k+1}(v) = (1-d)/n + d * sum over in-edges (u,v) of
+                 r_k(u) * w(u,v) / out_w(u)
+
+    Returns (host, rank) with rank rounded to 6 decimals.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["host"])
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("host", F.round("rank", 6).alias("rank"))

@@ -1,0 +1,48 @@
+"""Host-graph PageRank (operators/rank.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.rank import host_rank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, ["src_host", "dst_host", "weight"])
+
+
+def test_uniform_ring_stays_uniform(spark):
+    # symmetric ring: every node has equal in/out weight -> rank stays 1/n
+    n = 6
+    rows = [(f"h{i}", f"h{(i + 1) % n}", 1) for i in range(n)]
+    out = {r["host"]: r["rank"] for r in host_rank(_edges(spark, rows)).collect()}
+    assert len(out) == n
+    for v in out.values():
+        assert abs(v - 1.0 / n) < 1e-6
+
+
+def test_hub_attracts_rank(spark):
+    # every spoke links to the hub; hub links back to one spoke
+    rows = [(f"s{i}", "hub", 1) for i in range(5)] + [("hub", "s0", 1)]
+    out = {r["host"]: r["rank"] for r in host_rank(_edges(spark, rows)).collect()}
+    assert out["hub"] == max(out.values())
+    assert out["s0"] > out["s1"]  # hub's back-link benefits s0 only
+
+
+def test_rank_mass_conserved_without_dangling(spark):
+    # strongly-connected-ish: everyone has out-edges -> total mass == 1
+    rows = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("b", "a", 1)]
+    total = (
+        host_rank(_edges(spark, rows))
+        .agg(F.sum("rank").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(total - 1.0) < 1e-5
+
+
+def test_weights_matter(spark):
+    # a splits its mass 9:1 between b and c -> b ends up above c
+    rows = [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
+    out = {r["host"]: r["rank"] for r in host_rank(_edges(spark, rows)).collect()}
+    assert out["b"] > out["c"]

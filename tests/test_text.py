@@ -186,3 +186,34 @@ def test_pii_scrub_matches_python_re_on_ascii(spark):
     got = {r["i"]: r["s"] for r in df.select("i", TX.pii_scrub(F.col("text")).alias("s")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == py_scrub(t), (i, repr(t), repr(got[i]), repr(py_scrub(t)))
+
+
+def test_clean_corpus_gates_compose(spark):
+    """keep is exactly the conjunction of the four component gates."""
+    from pathik_spark.operators.quality import clean_corpus
+    from pathik_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    sh = D.word_shingles(docs, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16, portable=True)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2, portable=True)
+    pairs = D.jaccard_pairs(sh, cands, threshold=0.4)
+    out = clean_corpus(docs, pairs).cache()
+    assert out.count() == docs.count()
+    bad = out.filter(
+        F.col("keep")
+        != (
+            (F.col("lang_guess") == "en")
+            & (F.col("quality") >= 0.5)
+            & F.col("rep_keep")
+            & F.col("is_canonical")
+        )
+    )
+    assert bad.count() == 0
+    # a near-dup cluster never keeps two docs
+    two = out.filter(F.col("keep")).groupBy("cluster_id").count().filter(
+        F.col("count") > 1
+    )
+    assert two.count() == 0
