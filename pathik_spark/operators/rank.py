@@ -23,7 +23,7 @@ float-summation-order noise).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,33 @@ def host_rank(
             .localCheckpoint()
         )
     return ranks.select("host", F.round("rank", 6).alias("rank"))
+
+
+def rank_priorities(
+    frontier: DataFrame,
+    ranks: DataFrame,
+    n_tiers: int = 4,
+    host_col: str = "host",
+) -> DataFrame:
+    """Turn host PageRank into the politeness scheduler's integer
+    ``priority`` (lower = scheduled sooner): hosts are tiered by rank
+    descending with ``ntile``, and each frontier row takes its host's
+    tier. Unranked hosts (not yet seen in the link graph) fall into the
+    last tier.
+
+    The rank table is one row per host — the global ntile sort and the
+    broadcast against the frontier both touch only the small side, so
+    this adds no frontier-sized shuffle to the schedule stage.
+    """
+    w = Window.orderBy(F.desc("rank"), F.asc("host"))
+    tiers = ranks.select(
+        F.col("host"), (F.ntile(n_tiers).over(w) - 1).alias("_tier")
+    )
+    return (
+        frontier.join(
+            F.broadcast(tiers), frontier[host_col] == tiers["host"], "left"
+        )
+        .drop(tiers["host"])
+        .withColumn("priority", F.coalesce(F.col("_tier"), F.lit(n_tiers - 1)))
+        .drop("_tier")
+    )

@@ -46,3 +46,22 @@ def test_weights_matter(spark):
     rows = [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
     out = {r["host"]: r["rank"] for r in host_rank(_edges(spark, rows)).collect()}
     assert out["b"] > out["c"]
+
+
+def test_rank_priorities_order_hosts_by_tier(spark):
+    ranks = spark.createDataFrame(
+        [("big", 0.5), ("mid", 0.3), ("low", 0.15), ("tiny", 0.05)],
+        ["host", "rank"],
+    )
+    frontier = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(["low", "big", "tiny", "mid", "unseen"])],
+        ["url_hash", "host"],
+    )
+    from pathik_spark.operators.rank import rank_priorities
+
+    out = {r["host"]: r["priority"] for r in rank_priorities(frontier, ranks).collect()}
+    assert out["big"] == 0 and out["mid"] == 1 and out["low"] == 2
+    assert out["tiny"] == 3
+    assert out["unseen"] == 3  # unranked -> last tier
+    # the scheduler consumes priority ascending: big before mid before low
+    assert out["big"] < out["mid"] < out["low"]
