@@ -240,6 +240,35 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, pairs)
 
 
+def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational robots.txt parsing: the real windowed-group operator
+    over a synthesized robots corpus vs the same parse restated in
+    DuckDB. Prefix arrays are '|'-joined for a scalar row shape."""
+    from pathik_spark.entry_queries import ROBOTS_DOCS_CTE
+    from pathik_spark.operators.robots import parse_robots_txt
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(f"WITH {ROBOTS_DOCS_CTE} SELECT * FROM robots_docs")
+    parsed = parse_robots_txt(docs, "pathik")
+    return parsed.select(
+        "host",
+        "crawl_delay_ms",
+        F.array_join("disallow_prefixes", "|").alias("disallow_prefixes"),
+        F.array_join("allow_prefixes", "|").alias("allow_prefixes"),
+    )
+
+
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed intake: the real <loc>-extraction operator over a
+    synthesized sitemap corpus vs the same parse in DuckDB."""
+    from pathik_spark.entry_queries import SITEMAP_DOCS_CTE
+    from pathik_spark.operators.discover import extract_sitemap_urls
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(f"WITH {SITEMAP_DOCS_CTE} SELECT * FROM sitemap_docs")
+    return extract_sitemap_urls(docs)
+
+
 def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (crawl prioritization signal): the real
     iterative operator vs the oracle's chained power-iteration CTEs."""
@@ -454,6 +483,8 @@ ENGINE_ORACLE_QUERIES = {
     "dedup_clusters": _q_dedup_clusters,
     "clean_corpus": _q_clean_corpus,
     "host_rank": _q_host_rank,
+    "robots_parse": _q_robots_parse,
+    "sitemap_urls": _q_sitemap_urls,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

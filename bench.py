@@ -128,6 +128,8 @@ def main() -> None:
         "repetition_signals",
         "clean_corpus",
         "host_rank",
+        "robots_parse",
+        "sitemap_urls",
         "pii_scrub",
         "css_select",
     ):

@@ -1049,6 +1049,130 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+# Deterministic robots.txt corpus synthesized from the orders hosts
+# (same text parses in Spark SQL and DuckDB). Three shapes: a '*'-only
+# group, an exact-UA group followed by a '*' group (exact must win), and
+# a foreign-UA-only file (no applicable rules -> host absent from the
+# parsed output).
+ROBOTS_DOCS_CTE = """
+robots_docs AS (
+  SELECT 'host' || CAST(h AS STRING) AS host,
+    CASE
+      WHEN h % 3 = 0 THEN '# blanket rules' || chr(10)
+        || 'User-agent: *' || chr(10)
+        || 'Disallow: /private' || chr(10)
+        || 'Disallow: /tmp' || CAST(h AS STRING) || chr(10)
+        || 'Crawl-delay: ' || CAST(h % 4 AS STRING)
+      WHEN h % 3 = 1 THEN 'User-agent: pathik' || chr(10)
+        || 'User-agent: otherbot' || chr(10)
+        || 'Disallow: /api/' || CAST(h AS STRING) || chr(10)
+        || 'Allow: /api/public' || chr(10)
+        || 'Crawl-delay: 0.5' || chr(10)
+        || 'User-agent: *' || chr(10)
+        || 'Disallow: /everything'
+      ELSE 'User-agent: GoogleBot' || chr(10) || 'Disallow: /g  # trailing comment'
+    END AS robots_txt
+  FROM (SELECT DISTINCT o_orderkey % 40 AS h FROM orders)
+)
+"""
+
+
+def duck_robots_parse_sql(user_agent: str = "pathik") -> str:
+    """DuckDB twin of parse_robots_txt (operators/robots.py): the same
+    relational parse — line explode, comment strip, directive filter,
+    User-agent-run group ids via lag+sum windows, exact-over-star group
+    selection, sorted-distinct rule aggregation — over the synthesized
+    ROBOTS_DOCS_CTE corpus. Prefix arrays are '|'-joined for a scalar
+    row shape."""
+    ua = user_agent.lower()
+    return f"""
+WITH {ROBOTS_DOCS_CTE.strip()},
+lines AS (
+  SELECT host, generate_subscripts(ls, 1) AS pos, unnest(ls) AS raw
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM robots_docs)
+),
+directives AS (
+  SELECT host, pos,
+         lower(trim(split_part(line, ':', 1))) AS field,
+         trim(substr(line, instr(line, ':') + 1, length(line))) AS value
+  FROM (SELECT host, pos, trim(regexp_replace(raw, '#.*$', '', 'g')) AS line FROM lines)
+  WHERE instr(line, ':') > 0
+    AND lower(trim(split_part(line, ':', 1)))
+        IN ('user-agent', 'disallow', 'allow', 'crawl-delay')
+),
+flagged AS (
+  SELECT host, pos, field, value,
+         CASE WHEN field = 'user-agent'
+                   AND COALESCE(LAG(CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY host ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS _start
+  FROM directives
+),
+grouped AS (
+  SELECT host, pos, field, value,
+         SUM(_start) OVER (PARTITION BY host ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS group_id
+  FROM flagged
+),
+groups AS (
+  SELECT host, group_id,
+    MAX(CASE WHEN field = 'user-agent' AND lower(value) = '{ua}' THEN 1 ELSE 0 END) AS has_exact,
+    MAX(CASE WHEN field = 'user-agent' AND value = '*' THEN 1 ELSE 0 END) AS has_star,
+    COALESCE(list_sort(list_distinct(
+        list(value) FILTER (WHERE field = 'disallow' AND value <> ''))), []) AS disallow,
+    COALESCE(list_sort(list_distinct(
+        list(value) FILTER (WHERE field = 'allow' AND value <> ''))), []) AS allow,
+    MIN(CASE WHEN field = 'crawl-delay' THEN CAST(value AS DOUBLE) END) AS delay_s
+  FROM grouped GROUP BY host, group_id
+),
+host_mode AS (SELECT host, MAX(has_exact) AS any_exact FROM groups GROUP BY host),
+chosen AS (
+  SELECT g.* FROM groups g JOIN host_mode m ON m.host = g.host
+  WHERE (m.any_exact = 1 AND g.has_exact = 1)
+     OR (m.any_exact = 0 AND g.has_star = 1)
+)
+SELECT host,
+  CAST(MIN(delay_s) * 1000 AS BIGINT) AS crawl_delay_ms,
+  COALESCE(array_to_string(list_sort(list_distinct(flatten(list(disallow)))), '|'), '') AS disallow_prefixes,
+  COALESCE(array_to_string(list_sort(list_distinct(flatten(list(allow)))), '|'), '') AS allow_prefixes
+FROM chosen GROUP BY host
+"""
+
+
+# Deterministic sitemap corpus from the orders hosts (same text parses
+# in Spark SQL and DuckDB): each host's sitemap has a clean loc, a
+# whitespace-padded loc (trim case), an invalid-scheme loc (filtered by
+# the F1 predicate) and a duplicate (collapsed by the distinct).
+SITEMAP_DOCS_CTE = """
+sitemap_docs AS (
+  SELECT 'host' || CAST(h AS STRING) AS host,
+    '<?xml version="1.0"?><urlset>'
+    || '<url><loc>https://host' || CAST(h AS STRING) || '.example/page' || CAST(h AS STRING) || '</loc></url>'
+    || '<url><loc>  https://host' || CAST(h AS STRING) || '.example/padded  </loc></url>'
+    || '<url><loc>ftp://bad' || CAST(h AS STRING) || '.example/x</loc></url>'
+    || '<url><loc>https://host' || CAST(h AS STRING) || '.example/page' || CAST(h AS STRING) || '</loc></url>'
+    || '</urlset>' AS sitemap_xml
+  FROM (SELECT DISTINCT o_orderkey % 40 AS h FROM orders)
+)
+"""
+
+
+def duck_sitemap_urls_sql() -> str:
+    """DuckDB twin of extract_sitemap_urls (operators/discover.py):
+    regexp_extract_all over <loc> entries, trim, F1 validity filter,
+    per-host distinct — over the synthesized SITEMAP_DOCS_CTE corpus."""
+    d = DUCK
+    return f"""
+WITH {SITEMAP_DOCS_CTE.strip()},
+locs AS (
+  SELECT host,
+         trim(unnest(regexp_extract_all(sitemap_xml, '<loc>\\s*([^<]+?)\\s*</loc>', 1))) AS url
+  FROM sitemap_docs
+)
+SELECT DISTINCT host, url FROM locs WHERE {_valid_pred(d)}
+"""
+
+
 def duck_clean_corpus_sql(n_docs: int = 300) -> str:
     """DuckDB twin of clean_corpus (operators/quality.py): the composed
     training-data cleaning decision — language gate AND quality gate AND
@@ -1083,6 +1207,8 @@ ENGINE_ORACLE_SQL = {
     "dedup_clusters": duck_dedup_clusters_sql,
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,
+    "robots_parse": duck_robots_parse_sql,
+    "sitemap_urls": duck_sitemap_urls_sql,
 }
 
 

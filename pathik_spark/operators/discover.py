@@ -73,3 +73,24 @@ def _rank_discovered(
         .withColumn("priority", F.lit(DISCOVERED_PRIORITY))
         .select("url", "seq", "priority")
     )
+
+
+def extract_sitemap_urls(
+    sitemaps: DataFrame,
+    content_col: str = "sitemap_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """Seed intake from sitemap XML (urlset or sitemapindex): pull every
+    ``<loc>`` entry, trim, dedup per host. Pure regexp_extract_all +
+    explode — codegen'd, shuffle only for the final distinct, so 10^8
+    sitemap documents parse inside their scan tasks.
+
+    Returns (host, url) distinct rows, valid-URL-filtered with the same
+    predicate the frontier applies (F1), ready to union into seeds."""
+    locs = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.expr(f"regexp_extract_all({content_col}, '<loc>\\\\s*([^<]+?)\\\\s*</loc>', 1)")
+        ).alias("url"),
+    ).select("host", F.trim(F.col("url")).alias("url"))
+    return locs.filter(U.is_valid_url_expr(F.col("url"))).distinct()

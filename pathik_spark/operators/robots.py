@@ -22,15 +22,23 @@ DEFAULT_MAX_PER_ROUND = 1_000_000_000
 
 def attach_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Left-join per-host budgets; hosts without a robots row get the
-    defaults (crawl ok, no delay)."""
-    rb = robots.select(
-        "host",
+    defaults (crawl ok, no delay). ``allow_prefixes`` (emitted by
+    parse_robots_txt) rides along when the robots table has it."""
+    cols = [
+        F.col("host"),
         F.col("crawl_delay_ms").cast("long").alias("crawl_delay_ms"),
-        "disallow_prefixes",
-        F.col("max_per_round").cast("int").alias("max_per_round"),
-    )
+        F.col("disallow_prefixes"),
+    ]
+    has_allow = "allow_prefixes" in robots.columns
+    if has_allow:
+        cols.append(F.col("allow_prefixes"))
+    if "max_per_round" in robots.columns:
+        cols.append(F.col("max_per_round").cast("int").alias("max_per_round"))
+    else:
+        cols.append(F.lit(None).cast("int").alias("max_per_round"))
+    rb = robots.select(*cols)
     joined = frontier.join(F.broadcast(rb), "host", "left")
-    return joined.select(
+    out = [
         frontier["*"],
         F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)).alias(
             "crawl_delay_ms"
@@ -39,13 +47,138 @@ def attach_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             "max_per_round"
         ),
         F.coalesce(F.col("disallow_prefixes"), F.array()).alias("disallow_prefixes"),
+    ]
+    if has_allow:
+        out.append(F.coalesce(F.col("allow_prefixes"), F.array()).alias("allow_prefixes"))
+    return joined.select(*out)
+
+
+def _longest_match_len(prefixes, path):
+    """Length of the longest prefix in ``prefixes`` matching ``path``
+    (0 when none): filter + transform + array_max, all codegen'd."""
+    matched = F.transform(
+        F.filter(prefixes, lambda p: F.startswith(path, p)),
+        lambda p: F.length(p),
     )
+    return F.coalesce(F.array_max(matched), F.lit(0))
 
 
 def filter_disallowed(frontier_with_robots: DataFrame) -> DataFrame:
-    """Drop URLs whose path starts with any disallowed prefix."""
+    """Drop URLs blocked by the robots rules. With only
+    ``disallow_prefixes`` present: blocked = any disallow prefix matches
+    the path. When ``allow_prefixes`` is also present (parse_robots_txt
+    output), RFC 9309 longest-match precedence applies: the rule with
+    the most matching octets wins, Allow winning ties."""
+    df = frontier_with_robots
     path = U.path_of(F.col("url"))
-    blocked = F.exists(
-        F.col("disallow_prefixes"), lambda p: F.startswith(path, p)
+    dis_len = _longest_match_len(F.col("disallow_prefixes"), path)
+    if "allow_prefixes" in df.columns:
+        blocked = dis_len > _longest_match_len(F.col("allow_prefixes"), path)
+        return df.filter(~blocked).drop("disallow_prefixes", "allow_prefixes")
+    return df.filter(~(dis_len > 0)).drop("disallow_prefixes")
+
+
+def parse_robots_txt(
+    robots_docs: DataFrame,
+    user_agent: str = "pathik",
+    host_col: str = "host",
+    content_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the per-host rules table the
+    politeness pipeline consumes — entirely relationally (explode lines
+    -> window group-ids -> group selection -> rule aggregation), no
+    Python in the path, so 10^8 hosts parse as one windowed plan
+    partitioned by host.
+
+    Implemented subset of RFC 9309 grouping (documented simplifications:
+    unknown fields and blank lines are dropped before grouping rather
+    than acting as separators):
+
+    - ``#`` comments stripped, fields case-insensitive;
+    - consecutive ``User-agent`` lines open ONE group; rules follow
+      until the next User-agent run;
+    - all groups naming the crawler's exact token (case-insensitive)
+      are merged; if none exist, the ``*`` groups are merged instead;
+    - Disallow/Allow values collected as sorted distinct prefix arrays
+      (empty values dropped — "Disallow:" means allow-all);
+    - ``Crawl-delay`` (seconds, fractional ok) -> minimum across chosen
+      groups, returned as ``crawl_delay_ms`` (null when absent).
+
+    Returns (host, crawl_delay_ms, disallow_prefixes, allow_prefixes).
+    """
+    from pyspark.sql import Window
+
+    ua = user_agent.lower()
+    lines = robots_docs.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"),
     )
-    return frontier_with_robots.filter(~blocked).drop("disallow_prefixes")
+    directives = (
+        lines.select(
+            "host",
+            "pos",
+            F.trim(F.regexp_replace(F.col("line"), "#.*$", "")).alias("line"),
+        )
+        .filter(F.col("line").contains(":"))
+        .select(
+            "host",
+            "pos",
+            F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))).alias("field"),
+            F.trim(
+                F.expr("substring(line, instr(line, ':') + 1, length(line))")
+            ).alias("value"),
+        )
+        .filter(F.col("field").isin("user-agent", "disallow", "allow", "crawl-delay"))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("field") == "user-agent").cast("int")
+    grouped = directives.withColumn(
+        "_start",
+        ((is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)).cast("int"),
+    ).withColumn("group_id", F.sum("_start").over(w))
+
+    groups = grouped.groupBy("host", "group_id").agg(
+        F.max(
+            ((F.col("field") == "user-agent") & (F.lower("value") == ua)).cast("int")
+        ).alias("has_exact"),
+        F.max(
+            ((F.col("field") == "user-agent") & (F.col("value") == "*")).cast("int")
+        ).alias("has_star"),
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        (F.col("field") == "disallow") & (F.col("value") != ""),
+                        F.col("value"),
+                    )
+                )
+            )
+        ).alias("disallow"),
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        (F.col("field") == "allow") & (F.col("value") != ""),
+                        F.col("value"),
+                    )
+                )
+            )
+        ).alias("allow"),
+        F.min(
+            F.when(F.col("field") == "crawl-delay", F.col("value").cast("double"))
+        ).alias("delay_s"),
+    )
+    host_mode = groups.groupBy("host").agg(F.max("has_exact").alias("any_exact"))
+    chosen = groups.join(host_mode, "host").filter(
+        ((F.col("any_exact") == 1) & (F.col("has_exact") == 1))
+        | ((F.col("any_exact") == 0) & (F.col("has_star") == 1))
+    )
+    return chosen.groupBy("host").agg(
+        (F.min("delay_s") * 1000).cast("long").alias("crawl_delay_ms"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("disallow")))).alias(
+            "disallow_prefixes"
+        ),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("allow")))).alias(
+            "allow_prefixes"
+        ),
+    )

@@ -1,0 +1,108 @@
+"""Relational robots.txt parser (operators/robots.parse_robots_txt)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.robots import (
+    attach_robots,
+    filter_disallowed,
+    parse_robots_txt,
+)
+
+EXACT_AND_STAR = """# comment line
+User-agent: *
+Disallow: /private
+Crawl-delay: 1
+
+User-agent: pathik
+User-agent: otherbot
+Disallow: /api
+Disallow: /tmp
+Allow: /api/public
+Crawl-delay: 0.5"""
+
+STAR_ONLY_MIXED_CASE = """User-Agent: GoogleBot
+Disallow: /g
+User-agent: *
+disallow: /private
+CRAWL-DELAY: 2"""
+
+NO_DIRECTIVES = "just some garbage\nno directives here"
+
+FOREIGN_ONLY = "User-agent: GoogleBot\nDisallow: /g"
+
+
+def _parse(spark, rows, ua="pathik"):
+    df = spark.createDataFrame(rows, ["host", "robots_txt"])
+    return {r["host"]: r for r in parse_robots_txt(df, ua).collect()}
+
+
+def test_exact_group_beats_star(spark):
+    out = _parse(spark, [("h1", EXACT_AND_STAR)])
+    r = out["h1"]
+    assert r["crawl_delay_ms"] == 500
+    assert r["disallow_prefixes"] == ["/api", "/tmp"]
+    assert r["allow_prefixes"] == ["/api/public"]
+
+
+def test_star_fallback_and_case_insensitive_fields(spark):
+    out = _parse(spark, [("h2", STAR_ONLY_MIXED_CASE)])
+    r = out["h2"]
+    assert r["crawl_delay_ms"] == 2000
+    assert r["disallow_prefixes"] == ["/private"]
+    assert r["allow_prefixes"] == []
+
+
+def test_hosts_without_applicable_groups_are_absent(spark):
+    out = _parse(spark, [("h3", NO_DIRECTIVES), ("h4", FOREIGN_ONLY)])
+    assert out == {}
+
+
+def test_user_agent_matching_is_case_insensitive(spark):
+    out = _parse(spark, [("h1", EXACT_AND_STAR)], ua="PATHIK")
+    assert out["h1"]["crawl_delay_ms"] == 500
+
+
+def test_parsed_rules_drive_the_politeness_filter(spark):
+    parsed = parse_robots_txt(
+        spark.createDataFrame([("h1", EXACT_AND_STAR)], ["host", "robots_txt"]),
+        "pathik",
+    ).withColumn("max_per_round", F.lit(10))
+    frontier = spark.createDataFrame(
+        [
+            (1, "h1", "https://h1/api/secret"),
+            (2, "h1", "https://h1/ok/page"),
+            (3, "h2", "https://h2/anything"),
+        ],
+        ["url_hash", "host", "url"],
+    )
+    kept = filter_disallowed(attach_robots(frontier, parsed))
+    urls = {r["url"] for r in kept.collect()}
+    assert urls == {"https://h1/ok/page", "https://h2/anything"}
+    delays = {r["host"]: r["crawl_delay_ms"] for r in kept.collect()}
+    assert delays == {"h1": 500, "h2": 0}
+
+
+def test_allow_overrides_disallow_by_longest_match(spark):
+    # RFC 9309 precedence: /api/public is allowed (longer allow match),
+    # /api/secret is blocked, equal-length tie goes to allow
+    robots = spark.createDataFrame(
+        [("h1", 0, ["/api", "/x"], ["/api/public", "/x"])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>, allow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [
+            (1, "h1", "https://h1/api/secret"),
+            (2, "h1", "https://h1/api/public/doc"),
+            (3, "h1", "https://h1/x"),      # tie -> allow wins
+            (4, "h1", "https://h1/free"),
+        ],
+        ["url_hash", "host", "url"],
+    )
+    kept = filter_disallowed(attach_robots(frontier, robots))
+    assert {r["url"] for r in kept.collect()} == {
+        "https://h1/api/public/doc",
+        "https://h1/x",
+        "https://h1/free",
+    }
