@@ -73,6 +73,9 @@ class CrawlConfig:
     # spot-instance clusters).
     eager_commit: bool = False
     n_rounds: int = 1
+    # crawler product token: robots.txt group selection (RFC 9309) when
+    # the robots input is raw robots_txt bodies rather than a rules table
+    user_agent: str = "pathik"
     kafka_compression: str = "gzip"  # kafka.go:152-165 default
     max_message_bytes: int = 10 * 1024 * 1024  # schema.py:205-243 range
     extra: dict = field(default_factory=dict)

@@ -88,6 +88,14 @@ class CrawlRun:
     ):
         self.spark = spark
         self.pages = pages
+        if robots is not None and "robots_txt" in robots.columns:
+            # raw robots.txt bodies: parse them into the rules table once
+            # (relational parse, operators/robots.parse_robots_txt); the
+            # tiny result is cached since every round broadcasts it
+            from pathik_spark.operators.robots import parse_robots_txt
+
+            cfg = config or CrawlConfig()
+            robots = parse_robots_txt(robots, cfg.user_agent).cache()
         self.robots = robots
         self.links = links
         self.config = (config or CrawlConfig()).validate()

@@ -140,3 +140,37 @@ def test_eager_commit_equals_deferred(spark, corpus, tmp_path):
         assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
             map(tuple, b.select(*cols).collect())
         )
+
+
+def test_raw_robots_txt_input_equals_rules_table(spark, corpus, corpus_pd, tmp_path):
+    """CrawlRun accepts raw robots.txt bodies: rendering the fixture's
+    rules as robots.txt text and letting the driver parse them yields
+    the identical round (same stats, same scheduled URL set) as the
+    pre-parsed rules table (max_per_round omitted from both so the
+    comparison isolates the parser)."""
+    rules = corpus["robots"].select("host", "crawl_delay_ms", "disallow_prefixes")
+    texts = []
+    for r in corpus_pd["robots"].itertuples():
+        lines = ["User-agent: pathik", f"Crawl-delay: {r.crawl_delay_ms / 1000.0}"]
+        lines += [f"Disallow: {p}" for p in r.disallow_prefixes]
+        texts.append((r.host, "\n".join(lines)))
+    raw = spark.createDataFrame(texts, ["host", "robots_txt"])
+
+    runs = {}
+    for name, robots in (("table", rules), ("text", raw)):
+        run = CrawlRun(
+            spark,
+            pages=corpus["pages"],
+            robots=robots,
+            links=corpus["links"],
+            state_dir=str(tmp_path / name),
+            config=CrawlConfig(run_id=f"rt-{name}"),
+        )
+        stats = run.run(corpus["seeds"], n_rounds=1)
+        arts = run.store.read_table(0, "artifacts")
+        runs[name] = (
+            stats[0].scheduled,
+            stats[0].fetched,
+            {r["url"] for r in arts.select("url").collect()},
+        )
+    assert runs["table"] == runs["text"]
