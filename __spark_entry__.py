@@ -258,6 +258,26 @@ def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness recrawl: the real recrawl_filter operator (TTL-gated
+    seen anti-join) vs the SQL restatement with the same cutoff."""
+    from pathik_spark.entry_queries import RECRAWL_CUTOFF
+    from pathik_spark.operators.dedup import portable_hash64
+    from pathik_spark.operators.seen import recrawl_filter
+
+    frontier = _urls_base(spark, sf_dir, valid_only=True).select(
+        "id", "url", portable_hash64(F.col("url")).alias("url_hash")
+    )
+    seen = _urls_base(spark, sf_dir).filter(F.col("id") % 3 == 0).select(
+        portable_hash64(F.col("url")).alias("url_hash"),
+        F.col("o_orderdate").alias("seen_ts"),
+    )
+    out = recrawl_filter(
+        frontier, seen, F.lit(RECRAWL_CUTOFF).cast("date"), ts_col="seen_ts"
+    )
+    return out.select("id", "url")
+
+
 def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed intake: the real <loc>-extraction operator over a
     synthesized sitemap corpus vs the same parse in DuckDB."""
@@ -485,6 +505,7 @@ ENGINE_ORACLE_QUERIES = {
     "host_rank": _q_host_rank,
     "robots_parse": _q_robots_parse,
     "sitemap_urls": _q_sitemap_urls,
+    "url_recrawl_ttl": _q_url_recrawl,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

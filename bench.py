@@ -117,6 +117,7 @@ def main() -> None:
         "join_agg_revenue",
         "url_canonicalize",
         "url_seen_antijoin",
+        "url_recrawl_ttl",
         "exact_dedup",
         "ngram_jaccard",
         "minhash_lsh_pairs",

@@ -1157,6 +1157,30 @@ sitemap_docs AS (
 """
 
 
+RECRAWL_CUTOFF = "1996-01-01"
+
+
+def duck_url_recrawl_sql() -> str:
+    """DuckDB twin of recrawl_filter (operators/seen.py): a seen record
+    blocks only while its timestamp is at/after the cutoff (younger than
+    the recrawl TTL); stale records expire and the URL re-enters."""
+    d = DUCK
+    return f"""
+WITH {URLS_CTE},
+frontier AS (SELECT id, url FROM urls_cte WHERE {_valid_pred(d)}),
+seen AS (
+  SELECT {d['HASH60']('url')} AS url_hash, o_orderdate AS seen_ts
+  FROM urls_cte WHERE id % 3 = 0
+)
+SELECT f.id AS id, f.url AS url FROM frontier f
+WHERE NOT EXISTS (
+  SELECT 1 FROM seen s
+  WHERE s.url_hash = {d['HASH60']('f.url')}
+    AND s.seen_ts >= DATE '{RECRAWL_CUTOFF}'
+)
+"""
+
+
 def duck_sitemap_urls_sql() -> str:
     """DuckDB twin of extract_sitemap_urls (operators/discover.py):
     regexp_extract_all over <loc> entries, trim, F1 validity filter,
@@ -1209,6 +1233,7 @@ ENGINE_ORACLE_SQL = {
     "host_rank": duck_host_rank_sql,
     "robots_parse": duck_robots_parse_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
+    "url_recrawl_ttl": duck_url_recrawl_sql,
 }
 
 

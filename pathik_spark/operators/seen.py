@@ -168,3 +168,29 @@ def seen_filter(
     suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     survivors = suspects.join(seen_keys, "url_hash", "left_anti")
     return definitely_new.unionByName(survivors)
+
+
+def recrawl_filter(
+    frontier: DataFrame,
+    seen: DataFrame | None,
+    cutoff,
+    ts_col: str = "seen_ts",
+    bloom_shards_bc=None,
+) -> DataFrame:
+    """Freshness-aware URL-seen: a seen record only blocks the frontier
+    while it is at/after ``cutoff`` (i.e. younger than the recrawl TTL);
+    staler records expire and the URL re-enters the frontier — the
+    recrawl policy a long-running crawl needs on top of the absolute
+    seen filter.
+
+    Composes soundly with the bloom pre-filter built over the FULL seen
+    set: a bloom miss is guaranteed never-seen, hence also not
+    fresh-seen; bloom hits are verified by the exact anti-join against
+    the fresh subset anyway. So the shards broadcast by the driver stay
+    usable unchanged, and the only extra work vs seen_filter is the
+    timestamp predicate pushed into the seen-side scan.
+    """
+    if seen is None:
+        return frontier
+    fresh = seen.filter(F.col(ts_col) >= cutoff).select("url_hash")
+    return seen_filter(frontier, fresh, bloom_shards_bc)

@@ -52,3 +52,58 @@ def test_bloom_has_no_false_negatives(spark, corpus):
 def test_none_seen_passthrough(spark, corpus):
     fr = _frontier(corpus)
     assert seen_filter(fr, None) is fr
+
+
+def test_recrawl_filter_readmits_stale_seen(spark, corpus):
+    from pathik_spark.operators.seen import recrawl_filter
+
+    fr = _frontier(corpus).cache()
+    # every other url seen: half of those long ago (stale), half just now
+    seen = (
+        fr.filter(F.col("seq") % 2 == 0)
+        .select("url_hash", "host_hash")
+        .withColumn(
+            "seen_ts",
+            F.when(F.pmod(F.col("url_hash"), F.lit(2)) == 0, F.lit(100)).otherwise(
+                F.lit(10_000)
+            ),
+        )
+    )
+    out = recrawl_filter(fr, seen, cutoff=F.lit(5_000), ts_col="seen_ts")
+    got = {r["url_hash"] for r in out.select("url_hash").collect()}
+    fresh_blocked = {
+        r["url_hash"]
+        for r in seen.filter(F.col("seen_ts") >= 5_000).select("url_hash").collect()
+    }
+    all_fr = {r["url_hash"] for r in fr.select("url_hash").collect()}
+    assert got == all_fr - fresh_blocked
+    # stale-seen urls ARE re-admitted (they were seen, but expired)
+    stale = {
+        r["url_hash"]
+        for r in seen.filter(F.col("seen_ts") < 5_000).select("url_hash").collect()
+    }
+    assert stale - fresh_blocked <= got
+
+
+def test_recrawl_filter_composes_with_full_set_bloom(spark, corpus):
+    from pathik_spark.operators.seen import recrawl_filter
+
+    fr = _frontier(corpus).cache()
+    seen = (
+        fr.filter(F.col("seq") % 3 == 0)
+        .select("url_hash", "host_hash")
+        .withColumn(
+            "seen_ts",
+            F.when(F.pmod(F.col("url_hash"), F.lit(2)) == 0, F.lit(100)).otherwise(
+                F.lit(10_000)
+            ),
+        )
+    )
+    # bloom built over the FULL seen set (as the driver does), TTL applied inside
+    shards = build_bloom_shards(seen, fpp=0.05)
+    bc = spark.sparkContext.broadcast(shards)
+    with_bloom = recrawl_filter(fr, seen, cutoff=F.lit(5_000), bloom_shards_bc=bc, ts_col="seen_ts")
+    without = recrawl_filter(fr, seen, cutoff=F.lit(5_000), ts_col="seen_ts")
+    a = {r["url_hash"] for r in with_bloom.select("url_hash").collect()}
+    b = {r["url_hash"] for r in without.select("url_hash").collect()}
+    assert a == b
