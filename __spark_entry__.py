@@ -258,6 +258,26 @@ def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink header kernel: the real warc_record_rows expressions
+    over a synthesized payload (id %% 50 'x' bytes) vs the SQL twin —
+    validates WARC-Date, the deterministic record id, and the record
+    length arithmetic; full-record byte identity is pytest-verified
+    (tests/test_warc.py)."""
+    from pathik_spark.sources.sinks import warc_record_rows
+
+    base = _urls_base(spark, sf_dir, valid_only=True)
+    arts = base.select(
+        "url",
+        F.to_timestamp(F.col("o_orderdate")).alias("warc_ts"),
+        F.encode(
+            F.repeat(F.lit("x"), F.pmod(F.col("id"), F.lit(50)).cast("int")), "utf-8"
+        ).alias("html"),
+        F.lit("fetched").alias("status"),
+    )
+    return warc_record_rows(arts).select("url", "warc_date", "record_id", "record_len")
+
+
 def _q_url_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness recrawl: the real recrawl_filter operator (TTL-gated
     seen anti-join) vs the SQL restatement with the same cutoff."""
@@ -506,6 +526,7 @@ ENGINE_ORACLE_QUERIES = {
     "robots_parse": _q_robots_parse,
     "sitemap_urls": _q_sitemap_urls,
     "url_recrawl_ttl": _q_url_recrawl,
+    "warc_headers": _q_warc_headers,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

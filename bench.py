@@ -131,6 +131,7 @@ def main() -> None:
         "host_rank",
         "robots_parse",
         "sitemap_urls",
+        "warc_headers",
         "pii_scrub",
         "css_select",
     ):

@@ -1160,6 +1160,39 @@ sitemap_docs AS (
 RECRAWL_CUTOFF = "1996-01-01"
 
 
+def duck_warc_headers_sql() -> str:
+    """DuckDB twin of the WARC record header kernel (sinks.
+    warc_record_rows over a synthesized payload): RFC3339 WARC-Date
+    from the timestamp, deterministic md5-grouped urn:uuid record id,
+    and the total record length arithmetic (header bytes + CRLFCRLF +
+    payload + CRLFCRLF). Payload bytes are ``id % 50`` 'x' chars so the
+    length math is checkable without a binary column."""
+    d = DUCK
+    h = "md5(url)"
+    rid = (
+        f"'urn:uuid:' || substr({h},1,8) || '-' || substr({h},9,4) || '-' || "
+        f"substr({h},13,4) || '-' || substr({h},17,4) || '-' || substr({h},21,12)"
+    )
+    wd = "strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ')"
+    payload_len = "(id % 50)"
+    crlf = "chr(13) || chr(10)"
+    header = (
+        f"'WARC/1.0' || {crlf} || 'WARC-Type: resource' || {crlf} || "
+        f"'WARC-Target-URI: ' || url || {crlf} || "
+        f"'WARC-Date: ' || {wd} || {crlf} || "
+        f"'WARC-Record-ID: <' || {rid} || '>' || {crlf} || "
+        f"'Content-Type: text/html' || {crlf} || "
+        f"'Content-Length: ' || CAST({payload_len} AS STRING)"
+    )
+    return f"""
+WITH {URLS_CTE},
+frontier AS (SELECT id, url, o_orderdate FROM urls_cte WHERE {_valid_pred(d)})
+SELECT url, {wd} AS warc_date, {rid} AS record_id,
+       CAST(length({header}) + 4 + {payload_len} + 4 AS BIGINT) AS record_len
+FROM frontier
+"""
+
+
 def duck_url_recrawl_sql() -> str:
     """DuckDB twin of recrawl_filter (operators/seen.py): a seen record
     blocks only while its timestamp is at/after the cutoff (younger than
@@ -1234,6 +1267,7 @@ ENGINE_ORACLE_SQL = {
     "robots_parse": duck_robots_parse_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
     "url_recrawl_ttl": duck_url_recrawl_sql,
+    "warc_headers": duck_warc_headers_sql,
 }
 
 

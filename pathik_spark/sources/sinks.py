@@ -262,3 +262,104 @@ def filter_kafka_rows(
     if session_id is not None:
         df = df.filter(header_value("sessionID") == session_id)
     return df
+
+
+# ---------------------------------------------------------------------------
+# WARC sink — the Common-Crawl-native archive format for fetched pages
+# ---------------------------------------------------------------------------
+
+def _warc_uuid(url_col) -> F.Column:
+    """Deterministic urn:uuid per url: md5(url) hex grouped 8-4-4-4-12 —
+    replayable (X9 discipline: never wall clock, no RNG state)."""
+    h = F.md5(url_col)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def warc_record_rows(artifacts: DataFrame) -> DataFrame:
+    """WARC/1.0 ``resource`` records for fetched pages, assembled with
+    JVM expressions only (string header + binary payload concat — no
+    Python in the record path): (url, warc_date, record_id,
+    record binary, record_len).
+
+    Header fields follow ISO 28500: WARC-Target-URI, WARC-Date (UTC
+    RFC3339 derived from warc_ts, never wall clock), a deterministic
+    WARC-Record-ID, Content-Type and the payload byte Content-Length.
+    Records end with the mandatory CRLF CRLF block delimiter."""
+    fetched = artifacts.filter(F.col("status") == "fetched")
+    payload = F.col("html")
+    n = F.length(payload)
+    date = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.col("url")))
+    header = F.concat_ws(
+        "\r\n",
+        F.lit("WARC/1.0"),
+        F.lit("WARC-Type: resource"),
+        F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+        F.concat(F.lit("WARC-Date: "), date),
+        F.concat(F.lit("WARC-Record-ID: <"), rid, F.lit(">")),
+        F.lit("Content-Type: text/html"),
+        F.concat(F.lit("Content-Length: "), n.cast("string")),
+    )
+    record = F.concat(
+        F.encode(F.concat(header, F.lit("\r\n\r\n")), "utf-8"),
+        payload,
+        F.encode(F.lit("\r\n\r\n"), "utf-8"),
+    )
+    return fetched.select(
+        "url",
+        date.alias("warc_date"),
+        rid.alias("record_id"),
+        record.alias("record"),
+        F.length(record).alias("record_len"),
+    )
+
+
+def write_warc_files(records: DataFrame, out_dir: str, prefix: str = "pathik") -> list:
+    """Write records as one ``.warc`` file per partition (the standard
+    many-archive layout: each task streams its records sequentially, no
+    shuffle, file count = partition count). Returns per-file
+    (path, n_records, n_bytes) rows — the manifest a downstream CDX
+    indexer consumes."""
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def writer(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc")
+        n_rec = 0
+        n_bytes = 0
+        with open(path, "ab") as f:
+            for pdf in batches:
+                for blob in pdf["record"]:
+                    b = bytes(blob)
+                    f.write(b)
+                    n_rec += 1
+                    n_bytes += len(b)
+        yield pd.DataFrame([{"path": path, "n_records": n_rec, "n_bytes": n_bytes}])
+
+    return (
+        records.select("record")
+        .mapInPandas(writer, schema)
+        .filter(F.col("n_records") > 0)
+        .collect()
+    )
