@@ -285,3 +285,50 @@ def stream_to_kafka(
         else:
             result[u] = {"success": False, "error": "URL was not successfully crawled"}
     return result
+
+
+def crawl_to_warc(
+    urls: str | list[str],
+    output_dir: str,
+    *,
+    spark: SparkSession,
+    pages: DataFrame | str,
+    prefix: str = "pathik",
+    index_path: str | None = None,
+) -> dict[str, dict]:
+    """Crawl the urls and archive fetched pages as WARC (ISO 28500)
+    files plus the CDX-style per-record index — the Common-Crawl-native
+    output the batch engine exposes alongside local/R2/Kafka sinks.
+    Returns per-url {success, path, offset, length} (the index entry,
+    so any consumer can random-access its record), or {success: False,
+    error} for misses."""
+    urls = _as_list(urls)
+    arts = _crawl_artifacts(spark, urls, pages)
+    recs = sinks.warc_record_rows(
+        arts.filter(F.col("status") == "fetched").select(
+            F.col("url_raw"), "url", "warc_ts", "html", "status"
+        )
+    ).join(
+        arts.select("url", "url_raw").distinct(), "url", "left"
+    )
+    idx_dir = index_path or (output_dir.rstrip("/") + "_cdx")
+    sinks.write_warc_files(
+        recs.select(F.col("url_raw").alias("url"), "record"),
+        output_dir,
+        prefix=prefix,
+        index_path=idx_dir,
+    )
+    by_raw = {r["url"]: r for r in spark.read.parquet(idx_dir).collect()}
+    result: dict[str, dict] = {}
+    for u in urls:
+        r = by_raw.get(u)
+        if r is None:
+            result[u] = {"success": False, "error": "fetch failed"}
+        else:
+            result[u] = {
+                "success": True,
+                "path": r["path"],
+                "offset": r["offset"],
+                "length": r["length"],
+            }
+    return result

@@ -321,12 +321,25 @@ def warc_record_rows(artifacts: DataFrame) -> DataFrame:
     )
 
 
-def write_warc_files(records: DataFrame, out_dir: str, prefix: str = "pathik") -> list:
+def write_warc_files(
+    records: DataFrame,
+    out_dir: str,
+    prefix: str = "pathik",
+    index_path: str | None = None,
+) -> list:
     """Write records as one ``.warc`` file per partition (the standard
     many-archive layout: each task streams its records sequentially, no
-    shuffle, file count = partition count). Returns per-file
-    (path, n_records, n_bytes) rows — the manifest a downstream CDX
-    indexer consumes."""
+    shuffle, file count = partition count) and index EVERY record as
+    (url, path, offset, length) — the CDX-style index Common Crawl
+    pairs with its archives, enabling random access (seek offset, read
+    length, get exactly one record).
+
+    Files open ``wb`` once per task, so a task retry rewrites its
+    archive instead of appending duplicates (idempotent output).
+
+    ``index_path`` set: the full per-record index lands there as
+    parquet (the action that drives the write). Returns per-file
+    (path, n_records, n_bytes) summary rows either way."""
     import os
 
     import pandas as pd
@@ -336,9 +349,10 @@ def write_warc_files(records: DataFrame, out_dir: str, prefix: str = "pathik") -
     os.makedirs(out_dir, exist_ok=True)
     schema = T.StructType(
         [
+            T.StructField("url", T.StringType()),
             T.StructField("path", T.StringType()),
-            T.StructField("n_records", T.LongType()),
-            T.StructField("n_bytes", T.LongType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("length", T.LongType()),
         ]
     )
 
@@ -346,20 +360,46 @@ def write_warc_files(records: DataFrame, out_dir: str, prefix: str = "pathik") -
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         path = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc")
-        n_rec = 0
-        n_bytes = 0
-        with open(path, "ab") as f:
+        f = None  # lazy: empty partitions create no file
+        offset = 0
+        try:
             for pdf in batches:
-                for blob in pdf["record"]:
+                if len(pdf) == 0:
+                    continue
+                if f is None:
+                    f = open(path, "wb")
+                rows = []
+                for url, blob in zip(pdf["url"], pdf["record"]):
                     b = bytes(blob)
                     f.write(b)
-                    n_rec += 1
-                    n_bytes += len(b)
-        yield pd.DataFrame([{"path": path, "n_records": n_rec, "n_bytes": n_bytes}])
+                    rows.append((url, path, offset, len(b)))
+                    offset += len(b)
+                yield pd.DataFrame(rows, columns=["url", "path", "offset", "length"])
+        finally:
+            if f is not None:
+                f.close()
 
-    return (
-        records.select("record")
-        .mapInPandas(writer, schema)
-        .filter(F.col("n_records") > 0)
+    idx = records.select("url", "record").mapInPandas(writer, schema)
+    spark = records.sparkSession
+    if index_path is not None:
+        idx.write.mode("overwrite").parquet(index_path)
+        idx = spark.read.parquet(index_path)
+    summaries = (
+        idx.groupBy("path")
+        .agg(F.count("*").alias("n_records"), F.sum("length").alias("n_bytes"))
         .collect()
     )
+    return summaries
+
+
+def read_warc_record(path: str, offset: int, length: int) -> tuple[str, bytes]:
+    """CDX random access: seek + read exactly one record; returns
+    (header_text, payload_bytes). The inverse of write_warc_files'
+    index rows — used by tests and any fetch-one-document consumer."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    sep = data.index(b"\r\n\r\n")
+    headers = data[:sep].decode("utf-8")
+    payload = data[sep + 4 : -4]
+    return headers, payload

@@ -140,3 +140,25 @@ def test_kafka_writer_options_auth_matrix():
     assert no_auth_tls["kafka.security.protocol"] == "SSL"
     with pytest.raises(ValueError):
         sinks.kafka_writer_options("b:9092", "t", compression_type="zip")
+
+
+def test_crawl_to_warc_archives_and_indexes(spark, corpus, some_urls, tmp_path):
+    from pathik_spark.sources.sinks import read_warc_record
+
+    urls = some_urls + ["https://host-missing.example.com/nowhere"]
+    out = pathik_spark.crawl_to_warc(
+        urls, str(tmp_path / "warc"), spark=spark, pages=corpus["pages"]
+    )
+    assert set(out) == set(urls)
+    golden = {
+        r["url"]: bytes(r["html"])
+        for r in corpus["pages"].select("url", "html").collect()
+    }
+    for u in some_urls:
+        r = out[u]
+        assert r["success"] is True
+        headers, payload = read_warc_record(r["path"], r["offset"], r["length"])
+        assert "WARC/1.0" in headers
+        # archived payload is the fetched page byte-for-byte
+        assert payload == golden[u]
+    assert out["https://host-missing.example.com/nowhere"]["success"] is False

@@ -79,3 +79,38 @@ def test_warc_content_length_counts_payload_bytes(spark):
         header_end = bytes(r["record"]).index(b"\r\n\r\n") + 4
         payload = bytes(r["record"])[header_end:-4]
         assert len(payload) == stated
+
+
+def test_cdx_index_random_access(spark, tmp_path):
+    from pathik_spark.sources.sinks import read_warc_record
+
+    arts = _artifacts(spark)
+    recs = warc_record_rows(arts)
+    idx_path = str(tmp_path / "cdx")
+    files = write_warc_files(
+        recs.repartition(2), str(tmp_path / "warc"), prefix="cc", index_path=idx_path
+    )
+    assert sum(r["n_records"] for r in files) == 2
+    idx = {r["url"]: r for r in spark.read.parquet(idx_path).collect()}
+    assert set(idx) == {"https://a.example/x", "https://b.example/y"}
+    for url, row in idx.items():
+        headers, payload = read_warc_record(row["path"], row["offset"], row["length"])
+        assert f"WARC-Target-URI: {url}" in headers
+    _, p = read_warc_record(*[idx["https://b.example/y"][k] for k in ("path", "offset", "length")])
+    assert p == b"\x00binary\xff\xfebytes"
+
+
+def test_warc_writer_is_idempotent_per_file(spark, tmp_path):
+    # 'wb' per task: re-running the same write yields identical bytes,
+    # not appended duplicates
+    arts = _artifacts(spark)
+    recs = warc_record_rows(arts).repartition(1)
+    out = str(tmp_path / "w")
+    a = write_warc_files(recs, out, prefix="t")
+    b = write_warc_files(recs, out, prefix="t")
+    assert [(r["path"], r["n_records"], r["n_bytes"]) for r in a] == [
+        (r["path"], r["n_records"], r["n_bytes"]) for r in b
+    ]
+    with open(a[0]["path"], "rb") as f:
+        data = f.read()
+    assert len(data) == a[0]["n_bytes"]
