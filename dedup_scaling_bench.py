@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Secondary N vs 4N scaling evidence: the training-data cleaning
+pipeline (MinHash -> LSH banding -> Jaccard verify -> connected
+components -> clean_corpus gates) end-to-end on a synthetic document
+corpus, at local[4] vs local[16] in separate JVMs — the shuffle-heavy
+counterpart to scaling_bench.py's crawl job (whose fixed-bucket layout
+is the primary north_rule criterion).
+
+Interleaved repeats, best-of per size (the box drifts 10-20%; see
+BENCH.md protocol notes). Usage: python dedup_scaling_bench.py
+(PATHIK_DEDUP_DOCS to resize, default 150000 docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_DOCS = int(os.environ.get("PATHIK_DEDUP_DOCS", "150000"))
+N_CORES = int(os.environ.get("PATHIK_SCALE_N", "4"))
+N4_CORES = 4 * N_CORES
+REPS = int(os.environ.get("PATHIK_DEDUP_REPS", "2"))
+CORPUS = f"/tmp/pathik_dedup_corpus/d{N_DOCS}_seed42"
+os.environ.setdefault("PATHIK_DRIVER_MEM", "24g")
+
+VOCAB_SIZE = 512
+DOC_TOKENS = 80
+DUP_EVERY = 10  # doc_id % DUP_EVERY == 1 -> near-dup of doc_id - 1
+
+
+def gen_corpus() -> None:
+    """Expression-only distributed generation: token i of document d is
+    vocab[xxhash64(base_id, i) % V] where base_id collapses each
+    near-dup onto its source doc; dups append one extra token so the
+    pair is near- (not exactly-) identical. Deterministic, no RNG
+    state, generated at full cluster width."""
+    from pyspark.sql import functions as F
+
+    from pathik_spark.session import get_spark
+
+    spark = get_spark("dedup_corpus_gen", master="local[32]", shuffle_partitions=32)
+    vocab = F.array(*[F.lit(f"w{i:03d}") for i in range(VOCAB_SIZE)])
+    df = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+    is_dup = F.pmod(F.col("doc_id"), F.lit(DUP_EVERY)) == 1
+    base_id = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DOC_TOKENS - 1)),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(base_id, i), F.lit(VOCAB_SIZE)) + 1).cast("int")
+            ),
+        ),
+    )
+    text = F.when(is_dup, F.concat(body, F.lit(" extra"))).otherwise(body)
+    (
+        df.select("doc_id", text.alias("text"))
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{CORPUS}/documents.parquet")
+    )
+    spark.stop()
+
+
+def worker(cpus: int) -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pathik_spark.operators import dedup as D
+    from pathik_spark.operators.quality import clean_corpus
+    from pathik_spark.session import get_spark
+
+    spark = get_spark(
+        f"dedup_scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    docs = spark.read.parquet(f"{CORPUS}/documents.parquet")
+    docs.count()  # warm footers/page cache out of the timing
+
+    # warm-up: tiny end-to-end pass compiles codegen + spawns workers
+    warm = docs.limit(500)
+    wsh = D.word_shingles(warm, n=3)
+    clean_corpus(
+        warm, D.jaccard_pairs(wsh, D.lsh_candidate_pairs(D.minhash_signatures(wsh)), 0.4)
+    ).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    sh = D.word_shingles(docs, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16)  # production xxhash64 family
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2)
+    pairs = D.jaccard_pairs(sh, cands, threshold=0.4)
+    out = clean_corpus(docs, pairs)
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "sec": dt, "docs_per_sec": N_DOCS / dt}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    if not os.path.exists(f"{CORPUS}/documents.parquet/_SUCCESS"):
+        gen_corpus()
+    best: dict[int, float] = {}
+    for rep in range(REPS):
+        for cpus in (N_CORES, N4_CORES):  # interleaved across the window
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(line, flush=True)
+            best[cpus] = min(best.get(cpus, 1e18), r["sec"])
+    thr_n = N_DOCS / best[N_CORES]
+    thr_4n = N_DOCS / best[N4_CORES]
+    speedup = thr_4n / thr_n
+    summary = {
+        "n_docs": N_DOCS,
+        "docs_per_sec_localN": round(thr_n, 1),
+        "docs_per_sec_local4N": round(thr_4n, 1),
+        "speedup_N_to_4N": round(speedup, 3),
+        "scaling_efficiency": round(speedup / 4, 3),
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_dedup_scaling.json"), "w") as f:
+        json.dump(summary, f)
+
+
+if __name__ == "__main__":
+    main()
