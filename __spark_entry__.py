@@ -338,6 +338,75 @@ def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, pairs, repetition_docs=lined)
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data gate): the REAL
+    broadcast n-gram collision operator with the benchmark drawn from
+    the same documents table (doc_id % 7 == 0 — a planted leak); the
+    DuckDB oracle restates the distinct-shingle hash sets and collision
+    counts with the same portable hash family."""
+    from pathik_spark.operators.decontaminate import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination(docs, bench, n=4, portable=True)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (domain-mix rebalance): the
+    REAL broadcast-rates operator over the synthesized frontier with a
+    per-host rate lattice (hash60(host) % 4 / 4 — includes the
+    rate-0 drop stratum); the oracle reproduces the salted buckets
+    bit-for-bit."""
+    from pathik_spark.entry_queries import SAMPLE_SALT, SPARK, _netloc_of, rates_sql
+    from pathik_spark.operators.sampling import stratified_sample
+
+    base = _urls_base(spark, sf_dir, valid_only=True).select(
+        "id", "url", F.expr(_netloc_of("url")).alias("host")
+    )
+    rates = spark.sql(rates_sql(SPARK))
+    return stratified_sample(
+        base, rates, group_col="host", key_col="url", salt=SAMPLE_SALT
+    ).select("id", "url", "host")
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking (pretraining row prep): the REAL higher-order-
+    function operator (split/sequence/slice/array_join, scan-local) vs
+    the list-slice restatement in DuckDB."""
+    from pathik_spark.entry_queries import CHUNK_SEQ_LEN, CHUNK_STRIDE
+    from pathik_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+    return chunk_documents(docs, seq_len=CHUNK_SEQ_LEN, stride=CHUNK_STRIDE)
+
+
+def _q_pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split packing index: the REAL sharded
+    running-sum operator (window per shard, sequence() straddle
+    fan-out) vs the identical window arithmetic in DuckDB."""
+    from pathik_spark.entry_queries import PACK_SEQ_LEN, PACK_SHARDS
+    from pathik_spark.operators.chunking import pack_token_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+    return pack_token_stream(docs, seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS)
+
+
+def _q_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection: the REAL shuffle-free array-expression
+    operator over a synthesized trap corpus (deep paths, cycles, query
+    explosions, digit runs) vs the relational restatement (explode +
+    GROUP BY max multiplicity) in DuckDB."""
+    from pathik_spark.entry_queries import TRAP_URLS_CTE
+    from pathik_spark.operators.traps import trap_signals
+
+    _register_views(spark, sf_dir)
+    urls = spark.sql(f"WITH {TRAP_URLS_CTE} SELECT id, url FROM trap_urls")
+    return trap_signals(urls).select(
+        "id", "url", "depth", "max_seg_repeat", "n_params",
+        "long_digit_run", "url_len", "is_trap", "keep",
+    )
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -527,6 +596,11 @@ ENGINE_ORACLE_QUERIES = {
     "sitemap_urls": _q_sitemap_urls,
     "url_recrawl_ttl": _q_url_recrawl,
     "warc_headers": _q_warc_headers,
+    "contamination_report": _q_contamination,
+    "stratified_sample": _q_stratified_sample,
+    "chunk_documents": _q_chunk_documents,
+    "pack_token_stream": _q_pack_token_stream,
+    "trap_signals": _q_trap_signals,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

@@ -1251,6 +1251,220 @@ JOIN ({rep}) r ON r.doc_id = c.doc_id
 """
 
 
+def _ngram_shingles_cte(n: int) -> str:
+    """DuckDB CTE fragment: ``shingles (doc_id, shingle)`` — DISTINCT
+    word n-grams from the ``tokens`` CTE via an (n-1)-step positional
+    self-join (word_shingles semantics, operators/dedup.py)."""
+    aliases = [chr(ord("a") + i) for i in range(n)]
+    concat = " || ' ' || ".join(f"{a}.tok" for a in aliases)
+    joins = " ".join(
+        f"JOIN tokens {aliases[i]} ON a.doc_id = {aliases[i]}.doc_id "
+        f"AND {aliases[i]}.pos = a.pos + {i}"
+        for i in range(1, n)
+    )
+    return f"shingles AS (SELECT DISTINCT a.doc_id, {concat} AS shingle FROM tokens a {joins})"
+
+
+def duck_contamination_sql(n_docs: int = 300, n: int = 4, bench_mod: int = 7) -> str:
+    """DuckDB twin of contamination (operators/decontaminate.py): the
+    benchmark is the sub-corpus doc_id %% bench_mod == 0; its DISTINCT
+    portable n-gram hashes are the collision set; per doc the distinct
+    n-gram count and the collision count decide contaminated/keep."""
+    d = DUCK
+    h = d["HASH60"]("shingle")
+    return f"""
+WITH {_tokens_cte(d, where=f"WHERE doc_id < {n_docs}")},
+{_ngram_shingles_cte(n)},
+hashed AS (SELECT doc_id, {h} AS ngram_hash FROM shingles),
+bench AS (SELECT DISTINCT ngram_hash FROM hashed WHERE doc_id % {bench_mod} = 0),
+totals AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM hashed GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_collisions FROM hashed
+  WHERE ngram_hash IN (SELECT ngram_hash FROM bench) GROUP BY doc_id
+)
+SELECT dd.doc_id,
+  CAST(COALESCE(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(COALESCE(h.n_collisions, 0) AS BIGINT) AS n_collisions,
+  (COALESCE(h.n_collisions, 0) > 0) AS contaminated,
+  (COALESCE(h.n_collisions, 0) = 0) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < {n_docs}) dd
+LEFT JOIN totals t ON t.doc_id = dd.doc_id
+LEFT JOIN hits h ON h.doc_id = dd.doc_id
+"""
+
+
+SAMPLE_SALT = "mix"
+SAMPLE_DENOM = 1_000_000
+
+
+def rates_sql(d) -> str:
+    """Deterministic per-host rates table over the frontier hosts:
+    rate = (hash60(host) %% 4) / 4 — the 0 stratum exercises the
+    drop-absent/zero path, the 1/4..3/4 strata the lattice."""
+    hostx = _netloc_of("url")
+    return f"""
+WITH {URLS_CTE}
+SELECT DISTINCT {hostx} AS host,
+       CAST(({d['HASH60'](hostx)} % 4) AS DOUBLE) / 4 AS rate
+FROM urls_cte WHERE {_valid_pred(d)}
+"""
+
+
+def duck_stratified_sample_sql() -> str:
+    """DuckDB twin of stratified_sample (operators/sampling.py): the
+    frontier joined to the per-host rates table; keep iff the salted
+    60-bit url bucket falls under rate * DENOM (exact integer compare
+    on the same lattice the operator quantizes to)."""
+    d = DUCK
+    host = _netloc_of("url")
+    bucket = d["HASH60"](f"'{SAMPLE_SALT}:' || url") + f" % {SAMPLE_DENOM}"
+    return f"""
+WITH {URLS_CTE},
+frontier AS (
+  SELECT id, url, {host} AS host FROM urls_cte WHERE {_valid_pred(d)}
+),
+rates AS (
+  SELECT DISTINCT host, CAST(({d['HASH60']('host')} % 4) AS DOUBLE) / 4 AS rate
+  FROM frontier
+)
+SELECT f.id, f.url, f.host FROM frontier f
+JOIN rates r ON r.host = f.host
+WHERE ({bucket}) < CAST(ROUND(r.rate * {SAMPLE_DENOM}) AS BIGINT)
+"""
+
+
+CHUNK_SEQ_LEN = 7
+CHUNK_STRIDE = 5
+
+
+def duck_chunk_documents_sql(n_docs: int = 200) -> str:
+    """DuckDB twin of chunk_documents (operators/chunking.py): token
+    windows of CHUNK_SEQ_LEN every CHUNK_STRIDE over the normalized
+    whitespace tokens; list-slice + join restates the Spark slice/
+    array_join expressions."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    return f"""
+WITH toks_cte AS (
+  SELECT doc_id, {d['SPLIT_WS'](norm)} AS toks FROM documents WHERE doc_id < {n_docs}
+),
+base AS (SELECT doc_id, toks, len(toks) AS n FROM toks_cte WHERE len(toks) >= 1),
+starts AS (
+  SELECT doc_id, toks, n,
+         generate_subscripts(generate_series(0, n - 1, {CHUNK_STRIDE}), 1) - 1 AS chunk_idx,
+         unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS start_tok
+  FROM base
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  CAST(start_tok AS INT) AS start_tok,
+  CAST(LEAST({CHUNK_SEQ_LEN}, n - start_tok) AS INT) AS n_tok,
+  array_to_string(toks[start_tok + 1 : start_tok + LEAST({CHUNK_SEQ_LEN}, n - start_tok)], ' ') AS chunk_text
+FROM starts
+"""
+
+
+PACK_SEQ_LEN = 16
+PACK_SHARDS = 4
+
+
+def duck_pack_stream_sql(n_docs: int = 200) -> str:
+    """DuckDB twin of pack_token_stream (operators/chunking.py):
+    shard by portable hash of doc_id, running token offsets per shard
+    (window sum ordered by doc_id), explode each doc over the packs it
+    straddles, segment arithmetic identical to the operator's."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    L = PACK_SEQ_LEN
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({d['SPLIT_WS'](norm)}) AS n_tok_doc
+  FROM documents WHERE doc_id < {n_docs} AND len({d['SPLIT_WS'](norm)}) > 0
+),
+sharded AS (
+  SELECT *, {d['HASH60']('CAST(doc_id AS STRING)')} % {PACK_SHARDS} AS shard FROM toks
+),
+offs AS (
+  SELECT *, SUM(n_tok_doc) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS stream_end
+  FROM sharded
+),
+spans AS (
+  SELECT shard, doc_id, n_tok_doc,
+         stream_end - n_tok_doc AS stream_start,
+         CAST(FLOOR((stream_end - n_tok_doc) / {L}.0) AS BIGINT) AS first_pack,
+         CAST(FLOOR((stream_end - 1) / {L}.0) AS BIGINT) AS last_pack
+  FROM offs
+),
+packs AS (
+  SELECT shard, doc_id, stream_start, n_tok_doc,
+         unnest(generate_series(first_pack, last_pack)) AS local_pack
+  FROM spans
+)
+SELECT shard * {1 << 40} + local_pack AS pack_id, doc_id,
+  CAST(GREATEST(stream_start, local_pack * {L}) - stream_start AS BIGINT) AS doc_tok_start,
+  CAST(LEAST(stream_start + n_tok_doc, local_pack * {L} + {L})
+       - GREATEST(stream_start, local_pack * {L}) AS BIGINT) AS n_tok,
+  CAST(GREATEST(stream_start, local_pack * {L}) - local_pack * {L} AS BIGINT) AS pack_tok_start
+FROM packs
+"""
+
+
+# Deterministic trap-URL corpus: clean pages mixed with the four trap
+# strata (deep path, path cycle, query explosion, long digit run) —
+# same text renders in Spark SQL and DuckDB.
+TRAP_URLS_CTE = """
+trap_urls AS (
+  SELECT o_orderkey AS id,
+    CASE
+      WHEN o_orderkey % 11 = 0 THEN 'https://t' || CAST(o_orderkey % 20 AS STRING) || '.example/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13'
+      WHEN o_orderkey % 7 = 0 THEN 'https://t' || CAST(o_orderkey % 20 AS STRING) || '.example/a/b/a/b/a'
+      WHEN o_orderkey % 5 = 0 THEN 'https://t' || CAST(o_orderkey % 20 AS STRING) || '.example/p?k1=1&k2=2&k3=3&k4=4&k5=5&k6=6&k7=7&k8=8&k9=9'
+      WHEN o_orderkey % 3 = 0 THEN 'https://t' || CAST(o_orderkey % 20 AS STRING) || '.example/archive/' || CAST(20240000000000 + o_orderkey AS STRING) || '/post'
+      ELSE 'https://t' || CAST(o_orderkey % 20 AS STRING) || '.example/sec' || CAST(o_custkey % 7 AS STRING) || '/page' || CAST(o_orderkey AS STRING) || '?a=1'
+    END AS url
+  FROM orders
+)
+"""
+
+
+def duck_trap_signals_sql() -> str:
+    """DuckDB twin of trap_signals (operators/traps.py): the engine's
+    shuffle-free array expressions restated relationally — max segment
+    multiplicity via explode + GROUP BY + MAX instead of the sorted-run
+    aggregate (same value by construction)."""
+    return f"""
+WITH {TRAP_URLS_CTE.strip()},
+parts AS (
+  SELECT id, url,
+    coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+    coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+  FROM trap_urls
+),
+segs AS (
+  SELECT id, unnest(list_filter(string_split(path, '/'), x -> x <> '')) AS seg
+  FROM parts
+),
+rep AS (
+  SELECT id, MAX(c) AS max_rep FROM (
+    SELECT id, seg, COUNT(*) AS c FROM segs GROUP BY id, seg
+  ) GROUP BY id
+),
+sig AS (
+  SELECT p.id, p.url,
+    CAST(len(list_filter(string_split(p.path, '/'), x -> x <> '')) AS INT) AS depth,
+    CAST(COALESCE(r.max_rep, 0) AS INT) AS max_seg_repeat,
+    CAST(CASE WHEN length(p.query) > 0 THEN len(string_split(p.query, '&')) ELSE 0 END AS INT) AS n_params,
+    regexp_matches(p.path, '[0-9]{{8,}}') AS long_digit_run,
+    CAST(length(p.url) AS INT) AS url_len
+  FROM parts p LEFT JOIN rep r ON r.id = p.id
+)
+SELECT id, url, depth, max_seg_repeat, n_params, long_digit_run, url_len,
+  (depth > 12 OR max_seg_repeat > 2 OR n_params > 8 OR long_digit_run OR url_len > 512) AS is_trap,
+  NOT (depth > 12 OR max_seg_repeat > 2 OR n_params > 8 OR long_digit_run OR url_len > 512) AS keep
+FROM sig
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -1268,6 +1482,11 @@ ENGINE_ORACLE_SQL = {
     "sitemap_urls": duck_sitemap_urls_sql,
     "url_recrawl_ttl": duck_url_recrawl_sql,
     "warc_headers": duck_warc_headers_sql,
+    "contamination_report": duck_contamination_sql,
+    "stratified_sample": duck_stratified_sample_sql,
+    "chunk_documents": duck_chunk_documents_sql,
+    "pack_token_stream": duck_pack_stream_sql,
+    "trap_signals": duck_trap_signals_sql,
 }
 
 

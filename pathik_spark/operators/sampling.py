@@ -1,0 +1,127 @@
+"""Deterministic corpus sampling and domain-mix rebalancing.
+
+Training-data pipelines rarely train on the raw crawl distribution: a
+handful of hosts dominate a web corpus (the same zipf skew the crawl
+scheduler fights), so the corpus is re-weighted to a target mix —
+"cap every domain", "20% code, 30% encyclopedic, ...". Two primitives:
+
+- ``hash_sample``: keep a row iff a salted 60-bit hash of its key falls
+  under ``rate``. No RNG, no state: the decision is a pure function of
+  (salt, key), so re-running the job — or running it on two cluster
+  sizes — selects the SAME rows. That determinism is what makes samples
+  reproducible at 100 TB and lets the DuckDB oracle reproduce them
+  bit-for-bit.
+- ``stratified_sample``: per-group rates via a BROADCAST join of the
+  (tiny) rates table. The corpus side never shuffles — the probe and
+  the filter evaluate inside the scan tasks.
+
+``domain_mix_rates`` derives the per-group rates that turn observed
+group counts into a target proportion mix under a global cap: one small
+aggregation (#groups rows — domains, not documents), then pure
+arithmetic. The only corpus-sized work in the whole rebalance is one
+scan + filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.dedup import portable_hash64
+
+# denominator of the rate lattice: rates are quantized to 1/DENOM steps
+# so the threshold compare is exact integer arithmetic in every engine
+DENOM = 1_000_000
+
+
+def sample_bucket(key_col, salt: str = "sample"):
+    """Deterministic bucket in [0, DENOM): pmod(hash60(salt || ':' || key))."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(salt + ":"), key)), F.lit(DENOM)
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "url", salt: str = "sample"
+) -> DataFrame:
+    """Keep each row iff its deterministic bucket < rate * DENOM."""
+    threshold = int(round(rate * DENOM))
+    return df.filter(sample_bucket(key_col, salt) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str = "host",
+    key_col: str = "url",
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-group deterministic sampling.
+
+    ``rates`` is a small table (group_col, rate double in [0,1]) —
+    one row per stratum. Groups absent from ``rates`` are dropped
+    (rate 0). The join is an explicit broadcast: at corpus scale the
+    rates table is thousands of rows, the corpus is billions, and the
+    filter must happen inside the scan.
+    """
+    thresholds = rates.select(
+        group_col, F.round(F.col("rate") * DENOM).cast("long").alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col, "inner")
+        .filter(sample_bucket(key_col, salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def domain_mix_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "host",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Derive per-group sampling rates that realize a target mix.
+
+    ``targets`` maps group -> desired proportion (need not sum to 1;
+    they are normalized). The output size is maximized subject to
+    (a) every group's rate <= 1 (you cannot upsample without
+    replacement) and (b) realized proportions == normalized targets:
+    the classic water-filling scale = min over groups of
+    available_g / target_g.
+
+    Returns (group_col, n_available, rate) — #groups rows. The corpus
+    is touched exactly once (the count aggregation, map-side partial);
+    the arithmetic runs on the driver over the tiny counts result.
+    """
+    total_target = sum(targets.values())
+    norm = {g: t / total_target for g, t in targets.items()}
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+        if r[group_col] in norm
+    }
+    # water-filling: the binding group is the one with the least
+    # available data relative to its target share
+    scale = min(
+        (counts.get(g, 0) / t for g, t in norm.items() if t > 0), default=0.0
+    )
+    rows = [
+        (g, counts.get(g, 0), min(1.0, (norm[g] * scale) / counts[g]) if counts.get(g) else 0.0)
+        for g in norm
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, schema=f"{group_col} string, n_available long, rate double")
+
+
+def domain_mix(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "host",
+    key_col: str = "url",
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance df to the target mix: derive rates, then one
+    deterministic stratified pass over the corpus."""
+    rates = domain_mix_rates(df, targets, group_col=group_col).select(group_col, "rate")
+    return stratified_sample(df, rates, group_col=group_col, key_col=key_col, salt=salt)

@@ -1,0 +1,283 @@
+"""Tests for the round-2 training-data operators: decontamination,
+deterministic sampling / domain mix, sequence chunking, token-stream
+packing, and crawl-trap detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.chunking import chunk_documents, pack_token_stream
+from pathik_spark.operators.decontaminate import contamination, decontaminate
+from pathik_spark.operators.sampling import (
+    DENOM,
+    domain_mix,
+    domain_mix_rates,
+    hash_sample,
+    stratified_sample,
+)
+from pathik_spark.operators.traps import filter_traps, trap_signals
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- decontamination ---------------------------------------------------------
+
+
+def test_contamination_flags_exact_benchmark_member(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated sentence with distinct words here"),
+            (3, "the quick brown fox jumps over a sleeping cat instead"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps over the lazy dog")])
+    rep = {
+        r["doc_id"]: r.asDict()
+        for r in contamination(docs, bench, n=5).collect()
+    }
+    assert rep[1]["contaminated"] and not rep[1]["keep"]
+    assert not rep[2]["contaminated"] and rep[2]["keep"]
+    # doc 3 shares the 5-gram "quick brown fox jumps over"
+    assert rep[3]["contaminated"]
+    assert rep[1]["n_collisions"] > rep[3]["n_collisions"] > 0
+
+
+def test_contamination_short_docs_kept(spark):
+    docs = _docs(spark, [(1, "too short"), (2, "")])
+    bench = _docs(spark, [(9, "too short")])
+    rep = {r["doc_id"]: r.asDict() for r in contamination(docs, bench, n=8).collect()}
+    assert rep[1]["n_ngrams"] == 0 and rep[1]["keep"]
+    assert rep[2]["n_ngrams"] == 0 and rep[2]["keep"]
+
+
+def test_contamination_threshold(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h i j k l")])
+    bench = _docs(spark, [(9, "a b c d e f")])  # 2 distinct 5-grams shared... compute
+    strict = contamination(docs, bench, n=5, max_collisions=0).collect()[0]
+    loose = contamination(docs, bench, n=5, max_collisions=10).collect()[0]
+    assert strict["contaminated"] and not loose["contaminated"]
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+    )
+    bench = _docs(spark, [(9, "alpha beta gamma delta epsilon zeta")])
+    kept = decontaminate(docs, bench, n=4)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_contamination_broadcast_plan(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h")])
+    bench = _docs(spark, [(9, "a b c d e")])
+    plan = contamination(docs, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+# --- sampling ---------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    df = spark.range(20000).select(F.concat(F.lit("u"), "id").alias("url"))
+    a = hash_sample(df, 0.25, key_col="url")
+    b = hash_sample(df, 0.25, key_col="url")
+    ca, cb = a.count(), b.count()
+    assert ca == cb  # pure function of (salt, key)
+    assert abs(ca / 20000 - 0.25) < 0.02
+    # nested property: a 10% sample is a subset of the 25% sample
+    small = hash_sample(df, 0.10, key_col="url")
+    assert small.join(a, "url", "left_anti").count() == 0
+
+
+def test_hash_sample_salt_changes_selection(spark):
+    df = spark.range(5000).select(F.concat(F.lit("u"), "id").alias("url"))
+    a = set(r["url"] for r in hash_sample(df, 0.3, salt="s1").collect())
+    b = set(r["url"] for r in hash_sample(df, 0.3, salt="s2").collect())
+    assert a != b
+
+
+def test_stratified_sample_rates_and_missing_group(spark):
+    df = (
+        spark.range(30000)
+        .select(
+            F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+            F.concat(F.lit("u"), "id").alias("url"),
+        )
+    )
+    rates = spark.createDataFrame(
+        [("h0", 1.0), ("h1", 0.2)], "host string, rate double"
+    )
+    out = stratified_sample(df, rates).groupBy("host").count().collect()
+    got = {r["host"]: r["count"] for r in out}
+    assert got["h0"] == 10000
+    assert abs(got["h1"] / 10000 - 0.2) < 0.03
+    assert "h2" not in got  # absent stratum -> dropped
+    assert "_thr" not in stratified_sample(df, rates).columns
+
+
+def test_domain_mix_hits_targets(spark):
+    # 12000 h0 / 6000 h1 / 2000 h2 -> target equal thirds: binding
+    # stratum is h2 (2000 available for 1/3 share) -> ~2000 each
+    df = (
+        spark.range(20000)
+        .select(
+            F.when(F.col("id") < 12000, "h0")
+            .when(F.col("id") < 18000, "h1")
+            .otherwise("h2")
+            .alias("host"),
+            F.concat(F.lit("u"), "id").alias("url"),
+        )
+    )
+    targets = {"h0": 1.0, "h1": 1.0, "h2": 1.0}
+    rates = {r["host"]: r["rate"] for r in domain_mix_rates(df, targets, group_col="host").collect()}
+    assert rates["h2"] == 1.0
+    assert abs(rates["h0"] - 2000 / 12000) < 1e-9
+    out = domain_mix(df, targets, group_col="host").groupBy("host").count().collect()
+    got = {r["host"]: r["count"] for r in out}
+    assert got["h2"] == 2000
+    for h in ("h0", "h1"):
+        assert abs(got[h] - 2000) < 200  # hash-lattice noise
+
+
+# --- chunking ----------------------------------------------------------------
+
+
+def test_chunk_documents_exact_windows(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = _docs(spark, [(1, text)])
+    rows = sorted(
+        (r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+        for r in chunk_documents(docs, seq_len=4, stride=3).collect()
+    )
+    # starts 0,3,6,9: windows of 4,4,4,1 tokens
+    assert [(a, b, c) for a, b, c, _ in rows] == [
+        (0, 0, 4),
+        (1, 3, 4),
+        (2, 6, 4),
+        (3, 9, 1),
+    ]
+    assert rows[0][3] == "t0 t1 t2 t3"
+    assert rows[1][3] == "t3 t4 t5 t6"
+    assert rows[3][3] == "t9"
+
+
+def test_chunk_documents_min_tokens_and_empty(spark):
+    docs = _docs(spark, [(1, "a b c d e"), (2, ""), (3, "   ")])
+    out = chunk_documents(docs, seq_len=4, stride=4, min_tokens=2).collect()
+    assert {(r["doc_id"], r["chunk_idx"]) for r in out} == {(1, 0)}  # trailing 1-tok sliver dropped
+
+
+def test_chunk_reconstruction_roundtrip(spark, corpus):
+    """Non-overlapping chunks re-concatenate to the normalized text."""
+    from pathik_spark.operators.dedup import normalized_text
+
+    docs = corpus["pages"].select(
+        F.xxhash64("url").alias("doc_id"), F.col("text")
+    ).limit(50)
+    chunks = chunk_documents(docs, seq_len=7)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))).getField("chunk_text"), " ").alias("rebuilt"))
+    )
+    joined = docs.select(
+        "doc_id", normalized_text(F.col("text")).alias("want")
+    ).join(rebuilt, "doc_id", "left")
+    bad = joined.filter(
+        (F.length("want") > 0) & (F.col("rebuilt") != F.col("want"))
+    ).count()
+    assert bad == 0
+
+
+def test_pack_token_stream_invariants(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 23))) for i in range(60)],
+    )
+    seq_len = 16
+    packs = pack_token_stream(docs, seq_len=seq_len, n_shards=4).collect()
+    # 1) per-doc coverage: segments tile [0, n_tok_doc) without gaps
+    by_doc: dict[int, list] = {}
+    for r in packs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tok = {i: 5 + (i * 7) % 23 for i in range(60)}
+    for d, segs in by_doc.items():
+        segs = sorted(segs, key=lambda r: r["doc_tok_start"])
+        assert segs[0]["doc_tok_start"] == 0
+        pos = 0
+        for s in segs:
+            assert s["doc_tok_start"] == pos
+            pos += s["n_tok"]
+        assert pos == n_tok[d]
+    # 2) per-pack: offsets tile [0, seq_len) contiguously; only a
+    # shard's LAST pack may be short
+    by_pack: dict[int, list] = {}
+    for r in packs:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    by_shard_last = {}
+    for pid in by_pack:
+        sh = pid >> 40
+        by_shard_last[sh] = max(by_shard_last.get(sh, -1), pid)
+    for pid, segs in by_pack.items():
+        segs = sorted(segs, key=lambda r: r["pack_tok_start"])
+        assert segs[0]["pack_tok_start"] == 0
+        pos = 0
+        for s in segs:
+            assert s["pack_tok_start"] == pos
+            pos += s["n_tok"]
+        if pid != by_shard_last[pid >> 40]:
+            assert pos == seq_len
+        else:
+            assert 0 < pos <= seq_len
+
+
+def test_pack_token_stream_deterministic(spark):
+    docs = _docs(spark, [(i, " ".join("x" * 1 for _ in range(3 + i % 9))) for i in range(40)])
+    a = sorted(map(tuple, pack_token_stream(docs, seq_len=8).collect()))
+    b = sorted(map(tuple, pack_token_stream(docs.repartition(7), seq_len=8).collect()))
+    assert a == b
+
+
+# --- traps -------------------------------------------------------------------
+
+
+TRAP_CASES = [
+    ("https://a.example/x/y/z", False),  # clean
+    ("https://a.example/" + "/".join(f"d{i}" for i in range(13)), True),  # depth
+    ("https://a.example/a/b/a/b/a", True),  # cycle: 'a' x3
+    ("https://a.example/p?" + "&".join(f"k{i}=v" for i in range(9)), True),  # params
+    ("https://a.example/archive/20240101123456/post", True),  # digit run
+    ("https://a.example/p?a=1&b=2", False),
+    ("https://a.example/x/x", False),  # repeat of 2 allowed
+    ("https://a.example/" + "q" * 600, True),  # length
+]
+
+
+def test_trap_signals_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in TRAP_CASES], "url string")
+    got = {r["url"]: r["is_trap"] for r in trap_signals(df).collect()}
+    for u, want in TRAP_CASES:
+        assert got[u] == want, u
+
+
+def test_filter_traps_preserves_columns(spark):
+    df = spark.createDataFrame(
+        [(u, i) for i, (u, _) in enumerate(TRAP_CASES)], "url string, seq int"
+    )
+    out = filter_traps(df)
+    assert out.columns == ["url", "seq"]
+    assert out.count() == sum(1 for _, t in TRAP_CASES if not t)
+
+
+def test_trap_signals_no_shuffle(spark):
+    df = spark.createDataFrame([(u,) for u, _ in TRAP_CASES], "url string")
+    plan = trap_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
