@@ -407,6 +407,89 @@ def _q_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction: the REAL (href, anchor_text) Arrow UDF
+    over templated HTML (chrome/fragment/mailto dropped, relative hrefs
+    resolved, image anchors empty) vs the DuckDB-stated expected pairs."""
+    from pathik_spark.entry_queries import SPARK, anchors_html_sql
+    from pathik_spark.operators.anchors import page_anchors
+
+    _register_views(spark, sf_dir)
+    pages = spark.sql(anchors_html_sql(SPARK)).select(
+        "doc_id",
+        F.col("base_url").alias("url"),
+        F.encode(F.col("html_str"), "UTF-8").alias("html"),
+    )
+    return page_anchors(pages).join(
+        pages.select("doc_id", F.col("url").alias("src_url")), "src_url"
+    ).select("doc_id", "pos", "dst_url", "anchor")
+
+
+def _q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor profile: real extraction UDF + the aggregation
+    operator (inlinks, distinct source hosts, sorted capped anchors) vs
+    the relational restatement."""
+    from pathik_spark.entry_queries import SPARK, anchors_html_sql
+    from pathik_spark.operators.anchors import anchor_text_profile, page_anchors
+
+    _register_views(spark, sf_dir)
+    pages = spark.sql(anchors_html_sql(SPARK)).select(
+        F.col("base_url").alias("url"),
+        F.encode(F.col("html_str"), "UTF-8").alias("html"),
+    )
+    return anchor_text_profile(page_anchors(pages))
+
+
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: the REAL full-outer crawl_delta operator over two
+    synthesized snapshots vs the SQL restatement."""
+    from pathik_spark.entry_queries import DELTA_SNAPSHOTS_CTE
+    from pathik_spark.operators.delta import crawl_delta
+
+    _register_views(spark, sf_dir)
+    prev = spark.sql(f"WITH {DELTA_SNAPSHOTS_CTE} SELECT * FROM prev_snap")
+    cur = spark.sql(f"WITH {DELTA_SNAPSHOTS_CTE} SELECT * FROM cur_snap")
+    return crawl_delta(prev, cur)
+
+
+def _q_crawl_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host churn rollup (the re-crawl TTL signal): delta_stats over
+    the same snapshots vs the SQL rollup."""
+    from pathik_spark.entry_queries import DELTA_SNAPSHOTS_CTE
+    from pathik_spark.operators.delta import crawl_delta, delta_stats
+
+    _register_views(spark, sf_dir)
+    prev = spark.sql(f"WITH {DELTA_SNAPSHOTS_CTE} SELECT * FROM prev_snap")
+    cur = spark.sql(f"WITH {DELTA_SNAPSHOTS_CTE} SELECT * FROM cur_snap")
+    return delta_stats(crawl_delta(prev, cur))
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: the REAL line_dedup
+    operator (hash-count-antijoin-reassemble) over a synthesized
+    multi-line corpus vs the full relational restatement."""
+    import math
+
+    from pathik_spark.entry_queries import LINE_DEDUP_FRACTION, lines_docs_sql
+    from pathik_spark.operators.linedup import line_dedup
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(lines_docs_sql())
+    n_docs = spark.table("documents").count()
+    return line_dedup(docs, max_occurrences=int(math.ceil(LINE_DEDUP_FRACTION * n_docs)))
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning: the REAL expression-only c4_clean operator
+    over a synthesized corpus of good/short/unpunctuated/banner/code
+    lines vs the relational restatement."""
+    from pathik_spark.entry_queries import c4_docs_sql
+    from pathik_spark.operators.linedup import c4_clean
+
+    _register_views(spark, sf_dir)
+    return c4_clean(spark.sql(c4_docs_sql()))
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -601,6 +684,12 @@ ENGINE_ORACLE_QUERIES = {
     "chunk_documents": _q_chunk_documents,
     "pack_token_stream": _q_pack_token_stream,
     "trap_signals": _q_trap_signals,
+    "anchor_pairs": _q_anchor_pairs,
+    "anchor_profile": _q_anchor_profile,
+    "crawl_delta": _q_crawl_delta,
+    "crawl_delta_stats": _q_crawl_delta_stats,
+    "line_dedup": _q_line_dedup,
+    "c4_clean": _q_c4_clean,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

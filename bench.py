@@ -134,6 +134,11 @@ def main() -> None:
         "warc_headers",
         "pii_scrub",
         "css_select",
+        "contamination_report",
+        "stratified_sample",
+        "chunk_documents",
+        "pack_token_stream",
+        "trap_signals",
     ):
         t0 = time.perf_counter()
         df = qset[name](spark, SF_DIR)

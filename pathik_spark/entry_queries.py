@@ -1465,6 +1465,262 @@ FROM sig
 """
 
 
+def anchors_html_sql(d) -> str:
+    """(doc_id, base_url, html_str) for the anchor-text oracle: a nav
+    chrome anchor (dropped subtree), a fragment href (skipped), a
+    root-relative target with per-doc anchor text (dst collides across
+    docs sharing (doc_id%7, doc_id%5) — the aggregation fan-in), a
+    mailto (skipped), and an absolute hub target with an image anchor
+    (empty text — exercises the empty-anchor drop in the profile)."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+SELECT doc_id,
+  'https://s' || CAST(doc_id % 7 AS STRING) || '.example.com/dir/page' || {did} AS base_url,
+  '<html><body><nav><a href="/chrome">chrome</a></nav><p>'
+  || '<a href="#top">skip</a>'
+  || '<a href="/t/' || CAST(doc_id % 5 AS STRING) || '">Link ' || CAST(doc_id % 3 AS STRING) || '</a>'
+  || '<a href="mailto:a@b.example">m</a>'
+  || '<a href="https://hub.example.org/h"><img src="i.png"/></a>'
+  || '</p></body></html>' AS html_str
+FROM documents
+"""
+
+
+def _duck_anchor_pairs_cte() -> str:
+    """Expected (src_url, src_host, pos, dst_url, anchor) rows for
+    anchors_html_sql's template, in document order."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+b AS (
+  SELECT doc_id,
+    's' || CAST(doc_id % 7 AS STRING) || '.example.com' AS src_host,
+    'https://s' || CAST(doc_id % 7 AS STRING) || '.example.com' AS origin,
+    'https://s' || CAST(doc_id % 7 AS STRING) || '.example.com/dir/page' || {did} AS src_url
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, src_url, src_host, 0 AS pos,
+         origin || '/t/' || CAST(doc_id % 5 AS STRING) AS dst_url,
+         'Link ' || CAST(doc_id % 3 AS STRING) AS anchor
+  FROM b
+  UNION ALL
+  SELECT doc_id, src_url, src_host, 1 AS pos,
+         'https://hub.example.org/h' AS dst_url, '' AS anchor
+  FROM b
+)"""
+
+
+def duck_anchor_pairs_sql() -> str:
+    """DuckDB twin of page_anchors (operators/anchors.py) over the
+    anchors_html_sql template: the chrome/fragment/mailto anchors
+    contribute nothing; the relative target resolves against the
+    origin; the hub anchor has empty text."""
+    return f"""
+WITH {_duck_anchor_pairs_cte()}
+SELECT doc_id, CAST(pos AS INT) AS pos, dst_url, anchor FROM pairs
+"""
+
+
+def duck_anchor_profile_sql(max_anchors: int = 16) -> str:
+    """DuckDB twin of anchor_text_profile over the same pairs:
+    per dst_url — inlink count, distinct source hosts, sorted distinct
+    non-empty anchor texts capped and '|'-joined."""
+    return f"""
+WITH {_duck_anchor_pairs_cte()}
+SELECT dst_url,
+  CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+  CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+  COALESCE(array_to_string(
+    list_sort(list_distinct(list(anchor) FILTER (WHERE anchor <> '')))[1:{max_anchors}],
+    '|'), '') AS anchors
+FROM pairs GROUP BY dst_url
+"""
+
+
+# Deterministic two-snapshot corpus for the crawl-delta oracles:
+# id%5==0 rows exist only in the current snapshot (added), id%7==0 only
+# in the previous one (removed), id%3==0 changed content, rest unchanged.
+DELTA_SNAPSHOTS_CTE = """
+delta_urls AS (
+  SELECT o_orderkey AS id,
+    'https://d' || CAST(o_orderkey % 25 AS STRING) || '.example/page' || CAST(o_orderkey AS STRING) AS url
+  FROM orders
+),
+prev_snap AS (
+  SELECT url, md5('p' || CAST(id AS STRING)) AS content_hash
+  FROM delta_urls WHERE id % 5 <> 0
+),
+cur_snap AS (
+  SELECT url,
+    CASE WHEN id % 3 = 0 THEN md5('q' || CAST(id AS STRING))
+         ELSE md5('p' || CAST(id AS STRING)) END AS content_hash
+  FROM delta_urls WHERE id % 7 <> 0
+)
+"""
+
+
+def duck_crawl_delta_sql() -> str:
+    """DuckDB twin of crawl_delta (operators/delta.py): the full-outer
+    snapshot join with the added/removed/modified/unchanged verdict."""
+    return f"""
+WITH {DELTA_SNAPSHOTS_CTE.strip()}
+SELECT COALESCE(p.url, c.url) AS url,
+  CASE WHEN p.url IS NULL THEN 'added'
+       WHEN c.url IS NULL THEN 'removed'
+       WHEN p.content_hash = c.content_hash THEN 'unchanged'
+       ELSE 'modified' END AS change,
+  p.content_hash AS prev_hash, c.content_hash AS cur_hash
+FROM prev_snap p FULL OUTER JOIN cur_snap c ON p.url = c.url
+"""
+
+
+def duck_crawl_delta_stats_sql() -> str:
+    """DuckDB twin of delta_stats(crawl_delta(...)): per-host churn
+    rollup over the same two snapshots (host = lowercased hostname)."""
+    d = DUCK
+    return f"""
+WITH {DELTA_SNAPSHOTS_CTE.strip()},
+delta AS (
+  SELECT COALESCE(p.url, c.url) AS url,
+    CASE WHEN p.url IS NULL THEN 'added'
+         WHEN c.url IS NULL THEN 'removed'
+         WHEN p.content_hash = c.content_hash THEN 'unchanged'
+         ELSE 'modified' END AS change
+  FROM prev_snap p FULL OUTER JOIN cur_snap c ON p.url = c.url
+),
+agg AS (
+  SELECT {_host(d)} AS host,
+    CAST(SUM(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+    CAST(SUM(CASE WHEN change = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+    CAST(SUM(CASE WHEN change = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+    CAST(SUM(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM delta GROUP BY 1
+)
+SELECT *, ROUND(CAST(n_added + n_removed + n_modified AS DOUBLE)
+                / (n_added + n_removed + n_modified + n_unchanged), 6) AS churn
+FROM agg
+"""
+
+
+def lines_docs_sql() -> str:
+    """(doc_id, text) multi-line corpus for the line-dedup oracle —
+    identical text in both dialects. Per doc: a corpus-wide boilerplate
+    line (count N), a unique body line, a 1-in-3 category footer
+    (count ~N/3), a blank line, and either a 1-in-4 shared tail
+    (count ~N/4) or a unique tail. With threshold 0.26*N the corpus
+    boilerplate and footers are removed while the shared-pair tail
+    (0.25*N) survives — the CCNet discrimination this oracle pins."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+SELECT doc_id,
+  'Subscribe to our newsletter today!' || chr(10)
+  || 'Body line one of document ' || {did} || ' stands alone here.' || chr(10)
+  || 'Category ' || CAST(doc_id % 3 AS STRING) || ' footer boilerplate text.' || chr(10)
+  || '' || chr(10)
+  || CASE WHEN doc_id % 4 = 0 THEN 'Shared pair line for quarter docs.'
+          ELSE 'Tail line unique to doc ' || {did} || '.' END AS text
+FROM documents
+"""
+
+
+LINE_DEDUP_FRACTION = 0.26  # heavy if count > fraction * n_docs
+
+
+def duck_line_dedup_sql() -> str:
+    """DuckDB twin of line_dedup (operators/linedup.py) over the
+    lines_docs corpus: explode lines with positions, 60-bit portable
+    hash of the normalized line, corpus counts over non-blank lines,
+    anti-join the heavy set, reassemble in document order."""
+    d = DUCK
+    norm = _norm_text(d, "line")
+    return f"""
+WITH docs AS ({lines_docs_sql().strip()}),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM docs
+),
+keyed AS (SELECT *, {d['HASH60'](norm)} AS line_key FROM lines),
+heavy AS (
+  SELECT line_key FROM keyed WHERE trim(line) <> ''
+  GROUP BY line_key
+  HAVING COUNT(*) > (SELECT ceil({LINE_DEDUP_FRACTION} * COUNT(*)) FROM documents)
+),
+kept AS (SELECT k.* FROM keyed k ANTI JOIN heavy h USING (line_key)),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY line_no), chr(10)) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text, t.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def c4_docs_sql() -> str:
+    """(doc_id, text) corpus for the C4-clean oracle: a good sentence,
+    a too-short line, a no-terminal-punctuation line, a javascript
+    banner (1-in-4), a cookie-policy banner (1-in-5), a curly-brace
+    code leak (1-in-11, doc-blocked), and a lorem-ipsum tail (1-in-7,
+    doc-blocked) vs a good closing line."""
+    return """
+SELECT doc_id,
+  'This is a good long sentence number one.' || chr(10)
+  || 'Too short line.' || chr(10)
+  || 'This line has no terminal punctuation at all' || chr(10)
+  || CASE WHEN doc_id % 4 = 0 THEN 'Enable JavaScript to view all the comments please.'
+          ELSE 'Another perfectly reasonable body sentence sits here.' END || chr(10)
+  || CASE WHEN doc_id % 5 = 0 THEN 'We use cookies so read our cookie policy for details.'
+          ELSE 'Third good sentence to satisfy the minimum count.' END || chr(10)
+  || CASE WHEN doc_id % 11 = 0 THEN 'function leak() still ends with a period. {'
+          WHEN doc_id % 7 = 0 THEN 'Filler lorem ipsum dolor sit amet text here.'
+          ELSE 'Does the closing line end with a question mark?' END AS text
+FROM documents
+"""
+
+
+def duck_c4_clean_sql() -> str:
+    """DuckDB twin of c4_clean (operators/linedup.py): per-line C4
+    filter (terminal punctuation, >=5 words, no javascript /
+    cookie-policy marker) + doc-level lorem-ipsum / curly-brace gate
+    and the min-3-surviving-lines verdict."""
+    keep = (
+        "right(trim(line), 1) IN ('.', '!', '?', '\"') "
+        "AND len(regexp_split_to_array(trim(line), '\\s+')) >= 5 "
+        "AND NOT contains(lower(line), 'javascript') "
+        "AND NOT contains(lower(line), 'cookie policy')"
+    )
+    return f"""
+WITH docs AS ({c4_docs_sql().strip()}),
+lines AS (
+  SELECT doc_id, text,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+         trim(unnest(string_split(text, chr(10)))) AS line
+  FROM docs
+),
+kept AS (SELECT * FROM lines WHERE {keep}),
+agg AS (
+  SELECT l.doc_id,
+         COALESCE(array_to_string(
+           list(k.line ORDER BY k.line_no) FILTER (WHERE k.line IS NOT NULL),
+           chr(10)), '') AS text,
+         CAST(COUNT(k.line_no) AS BIGINT) AS n_lines_kept,
+         MAX(CASE WHEN contains(lower(l.text), 'lorem ipsum')
+                    OR contains(l.text, '{{') THEN 1 ELSE 0 END) AS blocked
+  FROM (SELECT DISTINCT doc_id, text FROM lines) l
+  LEFT JOIN kept k USING (doc_id)
+  GROUP BY l.doc_id
+)
+SELECT doc_id, text, n_lines_kept,
+       (n_lines_kept >= 3 AND blocked = 0) AS keep
+FROM agg
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -1487,6 +1743,12 @@ ENGINE_ORACLE_SQL = {
     "chunk_documents": duck_chunk_documents_sql,
     "pack_token_stream": duck_pack_stream_sql,
     "trap_signals": duck_trap_signals_sql,
+    "anchor_pairs": duck_anchor_pairs_sql,
+    "anchor_profile": duck_anchor_profile_sql,
+    "crawl_delta": duck_crawl_delta_sql,
+    "crawl_delta_stats": duck_crawl_delta_stats_sql,
+    "line_dedup": duck_line_dedup_sql,
+    "c4_clean": duck_c4_clean_sql,
 }
 
 

@@ -147,9 +147,32 @@ def make_extract_links_udf(fetch_cap: int = X.FETCH_CAP):
     return extract_links_udf
 
 
+def make_extract_anchors_udf(fetch_cap: int = X.FETCH_CAP):
+    """(href, anchor_text) pairs per page — the anchor-text signal pass
+    (kernels/extract.extract_anchors): array<struct<url, anchor>>."""
+    schema = T.ArrayType(
+        T.StructType(
+            [T.StructField("url", T.StringType()), T.StructField("anchor", T.StringType())]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def extract_anchors_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for html, url in it:
+            yield pd.Series(
+                [
+                    [{"url": a, "anchor": t} for a, t in X.extract_anchors(b, u or "", fetch_cap)]
+                    for b, u in zip(html, url)
+                ]
+            )
+
+    return extract_anchors_udf
+
+
 # default-cap singletons for plan assembly
 extract_text_udf = make_extract_text_udf()
 to_markdown_udf = make_to_markdown_udf()
 extract_both_udf = make_extract_both_udf()
 extract_full_udf = make_extract_full_udf()
 extract_links_udf = make_extract_links_udf()
+extract_anchors_udf = make_extract_anchors_udf()

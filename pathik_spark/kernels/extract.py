@@ -419,6 +419,44 @@ def extract_links(
     return _resolve_hrefs(hrefs, base_url)
 
 
+def _collect_anchor_pairs(node: Node, out: list) -> None:
+    for child in node.children:
+        if isinstance(child, Node) and child.tag not in DROP_TAGS:
+            if child.tag == "a":
+                href = child.attrs.get("href")
+                if href:
+                    out.append((href, _collapse_ws(_node_text(child))))
+            _collect_anchor_pairs(child, out)
+
+
+def extract_anchors(
+    html_bytes: bytes | None, base_url: str = "", fetch_cap: int = FETCH_CAP
+) -> list[tuple[str, str]]:
+    """Document-order (resolved_href, anchor_text) pairs — the link-
+    graph signal pass (anchor text is the classic relevance/label
+    signal for the target URL). Same href filter/resolution contract as
+    extract_links (empty / fragment-only / non-http dropped, RFC 3986
+    resolution); anchor text is the anchor subtree's whitespace-
+    collapsed text (may be '' for image anchors)."""
+    from urllib.parse import urljoin, urlsplit
+
+    html = decode_html(html_bytes, fetch_cap)
+    if not html.strip():
+        return []
+    root = parse_html(html)
+    pairs: list = []
+    _collect_anchor_pairs(root, pairs)
+    out: list[tuple[str, str]] = []
+    for href, text in pairs:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        absolute = urljoin(base_url, href) if base_url else href
+        if urlsplit(absolute).scheme.lower() in ("http", "https"):
+            out.append((absolute, text))
+    return out
+
+
 def extract_full(
     html_bytes: bytes | None, base_url: str = "", fetch_cap: int = FETCH_CAP
 ) -> tuple[str, str, list[str]]:

@@ -1,0 +1,181 @@
+"""Line-level corpus deduplication and C4-style line cleaning.
+
+Two classic web-text cleaning passes that operate BELOW document
+granularity (document-level dedup is operators/dedup.py):
+
+- ``duplicate_lines`` / ``line_dedup``: CCNet-style boilerplate
+  removal. Web pages share nav/footer/cookie-banner lines verbatim
+  across millions of documents; hashing every line and removing those
+  whose corpus-wide occurrence count exceeds a threshold strips the
+  boilerplate while leaving body text alone (Wenzek et al., CCNet,
+  dedups on paragraph hashes the same way).
+
+  Scale shape: one shuffle — the groupBy on the 60-bit line hash — and
+  the heavy-hitter set it produces (count > threshold) is a tiny
+  fraction of distinct lines (boilerplate is by definition rare as a
+  fraction of distinct strings, massive as a fraction of occurrences),
+  so the removal join is a left-anti against a SMALL relation: AQE
+  plans it as a broadcast anti-join at any realistic threshold. The
+  per-document reassembly groups by doc_id, which is the table's
+  natural key — at 100 TB both sides of that shuffle are the same
+  partitioning the documents table already has.
+
+- ``c4_clean``: the line + document heuristics from the C4 dataset
+  (Raffel et al., 2020, §2.2): keep only lines that end in terminal
+  punctuation and have >= 5 words; drop lines mentioning javascript or
+  containing cookie/boilerplate markers; drop whole documents that are
+  too short after cleaning, contain "lorem ipsum", or contain a curly
+  brace (code leak). Pure higher-order-function expressions over the
+  split line array — no shuffle, no Python, fan-in happens inside the
+  scan task that read the document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.dedup import normalized_text, portable_hash64
+
+
+def _line_key(line_col):
+    """60-bit portable hash of the normalized line (reproducible in
+    DuckDB — see operators/dedup.portable_hash64)."""
+    return portable_hash64(normalized_text(line_col))
+
+
+def corpus_lines(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, line_no, line, line_key): one row per line, document
+    order preserved via line_no. Blank lines carry through (they are
+    dropped from counting by callers, kept for faithful reassembly)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line_key", _line_key(F.col("line")))
+
+
+def duplicate_lines(
+    docs: DataFrame,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The boilerplate table: (line_key, n_occurrences, sample_line)
+    for every non-blank line occurring more than ``max_occurrences``
+    times corpus-wide. sample_line = lexicographic min of the raw
+    forms (deterministic)."""
+    lines = corpus_lines(docs, text_col, id_col).filter(
+        F.trim(F.col("line")) != ""
+    )
+    return (
+        lines.groupBy("line_key")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("line").alias("sample_line"),
+        )
+        .filter(F.col("n_occurrences") > max_occurrences)
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every copy of corpus-duplicate lines (CCNet boilerplate
+    removal): lines whose occurrence count exceeds ``max_occurrences``
+    vanish from ALL documents; everything else keeps its position.
+
+    Returns (doc_id, text, n_lines, n_kept): the reassembled document
+    (kept lines joined with newlines, original order), the original
+    line count, and the kept count. Documents whose every line was
+    boilerplate survive with text='' and n_kept=0 — dropping rows is
+    the caller's policy decision, not the operator's.
+    """
+    lines = corpus_lines(docs, text_col, id_col)
+    heavy = duplicate_lines(docs, max_occurrences, text_col, id_col).select("line_key")
+    kept = lines.join(heavy, "line_key", "left_anti")
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+# --- C4-style heuristic cleaning ---------------------------------------------
+
+# C4 §2.2 constants (Raffel et al. 2020) — shared verbatim with the
+# DuckDB oracle in entry_queries (one constant table, two renderers).
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES = 3
+C4_TERMINAL = (".", "!", "?", '"')
+C4_LINE_BLOCKLIST = ("javascript", "cookie policy")
+C4_DOC_BLOCKLIST = ("lorem ipsum", "{")
+
+
+def _c4_line_keep(line):
+    """Line predicate: terminal punctuation, >= 5 words, no blocklist
+    marker (case-insensitive)."""
+    t = F.trim(line)
+    lowered = F.lower(t)
+    ends_ok = F.substring(t, -1, 1).isin(*C4_TERMINAL)
+    words_ok = F.size(F.split(t, r"\s+")) >= C4_MIN_WORDS_PER_LINE
+    block = None
+    for marker in C4_LINE_BLOCKLIST:
+        hit = lowered.contains(marker)
+        block = hit if block is None else (block | hit)
+    return ends_ok & words_ok & ~block
+
+
+def c4_clean(
+    docs: DataFrame,
+    min_lines: int = C4_MIN_LINES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 cleaning: per-line filter + document-level gates, entirely
+    scan-local expressions (filter/transform over the split array).
+
+    Returns (doc_id, text, n_lines_kept, keep) where text is the
+    cleaned document and keep is the document-level verdict: at least
+    ``min_lines`` surviving lines AND no doc-blocklist marker anywhere
+    in the ORIGINAL text (C4 drops on the raw page, before the line
+    pass). Rows are returned for every input doc — filtering on keep
+    is the caller's one-liner.
+    """
+    raw_lower = F.lower(F.col(text_col))
+    doc_blocked = None
+    for marker in C4_DOC_BLOCKLIST:
+        hit = raw_lower.contains(marker)
+        doc_blocked = hit if doc_blocked is None else (doc_blocked | hit)
+    # NB: F.transform(arr, F.trim) would bind trim's 2-arg (col, trimstr)
+    # overload with the element index as trimstr — one-arg lambda required
+    kept_lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)), _c4_line_keep
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept_lines, "\n").alias("text"),
+        F.size(kept_lines).cast("long").alias("n_lines_kept"),
+        (
+            (F.size(kept_lines) >= F.lit(min_lines)) & ~doc_blocked
+        ).alias("keep"),
+    )
