@@ -490,6 +490,33 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(spark.sql(c4_docs_sql()))
 
 
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/C4-style URL filtering: the REAL broadcast-per-suffix-level
+    host_blocklist_filter + the keyword expression filter, vs the
+    ends-with relational restatement."""
+    from pathik_spark.entry_queries import BLOCKLIST_CTE, URL_KEYWORDS
+    from pathik_spark.operators.blocklist import host_blocklist_filter, url_keyword_filter
+
+    _register_views(spark, sf_dir)
+    urls = spark.sql(f"WITH {BLOCKLIST_CTE} SELECT id, url FROM bl_urls")
+    bl = spark.sql(f"WITH {BLOCKLIST_CTE} SELECT host FROM bl_hosts")
+    return url_keyword_filter(host_blocklist_filter(urls, bl), URL_KEYWORDS)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: the REAL hash_split operator
+    keyed by doc_id vs the bucket-lattice SQL."""
+    from pathik_spark.operators.sampling import hash_split
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("key")
+    )
+    return hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="key"
+    ).select("doc_id", "split")
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -690,6 +717,8 @@ ENGINE_ORACLE_QUERIES = {
     "crawl_delta_stats": _q_crawl_delta_stats,
     "line_dedup": _q_line_dedup,
     "c4_clean": _q_c4_clean,
+    "url_blocklist": _q_url_blocklist,
+    "hash_split": _q_hash_split,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

@@ -92,6 +92,15 @@ def main() -> None:
     for df in corpus.values():
         df.count()  # warm the scan cache out of the timing
 
+    # warm the Python-worker pool + Arrow UDF path out of the timing
+    # (first UDF stage on a fresh JVM pays worker spawn + codegen; a
+    # 512-page untimed pass removes ~2.5x of cold-start from trial 1)
+    from pathik_spark.functions.extract_udfs import extract_text_udf as _xt
+
+    corpus["pages"].limit(512).select(
+        F.length(_xt(F.col("html"))).alias("n")
+    ).agg(F.sum("n")).collect()
+
     dt, n_urls = bench_crawl_round(spark, corpus, tempfile.mkdtemp(prefix="pathik_bench_"))
     timings["crawl_pipeline_2rounds"] = round(dt, 3)
     extras["crawl_urls_scheduled"] = n_urls
@@ -139,6 +148,8 @@ def main() -> None:
         "chunk_documents",
         "pack_token_stream",
         "trap_signals",
+        "line_dedup",
+        "anchor_profile",
     ):
         t0 = time.perf_counter()
         df = qset[name](spark, SF_DIR)

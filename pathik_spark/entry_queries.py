@@ -1721,6 +1721,65 @@ FROM agg
 """
 
 
+# URL corpus + blocklist for the host-blocklist oracle. Hosts are 2-4
+# labels deep; blocklist entries 2-3 labels; at most one entry matches
+# any URL (keeps the matched-entry column unambiguous in both engines).
+BLOCKLIST_CTE = """
+bl_urls AS (
+  SELECT o_orderkey AS id,
+    CASE
+      WHEN o_orderkey % 7 = 0 THEN 'https://cdn.ads.tracker' || CAST(o_orderkey % 3 AS STRING) || '.example.net/p' || CAST(o_orderkey AS STRING)
+      WHEN o_orderkey % 5 = 0 THEN 'https://Tracker' || CAST(o_orderkey % 3 AS STRING) || '.EXAMPLE.net/q' || CAST(o_orderkey AS STRING)
+      WHEN o_orderkey % 3 = 0 THEN 'https://safe.example.org/casino' || CAST(o_orderkey AS STRING)
+      WHEN o_orderkey % 2 = 0 THEN 'https://host' || CAST(o_orderkey % 11 AS STRING) || '.example.com/dl/setup' || CAST(o_orderkey AS STRING) || '.exe'
+      ELSE 'https://host' || CAST(o_orderkey % 11 AS STRING) || '.example.com/s' || CAST(o_orderkey AS STRING)
+    END AS url
+  FROM orders
+),
+bl_hosts AS (
+  SELECT 'tracker0.example.net' AS host
+  UNION ALL SELECT 'tracker1.example.net'
+  UNION ALL SELECT 'host3.example.com'
+  UNION ALL SELECT 'never.matched.example'
+)
+"""
+
+URL_KEYWORDS = ("casino", ".exe")
+
+
+def duck_url_blocklist_sql() -> str:
+    """DuckDB twin of host_blocklist_filter + url_keyword_filter
+    chained (operators/blocklist.py): keep URLs whose host neither
+    equals nor is a subdomain of any blocklist entry, then drop URLs
+    containing a keyword. Subdomain = host ends with '.' || entry
+    (the corpus keeps hosts within the engine's suffix-level cap)."""
+    host = _host(DUCK)
+    kw = " OR ".join(f"contains(lower(url), '{k}')" for k in URL_KEYWORDS)
+    return f"""
+WITH {BLOCKLIST_CTE.strip()},
+hosted AS (SELECT id, url, {host} AS h FROM bl_urls)
+SELECT id, url FROM hosted u
+WHERE NOT EXISTS (
+  SELECT 1 FROM bl_hosts b WHERE u.h = b.host OR suffix(u.h, '.' || b.host)
+)
+AND NOT ({kw})
+"""
+
+
+def duck_hash_split_sql() -> str:
+    """DuckDB twin of sampling.hash_split over documents keyed by
+    doc_id: cut the 60-bit bucket lattice at 0.8 / 0.9 of DENOM."""
+    key = "'split:' || CAST(doc_id AS STRING)"
+    bucket = DUCK["HASH60"](key) + " % 1000000"
+    return f"""
+SELECT doc_id,
+  CASE WHEN {bucket} < 800000 THEN 'train'
+       WHEN {bucket} < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -1749,6 +1808,8 @@ ENGINE_ORACLE_SQL = {
     "crawl_delta_stats": duck_crawl_delta_stats_sql,
     "line_dedup": duck_line_dedup_sql,
     "c4_clean": duck_c4_clean_sql,
+    "url_blocklist": duck_url_blocklist_sql,
+    "hash_split": duck_hash_split_sql,
 }
 
 

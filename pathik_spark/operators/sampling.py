@@ -50,6 +50,34 @@ def hash_sample(
     return df.filter(sample_bucket(key_col, salt) < F.lit(threshold))
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "url",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: adds a ``split``
+    column by cutting the bucket lattice at the cumulative weights
+    (insertion order of ``weights``; they must sum to ~1). Same key +
+    salt => same split on any cluster, any partitioning — the property
+    that makes held-out sets stable across pipeline re-runs. Pure
+    expression, scan-local."""
+    total = sum(weights.values())
+    if not weights or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = sample_bucket(key_col, salt)
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cut = F.lit(int(round(cum * DENOM)))
+        case = F.when(bucket < cut, F.lit(name))
+        expr = case if expr is None else expr.when(bucket < cut, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
 def stratified_sample(
     df: DataFrame,
     rates: DataFrame,
