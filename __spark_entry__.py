@@ -517,6 +517,15 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card composition rollup: the REAL one-pass corpus_report
+    over documents vs the relational restatement."""
+    from pathik_spark.operators.report import corpus_report
+
+    _register_views(spark, sf_dir)
+    return corpus_report(spark.table("documents"))
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -719,6 +728,7 @@ ENGINE_ORACLE_QUERIES = {
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,
+    "corpus_report": _q_corpus_report,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

@@ -1766,6 +1766,36 @@ AND NOT ({kw})
 """
 
 
+def duck_corpus_report_sql() -> str:
+    """DuckDB twin of report.corpus_report over documents grouped by
+    (lang, source): docs / whitespace tokens of the normalized text /
+    chars / distinct normalized contents / duplication rate."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    return f"""
+WITH prepped AS (
+  SELECT lang, source,
+    CASE WHEN {norm} = '' THEN 0 ELSE {d['ARRLEN'](d['SPLIT_WS'](norm))} END AS n_tok,
+    length(text) AS n_chr,
+    md5({norm}) AS chash
+  FROM documents
+),
+agg AS (
+  SELECT lang, source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+    CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+    CAST(COUNT(DISTINCT chash) AS BIGINT) AS n_distinct
+  FROM prepped GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens, n_chars,
+  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+  n_distinct,
+  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM agg
+"""
+
+
 def duck_hash_split_sql() -> str:
     """DuckDB twin of sampling.hash_split over documents keyed by
     doc_id: cut the 60-bit bucket lattice at 0.8 / 0.9 of DENOM."""
@@ -1810,6 +1840,7 @@ ENGINE_ORACLE_SQL = {
     "c4_clean": duck_c4_clean_sql,
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,
+    "corpus_report": duck_corpus_report_sql,
 }
 
 

@@ -85,9 +85,14 @@ class CrawlRun:
         links: DataFrame | None,
         state_dir: str,
         config: CrawlConfig | None = None,
+        blocklist: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages
+        # optional UT1-style host blocklist (host column); applied to
+        # every round's frontier via broadcast suffix joins — see
+        # operators/blocklist.host_blocklist_filter
+        self.blocklist = blocklist
         if robots is not None and "robots_txt" in robots.columns:
             # raw robots.txt bodies: parse them into the rules table once
             # (relational parse, operators/robots.parse_robots_txt); the
@@ -207,6 +212,10 @@ class CrawlRun:
             _t0 = now
 
         fr = prepare_frontier(frontier, num_shards=cfg.num_shards)
+        if self.blocklist is not None:
+            from pathik_spark.operators.blocklist import host_blocklist_filter
+
+            fr = host_blocklist_filter(fr, self.blocklist)
         fr = fr.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")), "host_hash"
         )
