@@ -28,6 +28,37 @@ PAGE_SCALE = int(os.environ.get("PATHIK_BENCH_PAGE_SCALE", "1"))
 CACHE_ROOT = os.environ.get("PATHIK_BENCH_CACHE", "/tmp/pathik_bench_corpus")
 
 
+def _hw_noise_probe() -> dict[str, float]:
+    """~2 s pure-CPU probe of THIS measurement window: single-proc md5
+    throughput and the parallel efficiency of cpu_count independent
+    copies. The box is a shared VM whose effective core count drifts
+    (observed 0.36-0.92 parallel efficiency across windows); recording
+    the probe next to the timings lets a reader separate engine changes
+    from window noise when comparing BENCH_r{N}.json across rounds."""
+    from multiprocessing import Pool
+
+    t0 = time.perf_counter()
+    _hw_probe_work(0)
+    one = time.perf_counter() - t0
+    n = os.cpu_count() or 8
+    t0 = time.perf_counter()
+    with Pool(n) as p:
+        p.map(_hw_probe_work, range(n))
+    wall = time.perf_counter() - t0
+    return {
+        "hw_probe_single_s": round(one, 3),
+        "hw_probe_parallel_efficiency": round(one / wall, 3),
+    }
+
+
+def _hw_probe_work(_):
+    import hashlib
+
+    h = b"x" * 4096
+    for _i in range(20000):
+        h = hashlib.md5(h).digest() + h[:4080]
+
+
 def ensure_corpus(spark) -> str:
     out = f"{CACHE_ROOT}/p{N_PAGES}_s{N_SEEDS}_x{PAGE_SCALE}_seed42"
     marker = f"{out}/_COMPLETE"
@@ -183,6 +214,7 @@ def main() -> None:
     ).mode("overwrite").save()
     timings["ivf_ann_dim768"] = round(time.perf_counter() - t0, 3)
 
+    extras.update(_hw_noise_probe())
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
