@@ -526,6 +526,21 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(spark.table("documents"))
 
 
+def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata pass: the REAL extract_metadata Arrow UDF over
+    templated HTML (head traversed for title/meta, nav h1 excluded,
+    og:description fallback) vs the DuckDB-stated expected values."""
+    from pathik_spark.entry_queries import metadata_html_sql
+    from pathik_spark.functions.extract_udfs import extract_metadata_udf
+
+    _register_views(spark, sf_dir)
+    pages = spark.sql(metadata_html_sql()).select(
+        "doc_id", F.encode(F.col("html_str"), "UTF-8").alias("html")
+    )
+    meta = pages.select("doc_id", extract_metadata_udf(F.col("html")).alias("m"))
+    return meta.select("doc_id", "m.title", "m.description", "m.h1", "m.n_headings")
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -729,6 +744,7 @@ ENGINE_ORACLE_QUERIES = {
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,
     "corpus_report": _q_corpus_report,
+    "page_metadata": _q_page_metadata,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

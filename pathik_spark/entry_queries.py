@@ -1766,6 +1766,41 @@ AND NOT ({kw})
 """
 
 
+def metadata_html_sql() -> str:
+    """(doc_id, html_str) for the page-metadata oracle: a ws-mangled
+    <title>, a name=description meta (1-in-11 docs have only the
+    og:description fallback and no title), a chrome <h1> inside <nav>
+    (excluded), a real <h1>/<h2>, and a 1-in-3 extra <h3>."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+SELECT doc_id,
+  '<html><head>'
+  || CASE WHEN doc_id % 11 = 0 THEN '<meta property="og:description" content="OG fallback ' || {did} || '"/>'
+          ELSE '<title>Doc  ' || {did} || '   Portal</title><meta name="description" content="Summary   of doc ' || CAST(doc_id % 7 AS STRING) || '."/>' END
+  || '</head><body><nav><h1>chrome</h1></nav>'
+  || '<h1> Heading   ' || CAST(doc_id % 5 AS STRING) || ' </h1><h2>Sub</h2>'
+  || CASE WHEN doc_id % 3 = 0 THEN '<h3>Deep</h3>' ELSE '' END
+  || '</body></html>' AS html_str
+FROM documents
+"""
+
+
+def duck_page_metadata_sql() -> str:
+    """DuckDB-stated expected output of extract_metadata over the
+    metadata_html_sql template (title/description collapsed, nav h1
+    excluded, og:description fallback when name=description absent)."""
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'Doc ' || {did} || ' Portal' END AS title,
+  CASE WHEN doc_id % 11 = 0 THEN 'OG fallback ' || {did}
+       ELSE 'Summary of doc ' || CAST(doc_id % 7 AS STRING) || '.' END AS description,
+  'Heading ' || CAST(doc_id % 5 AS STRING) AS h1,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_headings
+FROM documents
+"""
+
+
 def duck_corpus_report_sql() -> str:
     """DuckDB twin of report.corpus_report over documents grouped by
     (lang, source): docs / whitespace tokens of the normalized text /
@@ -1841,6 +1876,7 @@ ENGINE_ORACLE_SQL = {
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,
     "corpus_report": duck_corpus_report_sql,
+    "page_metadata": duck_page_metadata_sql,
 }
 
 

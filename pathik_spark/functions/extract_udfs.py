@@ -169,6 +169,29 @@ def make_extract_anchors_udf(fetch_cap: int = X.FETCH_CAP):
     return extract_anchors_udf
 
 
+def make_extract_metadata_udf(fetch_cap: int = X.FETCH_CAP):
+    """Page metadata (kernels/extract.extract_metadata):
+    struct<title, description, h1, n_headings>."""
+    schema = T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("h1", T.StringType()),
+            T.StructField("n_headings", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def extract_metadata_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for html in it:
+            rows = [X.extract_metadata(b, fetch_cap) for b in html]
+            yield pd.DataFrame(
+                rows, columns=["title", "description", "h1", "n_headings"]
+            )
+
+    return extract_metadata_udf
+
+
 # default-cap singletons for plan assembly
 extract_text_udf = make_extract_text_udf()
 to_markdown_udf = make_to_markdown_udf()
@@ -176,3 +199,4 @@ extract_both_udf = make_extract_both_udf()
 extract_full_udf = make_extract_full_udf()
 extract_links_udf = make_extract_links_udf()
 extract_anchors_udf = make_extract_anchors_udf()
+extract_metadata_udf = make_extract_metadata_udf()

@@ -457,6 +457,73 @@ def extract_anchors(
     return out
 
 
+def _find_first_any(node: Node, tag: str) -> Node | None:
+    """First node with ``tag`` in document order, traversing EVERYTHING
+    (including DROP_TAGS — <title>/<meta> live inside <head>)."""
+    for child in node.children:
+        if isinstance(child, Node):
+            if child.tag == tag:
+                return child
+            found = _find_first_any(child, tag)
+            if found is not None:
+                return found
+    return None
+
+
+def _collect_meta(node: Node, out: dict) -> None:
+    for child in node.children:
+        if isinstance(child, Node):
+            if child.tag == "meta":
+                name = (child.attrs.get("name") or child.attrs.get("property") or "").lower()
+                if name and name not in out:
+                    out[name] = _collapse_ws(child.attrs.get("content") or "")
+            _collect_meta(child, out)
+
+
+def _subtree_text_all(node: Node) -> str:
+    """Subtree text IGNORING drop-tag filtering (title lives in head)."""
+    parts: list[str] = []
+    for child in node.children:
+        if isinstance(child, str):
+            parts.append(child)
+        else:
+            parts.append(_subtree_text_all(child))
+    return "".join(parts)
+
+
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+
+def extract_metadata(
+    html_bytes: bytes | None, fetch_cap: int = FETCH_CAP
+) -> tuple[str, str, str, int]:
+    """Page metadata pass: (title, description, h1, n_headings).
+
+    title = first <title>'s text (head is traversed for this pass even
+    though the content passes drop it); description = first
+    <meta name|property=description|og:description content=...>;
+    h1 = first <h1> outside DROP_TAGS; n_headings counts h1-h6 outside
+    DROP_TAGS. All text whitespace-collapsed; missing pieces are ''.
+    """
+    html = decode_html(html_bytes, fetch_cap)
+    if not html.strip():
+        return ("", "", "", 0)
+    root = parse_html(html)
+    title_node = _find_first_any(root, "title")
+    title = _collapse_ws(_subtree_text_all(title_node)) if title_node is not None else ""
+    metas: dict = {}
+    _collect_meta(root, metas)
+    description = metas.get("description") or metas.get("og:description") or ""
+    headings: list[Node] = []
+    _find_all(root, _HEADING_TAGS, headings)
+    h1 = ""
+    for h in headings:
+        if h.tag == "h1":
+            h1 = _collapse_ws(_node_text(h))
+            break
+    return (title, description, h1, len(headings))
+
+
 def extract_full(
     html_bytes: bytes | None, base_url: str = "", fetch_cap: int = FETCH_CAP
 ) -> tuple[str, str, list[str]]:
