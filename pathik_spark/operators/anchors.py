@@ -44,24 +44,36 @@ def page_anchors(
 def anchor_text_profile(anchors: DataFrame, max_anchors: int = 16) -> DataFrame:
     """Per-target anchor profile: (dst_url, n_inlinks, n_src_hosts,
     anchors) where anchors = sorted distinct non-empty anchor texts,
-    capped at max_anchors, '|'-joined (deterministic row shape)."""
+    capped at max_anchors, '|'-joined (deterministic row shape).
+
+    Spill-safe shape: the anchor summary is computed as distinct
+    (dst_url, anchor) pairs -> window row_number <= cap -> collect_list,
+    NOT collect_set-then-slice. A window sort spills to disk; an
+    aggregation buffer does not — a spam hub with millions of DISTINCT
+    anchor texts would OOM the executor under collect_set but merely
+    sorts (and is then cut to ``max_anchors``) under the window. Counts
+    ride a separate partial-aggregating groupBy; both shuffles key on
+    dst_url so AQE coalesces them onto the same exchange layout."""
+    from pyspark.sql import Window
+
     src_host = hostname_of(F.col("src_url"))
-    return (
-        anchors.groupBy("dst_url")
-        .agg(
-            F.count("*").alias("n_inlinks"),
-            F.countDistinct(src_host).alias("n_src_hosts"),
-            F.array_join(
-                F.slice(
-                    F.array_sort(
-                        F.collect_set(
-                            F.when(F.col("anchor") != "", F.col("anchor"))
-                        )
-                    ),
-                    1,
-                    max_anchors,
-                ),
-                "|",
-            ).alias("anchors"),
-        )
+    counts = anchors.groupBy("dst_url").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct(src_host).alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("dst_url").orderBy("anchor")
+    topk = (
+        anchors.filter(F.col("anchor") != "")
+        .select("dst_url", "anchor")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_anchors)
+        .groupBy("dst_url")
+        .agg(F.array_join(F.array_sort(F.collect_list("anchor")), "|").alias("anchors"))
+    )
+    return counts.join(topk, "dst_url", "left").select(
+        "dst_url",
+        "n_inlinks",
+        "n_src_hosts",
+        F.coalesce(F.col("anchors"), F.lit("")).alias("anchors"),
     )
