@@ -94,30 +94,29 @@ def line_dedup(
     the caller's policy decision, not the operator's.
     """
     lines = corpus_lines(docs, text_col, id_col)
-    heavy = duplicate_lines(docs, max_occurrences, text_col, id_col).select("line_key")
-    kept = lines.join(heavy, "line_key", "left_anti")
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    rebuilt = kept.groupBy("doc_id").agg(
+    heavy = (
+        duplicate_lines(docs, max_occurrences, text_col, id_col)
+        .select("line_key")
+        .withColumn("_heavy", F.lit(True))
+    )
+    # broadcast LEFT join (not anti) so total and kept counts fuse into
+    # ONE groupBy on doc_id: one corpus shuffle instead of two, one
+    # scan-side pass instead of totals + rebuilt
+    marked = lines.join(F.broadcast(heavy), "line_key", "left")
+    keep = F.col("_heavy").isNull()
+    return marked.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("line_no", "line"))
+                    F.collect_list(F.when(keep, F.struct("line_no", "line")))
                 ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("text"),
-        F.count("*").alias("n_kept"),
-    )
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        )
-    )
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+    ).select("doc_id", "text", "n_lines", "n_kept")
 
 
 # --- C4-style heuristic cleaning ---------------------------------------------
