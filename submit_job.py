@@ -41,6 +41,13 @@ def main() -> None:
     ap.add_argument("--session-id", default=None)
     ap.add_argument("--synthetic", type=int, default=0, help="use a synthetic corpus of N pages")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--blocked-hosts",
+        default=None,
+        help="host blocklist: a parquet/text file with one host per row "
+        "(subdomains of listed hosts are blocked too), or a comma-separated "
+        "inline list",
+    )
     args = ap.parse_args()
 
     from pathik_spark.config import CrawlConfig
@@ -70,6 +77,23 @@ def main() -> None:
         num_shards=args.num_shards,
         n_rounds=args.rounds,
     )
+    blocklist = None
+    if args.blocked_hosts:
+        import os
+
+        if os.path.exists(args.blocked_hosts):
+            if args.blocked_hosts.endswith(".parquet"):
+                blocklist = spark.read.parquet(args.blocked_hosts)
+            else:
+                blocklist = spark.read.text(args.blocked_hosts).withColumnRenamed(
+                    "value", "host"
+                )
+        else:
+            blocklist = spark.createDataFrame(
+                [(h.strip(),) for h in args.blocked_hosts.split(",") if h.strip()],
+                "host string",
+            )
+
     run = CrawlRun(
         spark,
         pages=tables["pages"],
@@ -77,6 +101,7 @@ def main() -> None:
         links=tables.get("links"),
         state_dir=args.state_dir,
         config=cfg,
+        blocklist=blocklist,
     )
     stats = run.run(tables["seeds"], n_rounds=args.rounds, resume=not args.no_resume)
     for st in stats:
