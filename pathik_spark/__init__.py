@@ -9,7 +9,13 @@ frontier driver with checkpoint/resume. See SURVEY.md for the design.
 
 __version__ = "0.1.0"
 
-_FACADE = ("crawl", "crawl_to_r2", "crawl_to_warc", "stream_to_kafka")
+_FACADE = (
+    "crawl",
+    "crawl_to_r2",
+    "crawl_to_warc",
+    "stream_to_kafka",
+    "prepare_training_corpus",
+)
 
 
 def __getattr__(name):

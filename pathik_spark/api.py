@@ -36,7 +36,77 @@ from pathik_spark.operators.fetch import extract_artifacts, fetch_join
 from pathik_spark.operators.frontier import prepare_frontier
 from pathik_spark.sources import sinks
 
-__all__ = ["crawl", "crawl_to_r2", "stream_to_kafka"]
+__all__ = ["crawl", "crawl_to_r2", "stream_to_kafka", "prepare_training_corpus"]
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    line_max_occurrences: int = 1000,
+    neardup_threshold: float = 0.8,
+    split_weights: dict[str, float] | None = None,
+    apply_c4: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """One-call cleaning pipeline: raw documents -> training corpus.
+
+    Chains the engine's cleaning operators in the order a production
+    webtext pipeline runs them:
+
+    1. C4 line/document heuristics (``apply_c4=False`` to skip for
+       pre-cleaned text) — rewrites text, drops gated docs;
+    2. CCNet line-level boilerplate removal corpus-wide
+       (``line_max_occurrences``);
+    3. the composed ``clean_corpus`` verdict (language AND quality AND
+       Gopher-repetition AND near-dup-canonical; ``pairs`` defaults to
+       MinHash-LSH candidates generated from the cleaned text and
+       VERIFIED by exact n-gram Jaccard >= ``neardup_threshold`` —
+       raw banding candidates over-merge template-heavy corpora);
+    4. deterministic train/val/test ``hash_split`` keyed by doc id.
+
+    Returns ``(corpus, report)``: the kept rows as (doc_id, text,
+    lang_guess, quality, split) and the dataset-card rollup grouped by
+    (lang_guess, split). Everything is lazy except nothing — both
+    returns are unevaluated plans.
+    """
+    from pathik_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from pathik_spark.operators.linedup import c4_clean, line_dedup
+    from pathik_spark.operators.quality import clean_corpus
+    from pathik_spark.operators.report import corpus_report
+    from pathik_spark.operators.sampling import hash_split
+
+    staged = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if apply_c4:
+        staged = c4_clean(staged).filter(F.col("keep")).select("doc_id", "text")
+    staged = line_dedup(staged, max_occurrences=line_max_occurrences).select(
+        "doc_id", "text"
+    )
+    if pairs is None:
+        shingles = word_shingles(staged)
+        cands = lsh_candidate_pairs(minhash_signatures(shingles))
+        pairs = jaccard_pairs(shingles, cands, threshold=neardup_threshold).select(
+            "doc_a", "doc_b"
+        )
+    verdict = clean_corpus(staged, pairs, langs=langs, min_quality=min_quality)
+    kept = staged.join(
+        verdict.filter(F.col("keep")).select("doc_id", "lang_guess", "quality"),
+        "doc_id",
+    )
+    corpus = hash_split(
+        kept.withColumn("_key", F.col("doc_id").cast("string")),
+        split_weights or {"train": 0.98, "val": 0.01, "test": 0.01},
+        key_col="_key",
+    ).select("doc_id", "text", "lang_guess", "quality", "split")
+    report = corpus_report(corpus, group_cols=("lang_guess", "split"))
+    return corpus, report
 
 
 def _as_list(urls: str | list[str]) -> list[str]:

@@ -1,0 +1,63 @@
+"""End-to-end test for the one-call cleaning pipeline facade
+(pathik_spark.prepare_training_corpus)."""
+
+from __future__ import annotations
+
+import pathik_spark
+
+BOILER = "Subscribe to the newsletter and follow us for more updates."
+
+_ADJ = "quick bright ancient quiet heavy golden narrow broken silver distant".split()
+_NOUN = "fox river mountain library engine harbor garden window market forest bridge tower".split()
+_VERB = "cross follow repair study watch ignore measure paint visit record".split()
+_TPL = [
+    "The {n1} near the {n2} will {v} when the {a} light arrives.",
+    "Some of the {n1} workers had taken their {n2} to the {a} fair.",
+    "It was the {a} {n1} that would {v} most of the {n2} in town.",
+    "They said the {n1} would not {v} until the {n2} was ready.",
+    "After the {a} rain, every {n1} along the {n2} looked new to them.",
+    "Nobody in the {n1} believed that the {a} {n2} could {v} again.",
+]
+
+
+def _line(i: int, j: int) -> str:
+    return _TPL[j % 6].format(
+        a=_ADJ[(i * 3 + j) % len(_ADJ)],
+        n1=_NOUN[(i * 5 + j * 2) % len(_NOUN)],
+        v=_VERB[(i * 7 + j * 3) % len(_VERB)],
+        n2=_NOUN[(i * 2 + j * 5 + 3) % len(_NOUN)],
+    )
+
+
+def _docs(spark):
+    rows = []
+    for i in range(24):
+        lines = [BOILER] + [_line(i, j) for j in range(6)]
+        rows.append((i, "\n".join(lines)))
+    # near-dup of doc 3 (identical body, different id)
+    rows.append((100, "\n".join([BOILER] + [_line(3, j) for j in range(6)])))
+    # doc gated out by the C4 lorem-ipsum rule
+    rows.append((101, "Some lorem ipsum filler appears here today.\n" + _line(1, 1)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prepare_training_corpus(spark):
+    corpus, report = pathik_spark.prepare_training_corpus(
+        _docs(spark), line_max_occurrences=5, min_quality=0.2
+    )
+    rows = {r["doc_id"]: r for r in corpus.collect()}
+    # all 24 clean docs survive; the dup copy and the lorem doc are gone
+    assert len(rows) == 24
+    # corpus-wide boilerplate line removed from every surviving doc
+    assert all(BOILER not in r["text"] for r in rows.values())
+    # the lorem-ipsum doc is gone
+    assert 101 not in rows
+    # near-dup pair (3, 100): only the canonical (lowest id) survives
+    assert 3 in rows and 100 not in rows
+    # split labels are assigned and valid
+    assert {r["split"] for r in rows.values()} <= {"train", "val", "test"}
+    assert all(r["lang_guess"] == "en" for r in rows.values())
+    # the report groups by (lang_guess, split) and counts every kept doc
+    rep = report.collect()
+    assert sum(r["n_docs"] for r in rep) == len(rows)
+    assert all(r["lang_guess"] == "en" for r in rep)
