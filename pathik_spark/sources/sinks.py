@@ -392,6 +392,25 @@ def write_warc_files(
     return summaries
 
 
+def write_training_jsonl(
+    corpus: DataFrame,
+    out_dir: str,
+    split_col: str = "split",
+    compression: str = "gzip",
+) -> None:
+    """Export a cleaned corpus as trainer-ready JSONL, one directory per
+    split (``out_dir/split=train/part-*.json.gz`` ...): the layout data
+    loaders shard-read directly. Spark's native JSON writer streams each
+    partition to its own compressed file — no shuffle beyond the
+    partitionBy bucketing, no driver collect, so the export scales with
+    the corpus. Columns become the JSON fields verbatim (keep the
+    schema to text + metadata before calling)."""
+    writer = corpus.write.mode("overwrite").option("compression", compression)
+    if split_col in corpus.columns:
+        writer = writer.partitionBy(split_col)
+    writer.json(out_dir)
+
+
 def read_warc_record(path: str, offset: int, length: int) -> tuple[str, bytes]:
     """CDX random access: seek + read exactly one record; returns
     (header_text, payload_bytes). The inverse of write_warc_files'

@@ -99,3 +99,29 @@ def test_streaming_smoke(spark, corpus, tmp_path):
         assert total == corpus["pages"].count()
     finally:
         q.stop()
+
+
+def test_write_training_jsonl_split_layout(spark, tmp_path):
+    import glob
+    import gzip
+    import json as _json
+
+    from pathik_spark.sources.sinks import write_training_jsonl
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha text", "train"), (2, "beta text", "val"), (3, "gamma text", "train")],
+        "doc_id long, text string, split string",
+    )
+    out = str(tmp_path / "jsonl")
+    write_training_jsonl(corpus, out)
+    files = sorted(glob.glob(f"{out}/split=*/part-*.json.gz"))
+    assert files and all("/split=" in f for f in files)
+    rows = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            rows += [(_json.loads(line), f) for line in fh if line.strip()]
+    got = {r["doc_id"]: (r["text"], "split=train" in f) for r, f in rows}
+    assert got == {1: ("alpha text", True), 2: ("beta text", False), 3: ("gamma text", True)}
+    # round-trips through spark's own reader with the split restored
+    back = spark.read.json(out)
+    assert back.count() == 3 and set(back.columns) == {"doc_id", "text", "split"}
