@@ -82,3 +82,22 @@ def test_extractor_total_on_garbage_bytes(b):
     assert isinstance(text, str) and isinstance(md, str)
     # determinism
     assert X.extract_both(b) == (text, md)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=100, deadline=None)
+def test_metadata_and_anchors_total_on_garbage_bytes(b):
+    from pathik_spark.kernels import extract as X
+
+    meta = X.extract_metadata(b)
+    assert isinstance(meta, tuple) and len(meta) == 4
+    assert all(isinstance(v, str) for v in meta[:3]) and isinstance(meta[3], int)
+    assert meta[3] >= 0
+    pairs = X.extract_anchors(b, "https://h.example/base")
+    assert all(
+        isinstance(u, str) and isinstance(t, str) and u.split(":", 1)[0].lower() in ("http", "https")
+        for u, t in pairs
+    )
+    # determinism
+    assert X.extract_metadata(b) == meta
+    assert X.extract_anchors(b, "https://h.example/base") == pairs
