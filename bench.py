@@ -114,9 +114,13 @@ def main() -> None:
 
     import __spark_entry__ as E
 
+    # probe BEFORE the JVM exists: a clean read of the host's current
+    # parallel capacity (running it beside a live Spark session reads
+    # ~2-3x low from fork + memory pressure)
+    extras: dict[str, float] = dict(_hw_noise_probe())
+
     spark = get_spark("pathik_bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
 
     corpus_dir = ensure_corpus(spark)
     corpus = load_corpus(spark, corpus_dir)
@@ -214,7 +218,6 @@ def main() -> None:
     ).mode("overwrite").save()
     timings["ivf_ann_dim768"] = round(time.perf_counter() - t0, 3)
 
-    extras.update(_hw_noise_probe())
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
