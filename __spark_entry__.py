@@ -541,6 +541,18 @@ def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "m.title", "m.description", "m.h1", "m.n_headings")
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality scoring: the REAL train + score
+    operators (take-ordered vocab, broadcast lookup, integer micro-log
+    units) vs the relational restatement."""
+    from pathik_spark.entry_queries import LM_VOCAB
+    from pathik_spark.operators.lm import lm_score, train_unigram_lm
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return lm_score(docs, train_unigram_lm(docs, vocab_size=LM_VOCAB))
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -745,6 +757,7 @@ ENGINE_ORACLE_QUERIES = {
     "hash_split": _q_hash_split,
     "corpus_report": _q_corpus_report,
     "page_metadata": _q_page_metadata,
+    "lm_score": _q_lm_score,
     "lsh_ann_topk": _q_lsh_ann,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,

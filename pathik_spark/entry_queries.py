@@ -1801,6 +1801,49 @@ FROM documents
 """
 
 
+LM_VOCAB = 16  # small vocab so the fixture corpus actually has OOV tokens
+
+
+def duck_lm_score_sql() -> str:
+    """DuckDB twin of train_unigram_lm(vocab=16) + lm_score over
+    documents (operators/lm.py): top-16 tokens by (count desc, tok),
+    add-one smoothing, integer micro-log10 units so the per-doc mean is
+    engine- and partitioning-independent."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS tok
+  FROM documents WHERE {norm} <> ''
+),
+toks_nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks_nz GROUP BY tok),
+top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {LM_VOCAB}),
+mass AS (SELECT CAST(SUM(n) + COUNT(*) + 1 AS BIGINT) AS m FROM top),
+lm AS (
+  SELECT tok, CAST(ROUND(log10((n + 1.0) / m) * 1000000) AS BIGINT) AS lp
+  FROM top, mass
+),
+flo AS (SELECT CAST(ROUND(log10(1.0 / m) * 1000000) AS BIGINT) AS flp FROM mass),
+scored AS (
+  SELECT t.doc_id, l.lp, f.flp FROM toks_nz t
+  LEFT JOIN lm l USING (tok) CROSS JOIN flo f
+),
+agg AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tok,
+    ROUND(SUM(CASE WHEN lp IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS oov_rate,
+    ROUND(SUM(COALESCE(lp, flp)) / (COUNT(*) * 1000000.0), 6) AS mean_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.n_tok, 0) AS n_tok,
+  COALESCE(a.oov_rate, 1.0) AS oov_rate,
+  COALESCE(a.mean_logp, 0.0) AS mean_logp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def duck_corpus_report_sql() -> str:
     """DuckDB twin of report.corpus_report over documents grouped by
     (lang, source): docs / whitespace tokens of the normalized text /
@@ -1877,6 +1920,7 @@ ENGINE_ORACLE_SQL = {
     "hash_split": duck_hash_split_sql,
     "corpus_report": duck_corpus_report_sql,
     "page_metadata": duck_page_metadata_sql,
+    "lm_score": duck_lm_score_sql,
 }
 
 

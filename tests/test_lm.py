@@ -1,0 +1,64 @@
+"""Tests for unigram LM quality scoring (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pathik_spark.operators.lm import lm_score, train_unigram_lm
+
+
+def _ref(spark):
+    # 'the' x6, 'cat' x3, 'sat' x3, 'mat' x2, 'dog' x1 -> vocab_size=4
+    # keeps {the, cat, sat, mat}; 'dog' falls out
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat the mat"),
+            (2, "the cat sat the mat"),
+            (3, "the the cat sat dog"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_train_unigram_lm_vocab_and_probs(spark):
+    lm = {r["tok"]: r for r in train_unigram_lm(_ref(spark), vocab_size=4).collect()}
+    assert set(lm) == {"the", "cat", "sat", "mat"}
+    # total kept mass = 6+3+3+2 = 14; denominator = 14 + 4 + 1 = 19
+    assert all(r["total_mass"] == 19 for r in lm.values())
+    assert lm["the"]["logp_micro"] == round(math.log10(7 / 19) * 1e6)
+    assert lm["mat"]["logp_micro"] == round(math.log10(3 / 19) * 1e6)
+
+
+def test_train_tie_break_is_lexicographic(spark):
+    docs = spark.createDataFrame([(1, "b b a a c c")], "doc_id long, text string")
+    lm = train_unigram_lm(docs, vocab_size=2).collect()
+    assert sorted(r["tok"] for r in lm) == ["a", "b"]  # c loses the tie
+
+
+def test_lm_score_ranks_gibberish_below_clean(spark):
+    lm = train_unigram_lm(_ref(spark), vocab_size=4)
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat"),  # pure in-vocab
+            (11, "zxqv wubble frag"),  # pure OOV
+            (12, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_score(docs, lm).collect()}
+    assert got[10]["oov_rate"] == 0.0 and got[11]["oov_rate"] == 1.0
+    assert got[10]["mean_logp"] > got[11]["mean_logp"]
+    # OOV floor: log10(1/19)
+    assert abs(got[11]["mean_logp"] - round(round(math.log10(1 / 19) * 1e6) / 1e6, 6)) < 1e-9
+    assert (got[12]["n_tok"], got[12]["oov_rate"], got[12]["mean_logp"]) == (0, 1.0, 0.0)
+
+
+def test_lm_score_partitioning_independent(spark):
+    lm = train_unigram_lm(_ref(spark), vocab_size=4)
+    docs = spark.createDataFrame(
+        [(i, "the cat zxqv sat mat " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["mean_logp"] for r in lm_score(docs, lm).collect()}
+    b = {r["doc_id"]: r["mean_logp"] for r in lm_score(docs.repartition(17), lm).collect()}
+    assert a == b
