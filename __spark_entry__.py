@@ -210,6 +210,19 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: REAL PNG/BMP decode -> aHash/dHash
+    -> quadrant-blocked Hamming pairs; rows-only (binary decode is not
+    SQL-expressible), invariances pinned in tests/test_multimodal.py."""
+    from pathik_spark.operators.multimodal import (
+        image_near_pairs,
+        image_phash,
+        synth_media_real,
+    )
+
+    return image_near_pairs(image_phash(synth_media_real(spark, 60)), max_hamming=8)
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash->LSH->verify pipeline on documents, portable-hash
     family end-to-end so the DuckDB oracle reproduces signatures, bands,
@@ -784,6 +797,7 @@ ENGINE_ORACLE_QUERIES = {
 ROWS_ONLY_QUERIES = {
     "crawl_flagship_round": _q_crawl_flagship,
     "multimodal_features": _q_multimodal_features,
+    "image_neardup": _q_image_neardup,
     "ivf_ann_topk": _q_ivf_ann,
 }
 

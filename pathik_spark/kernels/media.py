@@ -255,6 +255,55 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+def _to_signed64(bits: int) -> int:
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _grey_small(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    return resize_nearest(pixels, out_w, out_h).astype(np.float64).mean(axis=2)
+
+
+def average_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """aHash: resize to hash_size^2 grey pixels, threshold at the mean,
+    pack row-major into a signed 64-bit int (hash_size=8)."""
+    small = _grey_small(pixels, hash_size, hash_size)
+    bits = (small > small.mean()).flatten()
+    acc = 0
+    for b in bits:
+        acc = (acc << 1) | int(b)
+    return _to_signed64(acc)
+
+
+def difference_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """dHash: (hash_size+1) x hash_size grey grid, bit = left<right
+    horizontal gradient — more robust to global brightness shifts than
+    aHash (the threshold is per-pixel-pair, not the global mean)."""
+    small = _grey_small(pixels, hash_size + 1, hash_size)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    acc = 0
+    for b in bits:
+        acc = (acc << 1) | int(b)
+    return _to_signed64(acc)
+
+
+def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] | None:
+    """(ahash, dhash) for stdlib-decodable images (PNG/BMP), None for
+    everything else (audio, undecodable, null) — callers emit nullable
+    columns, never a crashed task."""
+    if not payload:
+        return None
+    try:
+        if payload[:8] == PNG_MAGIC:
+            px = decode_png(payload)
+        elif payload[:2] == b"BM":
+            px = decode_bmp(payload)
+        else:
+            return None
+    except MediaDecodeError:
+        return None
+    return (average_hash(px, hash_size), difference_hash(px, hash_size))
+
+
 def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
     """REAL-decode feature extraction with magic-byte dispatch: PNG/BMP
     pixels or WAV waveform when the payload is one of the stdlib-

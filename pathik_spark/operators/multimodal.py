@@ -77,6 +77,50 @@ def extract_features(
     return media.mapInPandas(op, FEATURE_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id long, media_type string, ahash long, dhash long"
+
+
+def image_phash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual image hashes over the binary column: (doc_id,
+    media_type, ahash, dhash), null hashes for non-image / undecodable
+    rows. Scan-local mapInPandas over the same Arrow batches as
+    extract_features; dedup across a 100 TB image corpus then runs on
+    the 8-byte hashes (simhash-style quadrant blocking via
+    ``image_near_pairs``), never on pixels."""
+    from pathik_spark.kernels.media import image_hashes
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [image_hashes(b, hash_size) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "ahash": pd.array(
+                        [h[0] if h else None for h in hs], dtype="Int64"
+                    ),
+                    "dhash": pd.array(
+                        [h[1] if h else None for h in hs], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, PHASH_SCHEMA)
+
+
+def image_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance on dHash, reusing
+    the SimHash quadrant-blocked join (pigeonhole: distance <= 3*k
+    pairs share a 16-bit quadrant; at the default 6 the blocking is a
+    candidate filter verified by the exact bit_count)."""
+    from pathik_spark.operators.dedup import simhash_near_pairs
+
+    fp = hashes.filter(F.col("dhash").isNotNull()).select(
+        "doc_id", F.col("dhash").alias("simhash")
+    )
+    return simhash_near_pairs(fp, max_hamming=max_hamming)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: fans one row out to
     ceil(duration/every_ms) frame rows. The frame "decode" is a

@@ -189,3 +189,55 @@ def test_extract_features_real_decode_through_spark(spark):
     img0 = [r for r in media.collect() if r["media_type"] == "image"][0]
     px = K.decode_png(bytes(img0["media"]))
     assert got[img0["doc_id"]] == pytest.approx(K.image_features(px, 8), abs=1e-6)
+
+
+# --- perceptual image hashing -------------------------------------------------
+
+
+def _png_gradient(shift: int = 0, flip: bool = False) -> bytes:
+    import numpy as np
+
+    from pathik_spark.kernels.media import encode_png
+
+    x = np.linspace(0, 200, 32, dtype=np.uint8)
+    px = np.tile(x, (32, 1))
+    if flip:
+        px = px[:, ::-1]
+    px = np.clip(px.astype(np.int64) + shift, 0, 255).astype(np.uint8)
+    return encode_png(np.stack([px] * 3, axis=2))
+
+
+def test_image_hashes_kernel_invariances():
+    from pathik_spark.kernels.media import image_hashes
+
+    base = image_hashes(_png_gradient())
+    bright = image_hashes(_png_gradient(shift=30))
+    flipped = image_hashes(_png_gradient(flip=True))
+    assert base is not None and bright is not None and flipped is not None
+    # dHash is brightness-invariant (per-pair gradient, not global mean)
+    assert base[1] == bright[1]
+    # a mirrored gradient reverses every gradient bit
+    assert bin((base[1] ^ flipped[1]) & (2**64 - 1)).count("1") == 64
+    # non-images and garbage return None
+    assert image_hashes(b"RIFFxxxxWAVE") is None
+    assert image_hashes(b"\x89PNG\r\n\x1a\nbroken") is None
+    assert image_hashes(None) is None
+
+
+def test_image_phash_and_near_pairs(spark):
+    from pathik_spark.operators.multimodal import image_near_pairs, image_phash
+
+    rows = [
+        (1, "image", bytearray(_png_gradient())),
+        (2, "image", bytearray(_png_gradient(shift=25))),  # near-dup of 1
+        (3, "image", bytearray(_png_gradient(flip=True))),  # far from 1
+        (4, "audio", bytearray(b"RIFF0000WAVEjunk")),
+        (5, "image", None),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, media binary")
+    hashes = image_phash(media)
+    got = {r["doc_id"]: r for r in hashes.collect()}
+    assert got[1]["dhash"] == got[2]["dhash"]
+    assert got[4]["ahash"] is None and got[5]["dhash"] is None
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in image_near_pairs(hashes).collect()}
+    assert pairs == {(1, 2): 0}
