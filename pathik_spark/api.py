@@ -48,6 +48,8 @@ def prepare_training_corpus(
     neardup_threshold: float = 0.8,
     split_weights: dict[str, float] | None = None,
     apply_c4: bool = True,
+    lm_reference: DataFrame | None = None,
+    min_mean_logp: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
@@ -65,7 +67,11 @@ def prepare_training_corpus(
        MinHash-LSH candidates generated from the cleaned text and
        VERIFIED by exact n-gram Jaccard >= ``neardup_threshold`` —
        raw banding candidates over-merge template-heavy corpora);
-    4. deterministic train/val/test ``hash_split`` keyed by doc id.
+    4. optional CCNet-style LM gate: when ``lm_reference`` (a trusted
+       corpus DataFrame) is given, a unigram LM trained on it scores
+       every doc; rows below ``min_mean_logp`` are dropped (annotate-
+       only when the threshold is None — the column rides along);
+    5. deterministic train/val/test ``hash_split`` keyed by doc id.
 
     Returns ``(corpus, report)``: the kept rows as (doc_id, text,
     lang_guess, quality, split) and the dataset-card rollup grouped by
@@ -100,11 +106,22 @@ def prepare_training_corpus(
         verdict.filter(F.col("keep")).select("doc_id", "lang_guess", "quality"),
         "doc_id",
     )
+    out_cols = ["doc_id", "text", "lang_guess", "quality", "split"]
+    if lm_reference is not None:
+        from pathik_spark.operators.lm import lm_score, train_unigram_lm
+
+        lm = train_unigram_lm(lm_reference)
+        kept = kept.join(
+            lm_score(kept, lm).select("doc_id", "mean_logp"), "doc_id"
+        )
+        if min_mean_logp is not None:
+            kept = kept.filter(F.col("mean_logp") >= min_mean_logp)
+        out_cols.append("mean_logp")
     corpus = hash_split(
         kept.withColumn("_key", F.col("doc_id").cast("string")),
         split_weights or {"train": 0.98, "val": 0.01, "test": 0.01},
         key_col="_key",
-    ).select("doc_id", "text", "lang_guess", "quality", "split")
+    ).select(*out_cols)
     report = corpus_report(corpus, group_cols=("lang_guess", "split"))
     return corpus, report
 

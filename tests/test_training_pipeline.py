@@ -61,3 +61,38 @@ def test_prepare_training_corpus(spark):
     rep = report.collect()
     assert sum(r["n_docs"] for r in rep) == len(rows)
     assert all(r["lang_guess"] == "en" for r in rep)
+
+
+def test_prepare_training_corpus_lm_gate(spark):
+    docs = _docs(spark)
+    # add one gibberish doc that passes C4 shape rules but not the LM
+    # same sentence scaffolds as the clean docs (passes every shape/lang
+    # gate) but all content words are out-of-vocabulary gibberish — only
+    # the LM can tell it apart
+    gib = "zxqv wubble frag klort blivet snarf gronk plim vorp trell".split()
+    extra = spark.createDataFrame(
+        [
+            (
+                102,
+                "\n".join(
+                    _TPL[j].format(
+                        a=gib[j], n1=gib[(j + 3) % 10], v=gib[(j + 5) % 10], n2=gib[(j + 7) % 10]
+                    )
+                    for j in range(6)
+                ),
+            )
+        ],
+        "doc_id long, text string",
+    )
+    corpus, _ = pathik_spark.prepare_training_corpus(
+        docs.union(extra),
+        line_max_occurrences=5,
+        min_quality=0.2,
+        lm_reference=docs,
+        min_mean_logp=-1.9,  # clean docs cluster ~-1.72; gibberish ~-2.08
+    )
+    rows = {r["doc_id"]: r for r in corpus.collect()}
+    assert "mean_logp" in next(iter(rows.values())).asDict()
+    assert 102 not in rows  # OOV-heavy doc scored below the gate
+    assert 0 in rows and rows[0]["mean_logp"] > -1.9
+    assert len(rows) == 24  # only the gibberish doc was LM-gated
