@@ -59,6 +59,59 @@ def _hw_probe_work(_):
         h = hashlib.md5(h).digest() + h[:4080]
 
 
+# Quiet-window parallel efficiency observed for this box (BENCH.md);
+# the probe gate + normalization are expressed relative to it.
+PROBE_REF_EFF = float(os.environ.get("PATHIK_BENCH_PROBE_REF_EFF", "0.92"))
+PROBE_GATE = float(os.environ.get("PATHIK_BENCH_PROBE_GATE", "0.8"))
+PROBE_MAX_WAIT_S = float(os.environ.get("PATHIK_BENCH_PROBE_MAX_WAIT_S", "420"))
+PROBE_RETRY_SLEEP_S = float(os.environ.get("PATHIK_BENCH_PROBE_RETRY_SLEEP_S", "45"))
+
+
+def gated_probe() -> dict[str, object]:
+    """Probe the window; if parallel efficiency reads below
+    PROBE_GATE * PROBE_REF_EFF, the host VM is in a degraded window
+    (other tenants stealing cores) — defer and re-probe, up to
+    PROBE_MAX_WAIT_S total, then proceed with the best window seen.
+    BENCH_r02 recorded a 1.1-1.7x across-the-board regression that was
+    pure window noise (probe 0.573 vs 0.92 quiet); this gate keeps the
+    committed signal comparable across rounds."""
+    history: list[float] = []
+    best = _hw_noise_probe()
+    history.append(best["hw_probe_parallel_efficiency"])
+    waited = 0.0
+    threshold = PROBE_GATE * PROBE_REF_EFF
+    while best["hw_probe_parallel_efficiency"] < threshold and waited < PROBE_MAX_WAIT_S:
+        print(
+            f"[bench] degraded window: parallel_eff="
+            f"{best['hw_probe_parallel_efficiency']} < {threshold:.3f}; "
+            f"deferring {PROBE_RETRY_SLEEP_S:.0f}s ({waited:.0f}/{PROBE_MAX_WAIT_S:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(PROBE_RETRY_SLEEP_S)
+        waited += PROBE_RETRY_SLEEP_S
+        probe = _hw_noise_probe()
+        history.append(probe["hw_probe_parallel_efficiency"])
+        if probe["hw_probe_parallel_efficiency"] > best["hw_probe_parallel_efficiency"]:
+            best = probe
+    out: dict[str, object] = dict(best)
+    out["hw_probe_history"] = history
+    out["hw_probe_deferred_s"] = round(waited, 1)
+    return out
+
+
+def normalize_timings(
+    timings: dict[str, float], probe_eff: float
+) -> tuple[dict[str, float], float]:
+    """Window-normalized timings: scale raw wall-times by
+    (probe_eff / PROBE_REF_EFF), i.e. the time the same run would take
+    in a quiet window where the box delivers its full parallel
+    capacity. Only ever scales DOWN (a better-than-reference window is
+    not inflated), and the raw numbers stay canonical in "queries"."""
+    factor = min(1.0, probe_eff / PROBE_REF_EFF)
+    norm = {k: round(v * factor, 3) for k, v in timings.items()}
+    return norm, factor
+
+
 def ensure_corpus(spark) -> str:
     out = f"{CACHE_ROOT}/p{N_PAGES}_s{N_SEEDS}_x{PAGE_SCALE}_seed42"
     marker = f"{out}/_COMPLETE"
@@ -116,8 +169,8 @@ def main() -> None:
 
     # probe BEFORE the JVM exists: a clean read of the host's current
     # parallel capacity (running it beside a live Spark session reads
-    # ~2-3x low from fork + memory pressure)
-    extras: dict[str, float] = dict(_hw_noise_probe())
+    # ~2-3x low from fork + memory pressure); defers while degraded
+    extras: dict[str, object] = gated_probe()
 
     spark = get_spark("pathik_bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     timings: dict[str, float] = {}
@@ -219,6 +272,15 @@ def main() -> None:
     timings["ivf_ann_dim768"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    probe_eff = float(extras["hw_probe_parallel_efficiency"])  # type: ignore[arg-type]
+    norm, factor = normalize_timings(timings, probe_eff)
+    extras["hw_probe_ref_efficiency"] = PROBE_REF_EFF
+    extras["window_normalization_factor"] = round(factor, 3)
+    extras["queries_normalized"] = norm
+    extras["value_normalized"] = round(sum(norm.values()), 3)
+    extras["crawl_urls_per_sec_normalized"] = round(
+        float(extras["crawl_urls_per_sec"]) / factor, 2  # type: ignore[arg-type]
+    )
     print(
         json.dumps(
             {

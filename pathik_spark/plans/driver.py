@@ -165,9 +165,22 @@ class CrawlRun:
                     f.write("ok")
             elif not self.spark.catalog.tableExists(name):
                 # resume in a fresh session: re-register the external table
-                self.spark.catalog.createTable(
-                    name, path=path, source="parquet"
-                )  # bucketing metadata lost on re-register; join still correct
+                # WITH its bucket spec. A plain catalog.createTable drops the
+                # bucketing metadata, and every post-resume fetch join would
+                # re-shuffle + re-sort the html-heavy pages side — exactly
+                # the cost this layout exists to avoid. Spark reads bucket
+                # ids back from the _NNNNN file-name suffixes, so DDL over
+                # the same LOCATION restores the original layout.
+                schema = self.spark.read.parquet(path).schema
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING parquet "
+                    f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+                    f"INTO {n_buckets} BUCKETS "
+                    f"LOCATION '{path}'"
+                )
             self._pages_prepared = self.spark.table(name)
         return self._pages_prepared
 

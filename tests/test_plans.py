@@ -85,6 +85,50 @@ def test_seen_compact_bucketed_no_seen_side_exchange(spark, corpus, tmp_path):
     assert "Bucketed: true" in plan, plan
 
 
+def test_resume_preserves_pages_bucket_layout(spark, corpus, tmp_path):
+    """Resume in a fresh session must re-register the prepared pages
+    table WITH its bucket spec (plans/driver.py DDL re-registration):
+    post-resume, the fetch join's pages side is a bucketed scan that
+    contributes NO Exchange — the only url_hash shuffle belongs to the
+    small scheduled frontier."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.operators.fetch import fetch_join
+    from pathik_spark.operators.frontier import prepare_frontier
+    from pathik_spark.plans.driver import CrawlRun
+
+    def make_run():
+        return CrawlRun(
+            spark,
+            pages=corpus["pages"],
+            robots=corpus["robots"],
+            links=corpus["links"],
+            state_dir=str(tmp_path),
+            config=CrawlConfig(run_id="resume-bucket"),
+        )
+
+    run1 = make_run()
+    run1.run(corpus["seeds"], n_rounds=1)
+    # simulate the fresh-session resume: drop the catalog entry so the
+    # DDL re-registration branch runs (the parquet files + marker stay)
+    name = run1._table_name("pages")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    run2 = make_run()
+    prepared = run2._prepared_pages()
+    scheduled = prepare_frontier(corpus["seeds"]).select(
+        "url_hash", F.col("url").alias("sched_url")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(fetch_join(scheduled, prepared, prepared=True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan
+    # exactly one url_hash shuffle: the scheduled side; none for pages
+    assert plan.count("hashpartitioning(url_hash") == 1, plan
+
+
 def test_seen_antijoin_shape(spark, corpus):
     fr = prepare_frontier(corpus["seeds"])
     seen = fr.limit(10).select("url_hash")
