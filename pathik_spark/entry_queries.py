@@ -1346,9 +1346,11 @@ def duck_chunk_documents_sql(n_docs: int = 200) -> str:
     norm = _norm_text(d, "text")
     return f"""
 WITH toks_cte AS (
-  SELECT doc_id, {d['SPLIT_WS'](norm)} AS toks FROM documents WHERE doc_id < {n_docs}
+  SELECT doc_id, {d['SPLIT_WS'](norm)} AS toks,
+         CASE WHEN {norm} = '' THEN 0 ELSE len({d['SPLIT_WS'](norm)}) END AS n
+  FROM documents WHERE doc_id < {n_docs}
 ),
-base AS (SELECT doc_id, toks, len(toks) AS n FROM toks_cte WHERE len(toks) >= 1),
+base AS (SELECT doc_id, toks, n FROM toks_cte WHERE n >= 1),
 starts AS (
   SELECT doc_id, toks, n,
          generate_subscripts(generate_series(0, n - 1, {CHUNK_STRIDE}), 1) - 1 AS chunk_idx,
@@ -1377,8 +1379,10 @@ def duck_pack_stream_sql(n_docs: int = 200) -> str:
     L = PACK_SEQ_LEN
     return f"""
 WITH toks AS (
-  SELECT doc_id, len({d['SPLIT_WS'](norm)}) AS n_tok_doc
-  FROM documents WHERE doc_id < {n_docs} AND len({d['SPLIT_WS'](norm)}) > 0
+  SELECT doc_id,
+         CASE WHEN {norm} = '' THEN 0 ELSE len({d['SPLIT_WS'](norm)}) END AS n_tok_doc
+  FROM documents WHERE doc_id < {n_docs}
+    AND CASE WHEN {norm} = '' THEN 0 ELSE len({d['SPLIT_WS'](norm)}) END > 0
 ),
 sharded AS (
   SELECT *, {d['HASH60']('CAST(doc_id AS STRING)')} % {PACK_SHARDS} AS shard FROM toks

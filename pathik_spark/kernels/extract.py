@@ -426,6 +426,10 @@ def _collect_anchor_pairs(node: Node, out: list) -> None:
                 href = child.attrs.get("href")
                 if href:
                     out.append((href, _collapse_ws(_node_text(child))))
+                    # the outer anchor's text already covers its whole
+                    # subtree; recursing would double-collect anchors
+                    # nested inside it (common in malformed crawl HTML)
+                    continue
             _collect_anchor_pairs(child, out)
 
 

@@ -63,6 +63,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(body) < length:
             raise MediaDecodeError("truncated chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise MediaDecodeError(f"bad IHDR length {len(body)}")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -70,6 +72,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise MediaDecodeError(
                     f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
                 )
+            if width <= 0 or height <= 0:
+                raise MediaDecodeError(f"bad PNG dimensions {width}x{height}")
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -156,6 +160,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise MediaDecodeError(f"unsupported BMP (bpp={bpp} comp={compression})")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise MediaDecodeError(f"bad BMP dimensions {width}x{height}")
     row_bytes = (width * 3 + 3) & ~3
     need = data_off + row_bytes * height
     if len(payload) < need:
@@ -299,9 +305,12 @@ def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] |
             px = decode_bmp(payload)
         else:
             return None
-    except MediaDecodeError:
+        return (average_hash(px, hash_size), difference_hash(px, hash_size))
+    except (MediaDecodeError, ValueError, IndexError, struct.error, OverflowError):
+        # decoders validate dimensions, but crawl media is adversarial:
+        # any residual numpy/struct blow-up must become a null-hash row,
+        # never a crashed Spark task
         return None
-    return (average_hash(px, hash_size), difference_hash(px, hash_size))
 
 
 def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
@@ -318,7 +327,7 @@ def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
                 return image_features(decode_bmp(payload), dim)
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(decode_wav(payload)[1], dim)
-        except MediaDecodeError:
+        except (MediaDecodeError, ValueError, IndexError, struct.error, OverflowError):
             pass  # corrupt container -> fallback, never a crashed task
     from pathik_spark.operators.multimodal import fake_decode_features
 

@@ -59,9 +59,18 @@ def chunk_documents(
     if stride <= 0 or seq_len <= 0:
         raise ValueError("seq_len and stride must be positive")
 
+    # split('') yields [''] (size 1), so n must special-case the empty
+    # normalized doc to 0 — the report.py convention — or empty docs
+    # would emit a phantom 1-token chunk
     toks = docs.select(
-        "doc_id", F.split(normalized_text(F.col(text_col)), " ").alias("toks")
-    ).withColumn("n", F.size("toks"))
+        "doc_id", normalized_text(F.col(text_col)).alias("_norm")
+    ).select(
+        "doc_id",
+        F.split(F.col("_norm"), " ").alias("toks"),
+        F.when(F.col("_norm") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_norm"), " ")))
+        .alias("n"),
+    )
     # window starts: 0, stride, ... < n (empty docs produce no windows)
     starts = F.when(
         F.col("n") >= 1, F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
@@ -109,9 +118,15 @@ def pack_token_stream(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
+    # same empty-doc convention as chunk_documents/report.py: size 0,
+    # not split('') == [''] (size 1) — a phantom token per empty doc
+    # would otherwise leak into the packed stream
+    norm = normalized_text(F.col(text_col))
     toks = docs.select(
         "doc_id",
-        F.size(F.split(normalized_text(F.col(text_col)), " ")).alias("n_tok_doc"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_tok_doc"),
     ).filter(F.col("n_tok_doc") > 0)
     sharded = toks.withColumn(
         "shard", F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(n_shards))

@@ -130,7 +130,21 @@ def domain_mix_rates(
         if r[group_col] in norm
     }
     # water-filling: the binding group is the one with the least
-    # available data relative to its target share
+    # available data relative to its target share. A targeted group
+    # with ZERO available docs would drive scale to 0 and silently
+    # empty the whole mix — almost always a misspelled target key or
+    # a stale group — so surface it loudly instead.
+    empty = sorted(g for g, t in norm.items() if t > 0 and counts.get(g, 0) == 0)
+    if empty:
+        import warnings
+
+        warnings.warn(
+            f"domain_mix_rates: targeted group(s) with zero available "
+            f"documents {empty} force every rate to 0 (strict "
+            f"water-filling) — the mixed corpus will be EMPTY. "
+            f"Drop them from targets if unintended.",
+            stacklevel=2,
+        )
     scale = min(
         (counts.get(g, 0) / t for g, t in norm.items() if t > 0), default=0.0
     )

@@ -33,6 +33,21 @@ def test_extract_anchors_empty_and_none():
     assert extract_anchors(b"", "https://x.example/") == []
 
 
+def test_extract_anchors_nested_anchor_not_double_collected():
+    """Malformed crawl HTML nests anchors; the outer anchor's text
+    already spans its subtree, so the inner anchor must not be
+    collected again (ADVICE round-2 fix)."""
+    html = (
+        b'<html><body><a href="/outer">out <a href="/inner">in</a></a>'
+        b'<span><a href="/plain">ok</a></span></body></html>'
+    )
+    pairs = extract_anchors(html, "https://h.example/")
+    hrefs = [h for h, _ in pairs]
+    assert hrefs == ["https://h.example/outer", "https://h.example/plain"]
+    # the outer anchor's text still includes the nested subtree's text
+    assert pairs[0][1] == "out in"
+
+
 def test_page_anchors_explode(spark):
     pages = spark.createDataFrame(
         [("https://h.example/dir/page", bytearray(HTML))], "url string, html binary"

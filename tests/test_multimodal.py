@@ -151,6 +151,55 @@ def test_stdlib_decode_features_dispatch_and_totality():
     assert M.stdlib_decode_features(b"JFIF-ish", 8) == fake_decode_features(b"JFIF-ish", 8)
 
 
+def test_adversarial_media_never_raises():
+    """Crawl media is adversarial: negative/zero declared dimensions,
+    truncated headers, and lying sizes must yield a null hash / fallback
+    features — never a crashed task (ADVICE round-2 fix)."""
+    import struct
+
+    from pathik_spark.kernels import media as M
+    from pathik_spark.operators.multimodal import fake_decode_features
+
+    def bmp_with_dims(width: int, height: int) -> bytes:
+        off = 54
+        header = struct.pack("<2sIHHI", b"BM", off + 64, 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 64, 2835, 2835, 0, 0
+        )
+        return header + info + b"\x00" * 64
+
+    def png_with_dims(width: int, height: int) -> bytes:
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        return (
+            M.PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+            + chunk(b"IEND", b"")
+        )
+
+    adversarial = [
+        bmp_with_dims(-5, 4),        # negative width -> numpy reshape blow-up before
+        bmp_with_dims(0, 4),         # zero width -> IndexError in resize before
+        bmp_with_dims(4, 0),         # zero height
+        png_with_dims(0, 4),         # zero-width PNG
+        png_with_dims(4, 0),         # zero-height PNG
+        M.PNG_MAGIC + struct.pack(">I", 5) + b"IHDR" + b"\x00" * 9,  # short IHDR
+        b"BM" + b"\x00" * 60,        # zeroed BMP header
+    ]
+    for payload in adversarial:
+        assert M.image_hashes(payload) is None, payload[:20]
+        feats = M.stdlib_decode_features(payload, 8)
+        assert feats == fake_decode_features(payload, 8)
+
+
 def test_resize_nearest_shape_and_determinism():
     import numpy as np
 

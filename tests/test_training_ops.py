@@ -176,6 +176,42 @@ def test_chunk_documents_min_tokens_and_empty(spark):
     assert {(r["doc_id"], r["chunk_idx"]) for r in out} == {(1, 0)}  # trailing 1-tok sliver dropped
 
 
+def test_empty_docs_produce_no_chunks_or_pack_rows(spark):
+    """split('') == [''] must NOT count as one token: empty and
+    whitespace-only docs emit zero chunk windows (even at the default
+    min_tokens=1) and zero pack segments — no phantom token leaks into
+    the packed stream (ADVICE round-2 fix)."""
+    docs = _docs(spark, [(1, ""), (2, "   \n\t "), (3, "one two")])
+    chunks = chunk_documents(docs, seq_len=4, stride=4).collect()
+    assert {r["doc_id"] for r in chunks} == {3}
+    packs = pack_token_stream(docs, seq_len=4, n_shards=2).collect()
+    assert {r["doc_id"] for r in packs} == {3}
+    assert sum(r["n_tok"] for r in packs) == 2  # exactly doc 3's tokens
+
+
+def test_domain_mix_zero_available_group_warns(spark):
+    """A targeted group with no documents zeroes every rate (strict
+    water-filling) — that must warn loudly, not silently empty the
+    corpus (ADVICE round-2 fix)."""
+    import warnings
+
+    from pathik_spark.operators.sampling import domain_mix_rates
+
+    df = spark.createDataFrame(
+        [(i, "a.com" if i % 2 else "b.com") for i in range(20)], "doc_id long, host string"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rates = domain_mix_rates(df, {"a.com": 0.5, "nosuch.com": 0.5}).collect()
+    assert any("zero available" in str(w.message) for w in caught)
+    assert all(r["rate"] == 0.0 for r in rates)
+    # and the happy path stays silent
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        domain_mix_rates(df, {"a.com": 0.5, "b.com": 0.5}).collect()
+    assert not any("zero available" in str(w.message) for w in caught2)
+
+
 def test_chunk_reconstruction_roundtrip(spark, corpus):
     """Non-overlapping chunks re-concatenate to the normalized text."""
     from pathik_spark.operators.dedup import normalized_text
