@@ -590,6 +590,37 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
 
 
+def _q_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckDB-oracled IVF arm: the FULL machinery (spherical-kmeans
+    training, assign UDFs, nprobe explode, cid equi-join, exact cosine
+    re-rank) run at its exact limit nprobe == n_centroids, where probing
+    every cell makes the result equal brute-force top-k independent of
+    the trained centroids — so the float k-means never needs a
+    relational restatement."""
+    from pathik_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LSH-blocked near-dup arm (exact=False), oracled by
+    computing the same SRP buckets relationally in DuckDB (hyperplanes
+    as literals) — full equality, not just blocked-subset-of-exact."""
+    from pathik_spark.operators.ann import embedding_near_dup_pairs
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 120)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.25, exact=False, n_planes=6, dim=64
+    )
+
+
 def _urls_base(spark: SparkSession, sf_dir: str, valid_only: bool = False) -> DataFrame:
     from pathik_spark.entry_queries import URLS_CTE
 
@@ -772,6 +803,8 @@ ENGINE_ORACLE_QUERIES = {
     "page_metadata": _q_page_metadata,
     "lm_score": _q_lm_score,
     "lsh_ann_topk": _q_lsh_ann,
+    "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+    "ivf_ann_exact_probe": _q_ivf_exact,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,

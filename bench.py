@@ -248,7 +248,10 @@ def main() -> None:
     # 64-dim fixture): one matmul per Arrow batch, constant-size plan
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # embeddings.parquet is a single file = a single input split:
+    # repartition the RAW rows first (as _urls_base does for orders) so
+    # the widening + every matmul batch runs on all cores instead of one
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(int(CPUS))
     wide = emb.select(
         "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
     )

@@ -936,14 +936,13 @@ FROM labels l JOIN csize c ON c.cluster_id = l.cluster_id
 """
 
 
-def duck_lsh_ann_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
-    """DuckDB twin of lsh_bucketed_topk (operators/ann.py): the engine's
-    deterministic SRP hyperplanes (fixed-seed PCG64, bit-stable) are
-    inlined as literal (plane, pos, weight) rows, buckets are the packed
-    sign bits of vec . plane, candidates share the query's bucket, and
-    the exact cosine re-rank matches the engine's round-6 + vec_id
-    tiebreak. Sign flips would need |dot| within ~1e-13 of 0 — excluded
-    by the synthetic corpus; ties are broken identically in both engines."""
+def _lsh_bucket_ctes(n_planes: int, dim: int, vec_where: str = "") -> str:
+    """Shared CTE block computing SRP LSH buckets relationally: the
+    engine's deterministic hyperplanes (fixed-seed PCG64, bit-stable)
+    inlined as literal (plane, pos, weight) rows; bucket = packed sign
+    bits of vec . plane. Yields CTEs ``vecs`` (vec_id, pos, v) and
+    ``buckets`` (vec_id, bucket). Sign flips would need |dot| within
+    ~1e-13 of 0 — excluded by the synthetic corpus."""
     from pathik_spark.operators.ann import hyperplanes
 
     pl = hyperplanes(n_planes, dim)
@@ -956,10 +955,10 @@ def duck_lsh_ann_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
         f"({p}, {1 << (n_planes - 1 - p)})" for p in range(n_planes)
     )
     return f"""
-WITH vecs AS (
+vecs AS (
   SELECT vec_id, generate_subscripts(embedding,1)-1 AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
+  FROM embeddings {vec_where}
 ),
 planes AS (SELECT * FROM (VALUES {plane_rows}) t(p, pos, w)),
 pweights AS (SELECT * FROM (VALUES {weight_rows}) t(p, bitw)),
@@ -973,7 +972,16 @@ buckets AS (
          SUM(CASE WHEN d.dot >= 0 THEN pw.bitw ELSE 0 END) AS bucket
   FROM dots d JOIN pweights pw ON d.p = pw.p
   GROUP BY d.vec_id
-),
+)"""
+
+
+def duck_lsh_ann_sql(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of lsh_bucketed_topk (operators/ann.py): SRP buckets
+    via _lsh_bucket_ctes, candidates share the query's bucket, and the
+    exact cosine re-rank matches the engine's round-6 + vec_id
+    tiebreak; ties are broken identically in both engines."""
+    return f"""
+WITH {_lsh_bucket_ctes(n_planes, dim)},
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          SUM(qv.v * cv.v) AS dot,
@@ -994,6 +1002,59 @@ SELECT query_id, vec_id, score, "rank" FROM (
          ) AS "rank"
   FROM pairs
 ) t WHERE "rank" <= {k}
+"""
+
+
+def duck_embedding_neardup_lsh_sql(
+    n_planes: int = 6, dim: int = 64, threshold: float = 0.25, n_vecs: int = 120
+) -> str:
+    """DuckDB twin of the PRODUCTION LSH-blocked arm of
+    embedding_near_dup_pairs (operators/ann.py, exact=False): buckets
+    from the same inlined hyperplanes, candidate pairs share a bucket
+    with id_a < id_b, exact cosine at >= threshold. Full relational
+    equality with the blocked arm — strictly stronger than the
+    blocked-subset-of-exact assertion."""
+    return f"""
+WITH {_lsh_bucket_ctes(n_planes, dim, f"WHERE vec_id < {n_vecs}")},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(av.v * bv.v) AS dot,
+         SQRT(SUM(av.v * av.v)) AS na,
+         SQRT(SUM(bv.v * bv.v)) AS nb
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id AND bv.pos = av.pos
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS score
+FROM pairs WHERE ROUND(dot / (na * nb), 6) >= {threshold}
+"""
+
+
+def duck_ivf_exact_sql(k: int = 5, n_queries: int = 5) -> str:
+    """DuckDB twin of ivf_topk at its EXACT limit (nprobe ==
+    n_centroids): probing every cell covers the whole corpus, so the
+    result equals brute-force cosine top-k regardless of the trained
+    centroids — which makes the full IVF machinery (spherical-kmeans
+    training, assign UDFs, probe explode, cid equi-join, re-rank)
+    DuckDB-oracleable without restating float k-means relationally."""
+    d = DUCK
+    qsrc = d["UNNEST_IDX"](
+        f"(SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}) s",
+        "embedding",
+    )
+    csrc = d["UNNEST_IDX"]("(SELECT vec_id, embedding FROM embeddings) s", "embedding")
+    return f"""
+WITH qvecs AS ({qsrc}), cvecs AS ({csrc}), {_COS_CTE}
+SELECT query_id, vec_id, score, rnk FROM (
+  SELECT query_id, vec_id, ROUND(dot / (nq * nc), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(dot / (nq * nc), 6) DESC, vec_id
+         ) AS rnk
+  FROM pairs
+) t WHERE rnk <= {k}
 """
 
 
@@ -1902,6 +1963,8 @@ ENGINE_ORACLE_SQL = {
     "pii_scrub": duck_pii_scrub_sql,
     "repetition_signals": duck_repetition_signals_sql,
     "lsh_ann_topk": duck_lsh_ann_sql,
+    "embedding_neardup_lsh": duck_embedding_neardup_lsh_sql,
+    "ivf_ann_exact_probe": duck_ivf_exact_sql,
     "dedup_clusters": duck_dedup_clusters_sql,
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,

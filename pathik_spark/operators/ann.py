@@ -149,6 +149,12 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+# Above this many partial doubles (partitions x centroids x dim) the
+# per-iteration reduce shuffles (cid, pos) instead of collecting the
+# raw partials to the driver (~128 MB of doubles).
+_IVF_DRIVER_COMBINE_MAX_DOUBLES = 1 << 24
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -165,68 +171,100 @@ def ivf_centroids(
     refine them; each step is fully distributed:
 
       assign (one matmul-argmax per Arrow batch)
-      -> per-batch partial (cid, sum_vec, n) via mapInPandas
-         (map-side combine: rows leaving a partition are O(batches x
-         n_centroids), never O(corpus))
-      -> posexplode the few partials and groupBy (cid, pos) to sum
-      -> collect n_centroids x dim floats to the driver.
+      -> ONE partial (cid, sum_vec, n) row-set per PARTITION via
+         mapInPandas (accumulated across the partition's batches —
+         rows leaving a partition are O(n_centroids), never O(corpus)
+         and never O(batches))
+      -> reduce: collected straight to the driver and summed in numpy
+         when partitions x centroids x dim is small (the common case —
+         one job, no shuffle); above _IVF_DRIVER_COMBINE_MAX_DOUBLES
+         the partials posexplode and groupBy (cid, pos) so the driver
+         only ever sees n_centroids x dim floats.
+
+    The projected corpus is cached for the duration of training (init
+    sample + every Lloyd pass re-reads it; at bench scale the re-scan
+    + re-project otherwise dominates) and unpersisted before return.
 
     The returned (n_centroids, dim) array is row-normalized (spherical
     k-means) and small enough to broadcast in a UDF closure at any
     realistic (n_centroids, dim)."""
-    base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    init = (
-        base.withColumn("_h", F.xxhash64(F.col("vid")))
-        .orderBy("_h", "vid")
-        .limit(n_centroids)
-        .select("vec")
-        .collect()
-    )
-    cents = _normalize_rows(np.array([r["vec"] for r in init], dtype=np.float64))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("cid", T.IntegerType()),
-            T.StructField("psum", T.ArrayType(T.DoubleType())),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-    for _ in range(n_iters):
-        cents_t = cents.T  # closure-captured (dim, n_centroids)
-
-        def partials(batches, _ct=cents_t):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = _normalize_rows(
-                    np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-                )
-                cid = np.argmax(mat @ _ct, axis=1)
-                rows = []
-                for c in np.unique(cid):
-                    sel = mat[cid == c]
-                    rows.append((int(c), sel.sum(axis=0).tolist(), int(len(sel))))
-                yield pd.DataFrame(rows, columns=["cid", "psum", "n"])
-
-        agg = (
-            base.select("vec")
-            .mapInPandas(partials, out_schema)
-            .select("cid", "n", F.posexplode("psum").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.sum("n").alias("n"))
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).persist()
+    try:
+        init = (
+            base.withColumn("_h", F.xxhash64(F.col("vid")))
+            .orderBy("_h", "vid")
+            .limit(n_centroids)
+            .select("vec")
             .collect()
         )
-        new = cents.copy()  # empty clusters keep their previous centroid
-        acc: dict[int, np.ndarray] = {}
-        counts: dict[int, int] = {}
-        for r in agg:
-            acc.setdefault(r["cid"], np.zeros(dim))[r["pos"]] = r["s"]
-            counts[r["cid"]] = r["n"]  # same total for every pos of a cid
-        for c, row in acc.items():
-            if counts[c] > 0:
-                new[c] = row / counts[c]
-        cents = _normalize_rows(new)
-    return cents
+        cents = _normalize_rows(np.array([r["vec"] for r in init], dtype=np.float64))
+
+        out_schema = T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("psum", T.ArrayType(T.DoubleType())),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+        vecs = base.select("vec")
+        n_parts = vecs.rdd.getNumPartitions()
+        driver_combine = (
+            n_parts * n_centroids * dim <= _IVF_DRIVER_COMBINE_MAX_DOUBLES
+        )
+        for _ in range(n_iters):
+            cents_t = cents.T  # closure-captured (dim, n_centroids)
+
+            def partials(batches, _ct=cents_t):
+                # one accumulator per partition: sums/counts over ALL of
+                # the partition's Arrow batches, emitted once at the end
+                sums = np.zeros((_ct.shape[1], _ct.shape[0]))
+                counts = np.zeros(_ct.shape[1], dtype=np.int64)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    mat = _normalize_rows(
+                        np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                    )
+                    cid = np.argmax(mat @ _ct, axis=1)
+                    np.add.at(sums, cid, mat)
+                    np.add.at(counts, cid, 1)
+                hit = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    [(int(c), sums[c].tolist(), int(counts[c])) for c in hit],
+                    columns=["cid", "psum", "n"],
+                )
+
+            part_df = vecs.mapInPandas(partials, out_schema)
+            new = cents.copy()  # empty clusters keep their previous centroid
+            if driver_combine:
+                acc = np.zeros((n_centroids, dim))
+                counts_v = np.zeros(n_centroids, dtype=np.int64)
+                for r in part_df.collect():
+                    acc[r["cid"]] += np.asarray(r["psum"])
+                    counts_v[r["cid"]] += r["n"]
+                for c in np.nonzero(counts_v)[0]:
+                    new[c] = acc[c] / counts_v[c]
+            else:
+                agg = (
+                    part_df.select("cid", "n", F.posexplode("psum").alias("pos", "v"))
+                    .groupBy("cid", "pos")
+                    .agg(F.sum("v").alias("s"), F.sum("n").alias("n"))
+                    .collect()
+                )
+                acc_d: dict[int, np.ndarray] = {}
+                counts_d: dict[int, int] = {}
+                for r in agg:
+                    acc_d.setdefault(r["cid"], np.zeros(dim))[r["pos"]] = r["s"]
+                    counts_d[r["cid"]] = r["n"]  # same total per pos of a cid
+                for c, row in acc_d.items():
+                    if counts_d[c] > 0:
+                        new[c] = row / counts_d[c]
+            cents = _normalize_rows(new)
+        return cents
+    finally:
+        base.unpersist()
 
 
 def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
