@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -62,6 +64,61 @@ def test_kafka_rows_shape_and_filters(spark, artifacts):
     row = msgs.limit(1).collect()[0]
     header_keys = [h["key"] for h in row["headers"]]
     assert header_keys == ["url", "timestamp", "sessionID", "contentType"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PATHIK_KAFKA_BROKERS"),
+    reason="live-broker smoke: set PATHIK_KAFKA_BROKERS to run "
+    "(needs a reachable Kafka broker and the spark-sql-kafka connector "
+    "jar on the session classpath)",
+)
+def test_live_kafka_roundtrip(spark, artifacts):
+    """Env-gated live-broker smoke (reference behavior:
+    /root/reference/test_secure_kafka.py publish + consume,
+    examples/kafka_consumer.py:179-196 header filters): produce
+    kafka_message_rows via write_kafka_batch against a real broker,
+    read the topic back with Spark's Kafka source, and check key/value/
+    header round-trip. Skipped wherever no broker exists (this sandbox);
+    auth follows the same env surface the reference's clients use."""
+    import uuid
+
+    brokers = os.environ["PATHIK_KAFKA_BROKERS"]
+    topic = f"pathik-smoke-{uuid.uuid4().hex[:12]}"
+    opts = S.kafka_writer_options(
+        brokers,
+        topic,
+        username=os.environ.get("PATHIK_KAFKA_USERNAME"),
+        password=os.environ.get("PATHIK_KAFKA_PASSWORD"),
+        use_tls=os.environ.get("PATHIK_KAFKA_TLS", "") == "1",
+        client_id="pathik-smoke",
+    )
+    msgs = S.kafka_message_rows(
+        artifacts, content_type="html", session_id="smoke-1"
+    ).limit(20).cache()
+    sent = msgs.count()
+    assert sent > 0
+    S.write_kafka_batch(msgs, opts)
+
+    read_opts = {
+        k: v for k, v in opts.items() if k != "topic" and k != "kafka.client.id"
+    }
+    got = (
+        spark.read.format("kafka")
+        .options(**read_opts)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("includeHeaders", "true")
+        .load()
+    )
+    assert got.count() == sent
+    want_keys = {r["key"] for r in msgs.select("key").collect()}
+    got_keys = {bytes(r["key"]) for r in got.select("key").collect()}
+    assert {bytes(k) for k in want_keys} == got_keys
+    # headers survive the broker round-trip in order
+    row = got.limit(1).collect()[0]
+    assert [h["key"] for h in row["headers"]] == [
+        "url", "timestamp", "sessionID", "contentType"
+    ]
 
 
 def test_config_validation():
