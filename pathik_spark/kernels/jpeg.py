@@ -1,0 +1,610 @@
+"""Pure-stdlib baseline JPEG codec (multimodal REAL-decode path).
+
+The container has no PIL/libjpeg, but baseline sequential JFIF — the
+dominant web image format — decodes with nothing beyond ``struct`` and
+numpy: segment parse (DQT/SOF0/DHT/DRI/SOS), Huffman entropy decode
+with byte-unstuffing and restart markers, dequantize + dezigzag, exact
+float 8x8 IDCT (DCT-III basis matmul), nearest chroma upsample for
+4:4:4 / 4:2:2 / 4:2:0 and grayscale, ITU-R BT.601 YCbCr -> RGB.
+
+The encoder twin produces deterministic baseline JFIF (Annex-K quant
+tables scaled by quality, Annex-K Huffman tables, optional 4:2:0) so
+round-trip tests and synthetic crawl corpora need no binary fixtures.
+
+Scope (matches the perceptual-hash dedup need, not a general codec):
+- decode: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+  sampling factors up to 2x2. Progressive (SOF2), arithmetic coding,
+  12-bit, and CMYK raise MediaDecodeError and the caller falls back
+  (operators/multimodal.py keeps the labeled histogram stand-in).
+- This is NOT bit-identical to libjpeg (integer IDCT variants differ
+  by +-1 LSB); it is a real DCT decode of the real entropy stream,
+  which is what perceptual hashing needs. Per-row Python cost is fine
+  for the Pandas-UDF batch path (hashes are computed once per payload,
+  downstream dedup joins run on the 8-byte hashes, never pixels).
+
+Reference behavioral spec: ITU-T T.81 (JPEG), Annex F (baseline),
+Annex K (example tables). The reference repo has no image pipeline;
+this closes a gap-vs-brief (training-data dedup over crawl images).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pathik_spark.kernels.media import MediaDecodeError
+
+# ---------------------------------------------------------------------------
+# Shared tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_UNZIGZAG = np.argsort(ZIGZAG)  # natural -> zigzag position inverse
+
+# ITU-T T.81 Annex K.1 example quantization tables (quality 50 base)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K.3 example Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis C: spatial = C.T @ coef @ C."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT_C = _dct_basis()
+
+
+def _build_huffman_codes(bits: list[int], values: list[int]) -> dict[int, int]:
+    """Canonical JPEG Huffman assignment: {(length << 16) | code: symbol}."""
+    codes: dict[int, int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[(length << 16) | code] = values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O over the entropy-coded segment
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker. ``restart()`` realigns past RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                raise MediaDecodeError("truncated entropy stream")
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: stop filling, restart() eats it
+                else:
+                    break  # EOI / next segment
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise MediaDecodeError("bit read past stream end")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[int, int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length << 16) | code)
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("invalid Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise MediaDecodeError("missing restart marker")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude code."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
+
+    Raises MediaDecodeError for anything outside baseline sequential
+    8-bit Huffman JPEG (progressive, arithmetic, 12-bit, >2x2 sampling,
+    CMYK) and for any malformed/truncated structure."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[int, int]] = {}  # (class, id) -> codes
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("desynced segment stream")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise MediaDecodeError("EOI before scan")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise MediaDecodeError("truncated segment")
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise MediaDecodeError("16-bit quant tables unsupported")
+                if b + 65 > len(body):
+                    raise MediaDecodeError("truncated DQT")
+                qt[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                if len(vals) != nv:
+                    raise MediaDecodeError("truncated DHT")
+                huff[(tc, th)] = _build_huffman_codes(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise MediaDecodeError(f"{prec}-bit JPEG unsupported")
+            if h == 0 or w == 0:
+                raise MediaDecodeError(f"bad JPEG dimensions {w}x{h}")
+            if nc not in (1, 3):
+                raise MediaDecodeError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise MediaDecodeError(f"sampling {ch}x{cv} unsupported")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(f"non-baseline SOF 0x{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise MediaDecodeError("SOS before SOF0")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise MediaDecodeError("partial/multi-scan unsupported")
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise MediaDecodeError("scan names unknown component")
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _decode_scan(
+                payload, pos + 2 + seglen, frame, scan, qt, huff,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise MediaDecodeError("no scan found")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan: list,
+    qt: dict[int, np.ndarray],
+    huff: dict[tuple[int, int], dict[int, int]],
+    restart_interval: int,
+) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise MediaDecodeError("missing quant table")
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        )
+    for comp, dc_id, ac_id in scan:
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise MediaDecodeError("missing Huffman table")
+
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    ct = _DCT_C.T
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            for ci, (comp, dc_id, ac_id) in enumerate(scan):
+                dct = huff[(0, dc_id)]
+                act = huff[(1, ac_id)]
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = reader.decode_symbol(dct)
+                        if s > 11:
+                            raise MediaDecodeError("bad DC category")
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(act)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise MediaDecodeError("AC index overrun")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * q
+                        block = ct @ coef.reshape(8, 8) @ _DCT_C + 128.0
+                        py = (my * comp["v"] + by) * 8
+                        px = (mx * comp["h"] + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+            mcu_count += 1
+
+    # upsample each component to full MCU-grid resolution, crop, stack
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(full[0], 0.0, 255.0)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb, 0.0, 255.0).round().astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (deterministic baseline JFIF for tests / synth corpora)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _encode_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the encoder side."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_table: dict[int, tuple[int, int]],
+    ac_table: dict[int, tuple[int, int]],
+) -> int:
+    coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    zz = np.round(coef.reshape(64)[ZIGZAG] / q).astype(np.int64)
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_table[s]
+    bw.write(code, length)
+    if s:
+        mag = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(mag, s)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_table[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_table[(run << 4) | s]
+        bw.write(code, length)
+        mag = v if v >= 0 else v + (1 << s) - 1
+        bw.write(mag, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_table[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample_420: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> deterministic baseline JFIF bytes.
+
+    Annex-K tables scaled by ``quality``; 4:4:4 by default,
+    ``subsample_420=True`` emits 2x2-subsampled chroma (the common web
+    layout) to exercise the decoder's upsampling path;
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs (exercises the
+    decoder's restart/resync path)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = np.repeat(pixels[:, :, None], 3, axis=2)
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    dc_l = _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _encode_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    if subsample_420:
+        lh = lv = 2
+        mcu_w, mcu_h = 16, 16
+        # pad to MCU grid by edge replication, then 2x2-mean the chroma
+        pw = (w + mcu_w - 1) // mcu_w * mcu_w
+        ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    else:
+        lh = lv = 1
+        mcu_w = mcu_h = 8
+        pw = (w + 7) // 8 * 8
+        ph = (h + 7) // 8 * 8
+
+    def pad(p: np.ndarray) -> np.ndarray:
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    if subsample_420:
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcu_count = 0
+    entropy_parts: list[bytes] = []
+    rst = 0
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                entropy_parts.append(bw.flush())
+                entropy_parts.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0, 0, 0]
+            mcu_count += 1
+            for by in range(lv):
+                for bx in range(lh):
+                    py, px = my * mcu_h + by * 8, mx * mcu_w + bx * 8
+                    preds[0] = _encode_block(
+                        bw, y[py : py + 8, px : px + 8], ql, preds[0], dc_l, ac_l
+                    )
+            cy, cx = my * 8, mx * 8
+            preds[1] = _encode_block(
+                bw, cb[cy : cy + 8, cx : cx + 8], qc, preds[1], dc_c, ac_c
+            )
+            preds[2] = _encode_block(
+                bw, cr[cy : cy + 8, cx : cx + 8], qc, preds[2], dc_c, ac_c
+            )
+    entropy_parts.append(bw.flush())
+    entropy = b"".join(entropy_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(v) for v in ql))
+    out += seg(0xDB, b"\x01" + bytes(int(v) for v in qc))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (lh << 4) | lv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for tc, th, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

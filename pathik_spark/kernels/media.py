@@ -1,16 +1,20 @@
 """Pure-stdlib media decode kernels (multimodal REAL-decode path).
 
-The container has no PIL/ffmpeg, but three interchange formats decode
-with nothing beyond ``zlib``/``struct``/``wave``, so for them the
-multimodal operators run REAL decoding instead of the byte-histogram
-stand-in (operators/multimodal.py keeps that fake for formats outside
-this set — JPEG et al. genuinely need external codecs):
+The container has no PIL/ffmpeg, but four interchange formats decode
+with nothing beyond ``zlib``/``struct``/``wave``/numpy, so for them
+the multimodal operators run REAL decoding instead of the
+byte-histogram stand-in (operators/multimodal.py keeps that fake for
+formats outside this set — MP4 et al. genuinely need external codecs):
 
 - PNG: 8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced;
   full scanline unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6).
 - BMP: the classic uncompressed 24-bit DIB (BITMAPINFOHEADER),
   bottom-up or top-down, 4-byte row padding.
 - WAV: PCM 8/16-bit via the stdlib ``wave`` module.
+- JPEG: baseline sequential JFIF (the dominant web image format) via
+  kernels/jpeg.py — Huffman entropy decode, dequant, exact 8x8 IDCT,
+  chroma upsample, BT.601 YCbCr->RGB; progressive/arithmetic fall
+  back (MediaDecodeError).
 
 Decoders are total over garbage: anything unparseable raises
 ``MediaDecodeError`` and the caller picks its fallback. Feature
@@ -293,9 +297,9 @@ def difference_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
 
 
 def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] | None:
-    """(ahash, dhash) for stdlib-decodable images (PNG/BMP), None for
-    everything else (audio, undecodable, null) — callers emit nullable
-    columns, never a crashed task."""
+    """(ahash, dhash) for stdlib-decodable images (PNG/BMP/baseline
+    JPEG), None for everything else (audio, undecodable, null) —
+    callers emit nullable columns, never a crashed task."""
     if not payload:
         return None
     try:
@@ -303,6 +307,10 @@ def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] |
             px = decode_png(payload)
         elif payload[:2] == b"BM":
             px = decode_bmp(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from pathik_spark.kernels.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
         else:
             return None
         return (average_hash(px, hash_size), difference_hash(px, hash_size))
@@ -314,10 +322,11 @@ def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] |
 
 
 def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
-    """REAL-decode feature extraction with magic-byte dispatch: PNG/BMP
-    pixels or WAV waveform when the payload is one of the stdlib-
-    decodable formats, else the byte-histogram fallback (same contract
-    as operators/multimodal.fake_decode_features — total, deterministic,
+    """REAL-decode feature extraction with magic-byte dispatch:
+    PNG/BMP/baseline-JPEG pixels or WAV waveform when the payload is
+    one of the stdlib-decodable formats, else the byte-histogram
+    fallback (same contract as
+    operators/multimodal.fake_decode_features — total, deterministic,
     fixed ``dim``)."""
     if payload:
         try:
@@ -325,6 +334,10 @@ def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
                 return image_features(decode_png(payload), dim)
             if payload[:2] == b"BM":
                 return image_features(decode_bmp(payload), dim)
+            if payload[:2] == b"\xff\xd8":
+                from pathik_spark.kernels.jpeg import decode_jpeg
+
+                return image_features(decode_jpeg(payload), dim)
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(decode_wav(payload)[1], dim)
         except (MediaDecodeError, ValueError, IndexError, struct.error, OverflowError):

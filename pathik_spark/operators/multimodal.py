@@ -2,15 +2,16 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
-Decoding is REAL for the stdlib-decodable formats — PNG, 24-bit BMP and
-PCM WAV payloads go through kernels/media.py (zlib/struct/wave; full
-PNG scanline unfiltering) and their features are actual pixel / wave
-statistics. Formats that genuinely need external codecs (JPEG, MP4...)
-fall back to the deterministic byte-histogram stand-in; pass
-``strict=True`` to raise NotImplementedError at that boundary instead,
-or inject any ``decoder=`` callable. The plumbing — schema contract,
-Arrow batching, null handling, frame fan-out — is identical either way
-and tested.
+Decoding is REAL for the stdlib-decodable formats — PNG, 24-bit BMP,
+PCM WAV, and baseline-sequential JPEG payloads go through
+kernels/media.py + kernels/jpeg.py (zlib/struct/wave/numpy; full PNG
+scanline unfiltering; full JPEG Huffman+IDCT) and their features are
+actual pixel / wave statistics. Formats that genuinely need external
+codecs (MP4, progressive JPEG...) fall back to the deterministic
+byte-histogram stand-in; pass ``strict=True`` to raise
+NotImplementedError at that boundary instead, or inject any
+``decoder=`` callable. The plumbing — schema contract, Arrow batching,
+null handling, frame fan-out — is identical either way and tested.
 """
 
 from __future__ import annotations
@@ -53,9 +54,10 @@ def extract_features(
     ``strict=True`` marks the real-decoder integration point."""
     if strict:
         raise NotImplementedError(
-            "formats beyond stdlib PNG/BMP/WAV (JPEG, MP4, ...) require "
-            "PIL/ffmpeg — not available in this environment; inject "
-            "decoder= or accept the deterministic fallback"
+            "formats beyond stdlib PNG/BMP/WAV/baseline-JPEG (MP4, "
+            "progressive JPEG, ...) require PIL/ffmpeg — not available "
+            "in this environment; inject decoder= or accept the "
+            "deterministic fallback"
         )
     if decoder is None:
         from pathik_spark.kernels.media import stdlib_decode_features
@@ -162,12 +164,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synth_media_real(spark, n: int = 64) -> DataFrame:
     """Synthetic media table whose payloads are REAL containers: PNG
-    gradients, PCM-WAV sine bursts, and BMP frames for video rows —
+    gradients, baseline-JPEG gradients (alternating, 4:2:0 on every
+    second JPEG), PCM-WAV sine bursts, and BMP frames for video rows —
     deterministic per doc_id, so the decoded features are replayable
-    fixtures (encoders: kernels/media.py)."""
+    fixtures (encoders: kernels/media.py, kernels/jpeg.py)."""
     import numpy as np
 
     from pathik_spark.kernels import media as K
+    from pathik_spark.kernels.jpeg import encode_jpeg_baseline
 
     rows = []
     for i in range(n):
@@ -176,7 +180,12 @@ def synth_media_real(spark, n: int = 64) -> DataFrame:
             px = np.add.outer(
                 np.arange(16) * (3 + i % 5), np.arange(16) * (2 + i % 7)
             ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
-            payload = K.encode_png(px)
+            if (i // 3) % 2:
+                payload = encode_jpeg_baseline(
+                    px, quality=90, subsample_420=bool((i // 6) % 2)
+                )
+            else:
+                payload = K.encode_png(px)
             rows.append((i, payload, mt, 16, 16, None))
         elif mt == "audio":
             t = np.arange(640, dtype=np.float64)

@@ -240,6 +240,118 @@ def test_extract_features_real_decode_through_spark(spark):
     assert got[img0["doc_id"]] == pytest.approx(K.image_features(px, 8), abs=1e-6)
 
 
+# --- baseline JPEG codec ------------------------------------------------------
+
+
+def _smooth_rgb(h: int = 40, w: int = 48):
+    import numpy as np
+
+    x = np.linspace(0, 255, w)[None, :]
+    y = np.linspace(0, 255, h)[:, None]
+    img = np.zeros((h, w, 3))
+    img[:, :, 0] = x
+    img[:, :, 1] = y
+    img[:, :, 2] = (x + y) / 2
+    img[h // 4 : h // 2, w // 4 : w // 2] += 40
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_within_quantization_loss():
+    import numpy as np
+
+    from pathik_spark.kernels import jpeg as J
+
+    img = _smooth_rgb()
+    for subsample in (False, True):
+        enc = J.encode_jpeg_baseline(img, quality=90, subsample_420=subsample)
+        dec = J.decode_jpeg(enc)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(float) - img.astype(float))
+        assert err.mean() < 3.0 and err.max() < 32, (subsample, err.mean())
+    # determinism: same pixels -> same bytes -> same pixels
+    assert J.encode_jpeg_baseline(img) == J.encode_jpeg_baseline(img)
+
+
+def test_jpeg_odd_dimensions_and_grayscale():
+    import numpy as np
+
+    from pathik_spark.kernels import jpeg as J
+
+    odd = _smooth_rgb(37, 43)
+    for subsample in (False, True):
+        dec = J.decode_jpeg(J.encode_jpeg_baseline(odd, subsample_420=subsample))
+        assert dec.shape == (37, 43, 3)
+    grey = _smooth_rgb().mean(axis=2).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_baseline(grey, quality=92))
+    assert dec.shape == (*grey.shape, 3)
+    assert np.abs(dec.astype(float) - grey[:, :, None].astype(float)).mean() < 3.0
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    from pathik_spark.kernels import jpeg as J
+
+    img = _smooth_rgb()
+    base = J.decode_jpeg(J.encode_jpeg_baseline(img, subsample_420=True))
+    for interval in (1, 3, 7):
+        enc = J.encode_jpeg_baseline(
+            img, subsample_420=True, restart_interval=interval
+        )
+        assert (J.decode_jpeg(enc) == base).all(), interval
+
+
+def test_jpeg_rejects_non_baseline_and_garbage():
+    import struct as _s
+
+    import pytest as _pt
+
+    from pathik_spark.kernels import jpeg as J
+    from pathik_spark.kernels.media import MediaDecodeError
+
+    img = _smooth_rgb(16, 16)
+    good = J.encode_jpeg_baseline(img)
+    # progressive SOF2 must be declared unsupported, not misdecoded
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pt.raises(MediaDecodeError):
+        J.decode_jpeg(progressive)
+    with _pt.raises(MediaDecodeError):
+        J.decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
+    with _pt.raises(MediaDecodeError):
+        J.decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+    with _pt.raises(MediaDecodeError):
+        J.decode_jpeg(b"not a jpeg")
+    # zero-dimension SOF
+    bad_sof = good.replace(
+        _s.pack(">BHHB", 8, 16, 16, 3), _s.pack(">BHHB", 8, 0, 16, 3), 1
+    )
+    with _pt.raises(MediaDecodeError):
+        J.decode_jpeg(bad_sof)
+
+
+def test_jpeg_dispatch_through_hashes_and_features():
+    import numpy as np
+
+    from pathik_spark.kernels import jpeg as J
+    from pathik_spark.kernels import media as K
+
+    img = _smooth_rgb(32, 32)
+    jpg = J.encode_jpeg_baseline(img, quality=92)
+    png = K.encode_png(img)
+    hj, hp = K.image_hashes(jpg), K.image_hashes(png)
+    assert hj is not None and hp is not None
+    # same underlying picture: perceptual hashes agree within a few bits
+    ham = bin((hj[1] ^ hp[1]) & (2**64 - 1)).count("1")
+    assert ham <= 4, ham
+    fj = K.stdlib_decode_features(jpg, 8)
+    fp = K.stdlib_decode_features(png, 8)
+    assert np.allclose(fj, fp, atol=0.02)
+    # adversarial JPEG payloads fall back, never raise
+    from pathik_spark.operators.multimodal import fake_decode_features
+
+    bad = jpg[:40]
+    assert K.image_hashes(bad) is None
+    assert K.stdlib_decode_features(bad, 8) == fake_decode_features(bad, 8)
+
+
 # --- perceptual image hashing -------------------------------------------------
 
 
