@@ -727,6 +727,41 @@ def _q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact substring dedup, detection half (operators/substring.py):
+    maximal merged token spans whose every 8-gram occurs >= 2 times
+    corpus-wide (Lee et al. ExactSubstr semantics, shuffle-engine
+    shape: one groupBy on the gram hash + gaps-and-islands merge)."""
+    from pathik_spark.entry_queries import (
+        SUBSTR_DOCS,
+        SUBSTR_MIN_COUNT,
+        SUBSTR_NGRAM,
+    )
+    from pathik_spark.operators.substring import duplicated_spans
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SUBSTR_DOCS)
+    return duplicated_spans(docs, n=SUBSTR_NGRAM, min_count=SUBSTR_MIN_COUNT)
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup, removal half: flagged spans stripped from
+    the normalized text with array higher-order functions (no Python);
+    (doc_id, clean_text, n_removed_tokens)."""
+    from pathik_spark.entry_queries import (
+        SUBSTR_DOCS,
+        SUBSTR_MIN_COUNT,
+        SUBSTR_NGRAM,
+    )
+    from pathik_spark.operators.substring import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SUBSTR_DOCS)
+    spans = duplicated_spans(docs, n=SUBSTR_NGRAM, min_count=SUBSTR_MIN_COUNT)
+    return strip_duplicated_spans(docs, spans)
+
+
 def _q_exact_dedup(spark, sf_dir):
     from pathik_spark.operators.dedup import exact_dedup
 
@@ -799,6 +834,8 @@ ENGINE_ORACLE_QUERIES = {
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,
+    "dup_spans": _q_dup_spans,
+    "substring_dedup": _q_substring_dedup,
     "corpus_report": _q_corpus_report,
     "page_metadata": _q_page_metadata,
     "lm_score": _q_lm_score,

@@ -1953,6 +1953,101 @@ FROM documents
 """
 
 
+SUBSTR_NGRAM = 8
+SUBSTR_MIN_COUNT = 2
+SUBSTR_DOCS = 300
+
+
+def _substr_span_ctes(d, n_docs: int, ng: int, min_count: int) -> str:
+    """Shared CTE chain restating operators/substring.duplicated_spans:
+    positional n-gram portable hashes, corpus-wide counts, join-back of
+    positions whose gram occurs >= min_count times, gaps-and-islands
+    merge of overlapping [pos, pos+n) windows. Yields CTEs ``toks``
+    (doc_id, toks, n) and ``spans`` (doc_id, span_start, span_end)."""
+    norm = _norm_text(d, "text")
+    return f"""
+toks AS (
+  SELECT doc_id, {d['SPLIT_WS'](norm)} AS toks,
+         CASE WHEN {norm} = '' THEN 0 ELSE len({d['SPLIT_WS'](norm)}) END AS n
+  FROM documents WHERE doc_id < {n_docs}
+),
+gpos AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n - {ng})) AS pos
+  FROM toks WHERE n >= {ng}
+),
+ghash AS (
+  SELECT doc_id, pos,
+         {d['HASH60'](f"array_to_string(toks[pos + 1 : pos + {ng}], ' ')")} AS gram_hash
+  FROM gpos
+),
+dup AS (
+  SELECT gram_hash FROM ghash GROUP BY gram_hash HAVING COUNT(*) >= {min_count}
+),
+dpos AS (
+  SELECT g.doc_id, g.pos, g.pos + {ng} AS win_end
+  FROM ghash g JOIN dup USING (gram_hash)
+),
+flagged AS (
+  SELECT doc_id, pos, win_end,
+         CASE WHEN pos > COALESCE(MAX(win_end) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM dpos
+),
+islands AS (
+  SELECT *, SUM(new_span) OVER (
+    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(win_end) AS span_end
+  FROM islands GROUP BY doc_id, span_id
+)"""
+
+
+def duck_dup_spans_sql(
+    n_docs: int = SUBSTR_DOCS, ng: int = SUBSTR_NGRAM, min_count: int = SUBSTR_MIN_COUNT
+) -> str:
+    """DuckDB twin of duplicated_spans (operators/substring.py)."""
+    return f"""
+WITH {_substr_span_ctes(DUCK, n_docs, ng, min_count)}
+SELECT doc_id, CAST(span_start AS INT) AS span_start,
+       CAST(span_end AS INT) AS span_end
+FROM spans
+"""
+
+
+def duck_substring_dedup_sql(
+    n_docs: int = SUBSTR_DOCS, ng: int = SUBSTR_NGRAM, min_count: int = SUBSTR_MIN_COUNT
+) -> str:
+    """DuckDB twin of strip_duplicated_spans over duplicated_spans
+    (operators/substring.py): every token position covered by a flagged
+    span removed, kept tokens re-joined in position order; docs with
+    nothing kept (and empty docs) emit clean_text = ''."""
+    return f"""
+WITH {_substr_span_ctes(DUCK, n_docs, ng, min_count)},
+tokpos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos0, unnest(toks) AS tok
+  FROM toks
+),
+kept AS (
+  SELECT k.doc_id, k.pos0, k.tok
+  FROM tokpos k LEFT JOIN spans s
+    ON s.doc_id = k.doc_id AND s.span_start <= k.pos0 AND k.pos0 < s.span_end
+  WHERE s.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos0) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS INT) AS n_removed_tokens
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -1985,6 +2080,8 @@ ENGINE_ORACLE_SQL = {
     "c4_clean": duck_c4_clean_sql,
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,
+    "dup_spans": duck_dup_spans_sql,
+    "substring_dedup": duck_substring_dedup_sql,
     "corpus_report": duck_corpus_report_sql,
     "page_metadata": duck_page_metadata_sql,
     "lm_score": duck_lm_score_sql,

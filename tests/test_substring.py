@@ -1,0 +1,97 @@
+"""Exact substring dedup (operators/substring.py): Lee-et-al-style
+duplicated-span detection + removal, shuffle-engine shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.substring import (
+    duplicated_spans,
+    ngram_position_hashes,
+    strip_duplicated_spans,
+)
+
+BOILER = "all rights reserved contact us terms of service apply here now"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {BOILER} delta epsilon"),
+            (2, f"one two three four {BOILER} five six"),
+            (3, "totally unique text with no duplicated spans whatsoever in it"),
+            (4, ""),
+            (5, f"{BOILER} {BOILER} tail"),
+            (6, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_ngram_positions_cover_every_window(spark, docs):
+    g = ngram_position_hashes(docs, n=5).toPandas()
+    # doc 1 has 16 tokens -> 12 5-gram positions, 0..11
+    d1 = g[g.doc_id == 1]
+    assert sorted(d1.pos) == list(range(12))
+    # empty and too-short docs emit nothing
+    assert g[g.doc_id.isin([4, 6])].empty
+    # identical grams hash identically across docs (the whole point)
+    d2 = g[g.doc_id == 2]
+    assert set(d1.gram_hash) & set(d2.gram_hash)
+
+
+def test_duplicated_spans_merge_and_bounds(spark, docs):
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=5, min_count=2).collect()
+    }
+    # the 11-token boilerplate occupies tokens 3..13 of doc 1, 4..14 of doc 2
+    assert spans[1] == (3, 14)
+    assert spans[2] == (4, 15)
+    # doc 5's tandem repeat merges into ONE span over both copies
+    assert spans[5] == (0, 22)
+    assert 3 not in spans and 4 not in spans and 6 not in spans
+
+
+def test_within_doc_repeats_count(spark):
+    # min_count=2 satisfied by two occurrences inside the SAME doc
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u filler p q r s t u"), (2, "other words here only once")],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, n=6, min_count=2).collect()
+    assert {r["doc_id"] for r in spans} == {1}
+
+
+def test_strip_removes_exactly_the_spans(spark, docs):
+    spans = duplicated_spans(docs, n=5, min_count=2)
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["n_removed_tokens"] == 11
+    assert out[2]["clean_text"] == "one two three four five six"
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed_tokens"] == 0
+    assert out[5]["clean_text"] == "tail" and out[5]["n_removed_tokens"] == 22
+    # every doc emits exactly one row
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+
+def test_keep_one_policy_via_span_exemption(spark, docs):
+    """The keep-one-occurrence (Lee et al.) policy is a join on the
+    spans table: exempting one doc's spans keeps its copy intact."""
+    spans = duplicated_spans(docs, n=5, min_count=2)
+    # exempt the lowest doc_id carrying any span: its copy stays intact
+    keep_doc = spans.agg(F.min("doc_id")).collect()[0][0]
+    pruned = spans.filter(F.col("doc_id") != keep_doc)
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(docs, pruned).collect()}
+    # doc 1 was exempted for the (3,14) span -> its text survives intact
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["n_removed_tokens"] == 11
+
+
+def test_no_python_udf_in_plan(spark, docs):
+    spans = duplicated_spans(docs, n=5, min_count=2)
+    plan = strip_duplicated_spans(docs, spans)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
