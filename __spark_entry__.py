@@ -740,7 +740,9 @@ def _q_dup_spans(spark, sf_dir):
     from pathik_spark.operators.substring import duplicated_spans
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SUBSTR_DOCS)
-    return duplicated_spans(docs, n=SUBSTR_NGRAM, min_count=SUBSTR_MIN_COUNT)
+    return duplicated_spans(
+        docs, n=SUBSTR_NGRAM, min_count=SUBSTR_MIN_COUNT, portable=True
+    )
 
 
 def _q_substring_dedup(spark, sf_dir):
@@ -758,7 +760,9 @@ def _q_substring_dedup(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SUBSTR_DOCS)
-    spans = duplicated_spans(docs, n=SUBSTR_NGRAM, min_count=SUBSTR_MIN_COUNT)
+    spans = duplicated_spans(
+        docs, n=SUBSTR_NGRAM, min_count=SUBSTR_MIN_COUNT, portable=True
+    )
     return strip_duplicated_spans(docs, spans)
 
 

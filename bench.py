@@ -244,6 +244,25 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # exact substring dedup over the FULL documents table (the entry
+    # query slices to 300 docs for the DuckDB oracle; the bench measures
+    # the whole-corpus shuffle shape: positional grams -> one groupBy ->
+    # join-back -> islands merge -> HOF strip)
+    from pathik_spark.operators.substring import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    docs_full = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        int(CPUS)
+    )
+    t0 = time.perf_counter()
+    spans = duplicated_spans(docs_full, n=8, min_count=2)
+    strip_duplicated_spans(docs_full, spans).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["substring_dedup_full"] = round(time.perf_counter() - t0, 3)
+
     # LSH ANN at a production embedding width (dim=768, tiled from the
     # 64-dim fixture): one matmul per Arrow batch, constant-size plan
     from pathik_spark.operators.ann import lsh_bucketed_topk

@@ -46,13 +46,18 @@ from pathik_spark.operators.dedup import normalized_text, portable_hash64
 
 
 def ngram_position_hashes(
-    docs: DataFrame, n: int = 8, text_col: str = "text"
+    docs: DataFrame, n: int = 8, text_col: str = "text", portable: bool = False
 ) -> DataFrame:
-    """(doc_id, pos, gram_hash): the portable 60-bit hash of the word
-    n-gram starting at each token position of the normalized text.
+    """(doc_id, pos, gram_hash): the 64-bit hash of the word n-gram
+    starting at each token position of the normalized text.
     Scan-local: split -> sequence -> transform -> posexplode, no
     shuffle; empty docs (split('') == ['']) emit nothing because
-    n_grams = n_tok - n + 1 <= 0 for them at any n >= 2."""
+    n_grams = n_tok - n + 1 <= 0 for them at any n >= 2.
+
+    ``portable=True`` uses the md5-based 60-bit hash reproducible in
+    DuckDB (the entry oracle); the default is JVM xxhash64 — same
+    collision story, no md5 per token position (the hot cost of this
+    operator at corpus scale)."""
     if n < 2:
         raise ValueError("n must be >= 2 (n=1 is token counting)")
     toks = docs.select(
@@ -62,9 +67,10 @@ def ngram_position_hashes(
     idx = F.when(n_grams >= 1, F.sequence(F.lit(0), n_grams - 1)).otherwise(
         F.array().cast("array<int>")
     )
+    hasher = portable_hash64 if portable else F.xxhash64
     grams = F.transform(
         idx,
-        lambda i: portable_hash64(
+        lambda i: hasher(
             F.concat_ws(
                 " ", *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
             )
@@ -78,13 +84,14 @@ def duplicated_spans(
     n: int = 8,
     min_count: int = 2,
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_end): maximal merged token spans whose
     every length-n window occurs >= min_count times corpus-wide
     (within- and cross-document occurrences both count, as in Lee et
     al.'s ExactSubstr). span_end is exclusive; touching/overlapping
     windows merge into one span."""
-    grams = ngram_position_hashes(docs, n=n, text_col=text_col)
+    grams = ngram_position_hashes(docs, n=n, text_col=text_col, portable=portable)
     dup_hashes = (
         grams.groupBy("gram_hash")
         .agg(F.count("*").alias("n_occ"))

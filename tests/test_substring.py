@@ -91,6 +91,14 @@ def test_keep_one_policy_via_span_exemption(spark, docs):
     assert out[2]["n_removed_tokens"] == 11
 
 
+def test_portable_and_fast_hash_arms_agree(spark, docs):
+    """Spans are hash-agnostic: the production xxhash64 arm and the
+    DuckDB-portable md5 arm flag identical spans."""
+    fast = sorted(map(tuple, duplicated_spans(docs, n=5, portable=False).collect()))
+    port = sorted(map(tuple, duplicated_spans(docs, n=5, portable=True).collect()))
+    assert fast == port
+
+
 def test_no_python_udf_in_plan(spark, docs):
     spans = duplicated_spans(docs, n=5, min_count=2)
     plan = strip_duplicated_spans(docs, spans)._jdf.queryExecution().executedPlan().toString()
