@@ -766,6 +766,48 @@ def _q_substring_dedup(spark, sf_dir):
     return strip_duplicated_spans(docs, spans)
 
 
+def _q_sessionize_events(spark, sf_dir):
+    """Gap sessionization (operators/temporal.py) over the events
+    table: one per-key window shuffle; ties break by event_id."""
+    from pathik_spark.entry_queries import SESSION_GAP_MIN
+    from pathik_spark.operators.temporal import sessionize
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return sessionize(ev, gap_minutes=SESSION_GAP_MIN).select(
+        "event_id", "user_id", "session_idx", "session_seq"
+    )
+
+
+def _q_asof_join_events(spark, sf_dir):
+    """As-of join (operators/temporal.py, tagged-union window — ONE
+    shuffle, no range join) vs DuckDB's NATIVE ASOF JOIN: purchases
+    pick up the user's most recent prior error event."""
+    from pathik_spark.operators.temporal import asof_join
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purch, errs, by="user_id", ts_col="ts",
+        value_cols=["event_id", "value"], right_seq_col="event_id",
+    )
+    ts_us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    # no-prior-match rows carry -1 sentinels (not NULLs) so the
+    # value-hash comparison is total-order-safe in both engines
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        F.coalesce(F.col("event_id_asof"), F.lit(-1)).alias("err_event_id"),
+        F.coalesce(F.col("value_asof"), F.lit(-1.0)).alias("err_value"),
+        F.coalesce(ts_us("ts_asof"), F.lit(-1)).alias("err_ts_us"),
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from pathik_spark.operators.dedup import exact_dedup
 
@@ -840,6 +882,8 @@ ENGINE_ORACLE_QUERIES = {
     "hash_split": _q_hash_split,
     "dup_spans": _q_dup_spans,
     "substring_dedup": _q_substring_dedup,
+    "sessionize_events": _q_sessionize_events,
+    "asof_join_events": _q_asof_join_events,
     "corpus_report": _q_corpus_report,
     "page_metadata": _q_page_metadata,
     "lm_score": _q_lm_score,

@@ -2048,6 +2048,54 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+SESSION_GAP_MIN = 360
+
+
+def duck_sessionize_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
+    """DuckDB twin of temporal.sessionize over the events table: lag ->
+    gap flag -> running sum -> within-session row_number, ties broken
+    by event_id in both engines."""
+    return f"""
+WITH lagd AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+              > CAST({gap_minutes} AS BIGINT) * 60 * 1000000
+         THEN 1 ELSE 0 END AS newf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+idx AS (
+  SELECT *, CAST(SUM(newf) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS INT) AS session_idx
+  FROM lagd
+)
+SELECT event_id, user_id, session_idx,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY user_id, session_idx ORDER BY ts, event_id
+  ) AS INT) AS session_seq
+FROM idx
+"""
+
+
+def duck_asof_events_sql() -> str:
+    """Oracle for temporal.asof_join via DuckDB's NATIVE ASOF JOIN — an
+    independently implemented algorithm, not a restatement of the
+    engine's tagged-union window. Purchases pick up the user's most
+    recent prior (<=) error event; epoch-microsecond ints make the
+    value hash timestamp-representation-proof."""
+    return """
+SELECT p.event_id, p.user_id,
+  CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+  COALESCE(e.event_id, -1) AS err_event_id,
+  COALESCE(e.value, -1.0) AS err_value,
+  CAST(COALESCE(epoch_us(e.ts), -1) AS BIGINT) AS err_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -2082,6 +2130,8 @@ ENGINE_ORACLE_SQL = {
     "hash_split": duck_hash_split_sql,
     "dup_spans": duck_dup_spans_sql,
     "substring_dedup": duck_substring_dedup_sql,
+    "sessionize_events": duck_sessionize_sql,
+    "asof_join_events": duck_asof_events_sql,
     "corpus_report": duck_corpus_report_sql,
     "page_metadata": duck_page_metadata_sql,
     "lm_score": duck_lm_score_sql,
