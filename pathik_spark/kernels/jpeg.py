@@ -326,6 +326,14 @@ def _decode_scan(
     restart_interval: int,
 ) -> np.ndarray:
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # 8x8 block per MCU in row-major order, whatever sampling
+        # factors the SOF declares (they only matter relative to other
+        # components). Treating hv=2x2 grayscale as interleaved would
+        # decode blocks into scrambled positions with no stream error.
+        comps = [dict(comps[0], h=1, v=1)]
+        scan = [(comps[0], scan[0][1], scan[0][2])]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -523,8 +531,12 @@ def encode_jpeg_baseline(
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
-    ql = _scaled_quant(QUANT_LUMA, quality)
-    qc = _scaled_quant(QUANT_CHROMA, quality)
+    # T.81 B.2.4.1: DQT bodies are in ZIGZAG scan order, and
+    # _encode_block divides zigzag-ordered coefficients — so both the
+    # division and the emitted bytes use the zigzagged tables (natural-
+    # order emission would scramble which frequency gets which step)
+    ql = _scaled_quant(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _scaled_quant(QUANT_CHROMA, quality)[ZIGZAG]
     dc_l = _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)

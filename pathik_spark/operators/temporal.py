@@ -82,24 +82,33 @@ def asof_join(
     the same ``by`` key; nulls when no right row precedes it.
 
     Tagged-union implementation: right rows sort BEFORE left rows at
-    equal ts (<= semantics); ``right_seq_col`` breaks ties between
-    right rows sharing a (key, ts) — the largest wins, deterministic.
-    The only wide operation is one hash shuffle of the union on the
-    key; no range join, no per-key materialization."""
+    equal ts (<= semantics); ``right_seq_col`` (any right column, not
+    necessarily in ``value_cols``) breaks ties between right rows
+    sharing a (key, ts) — the largest wins, deterministic. The matched
+    row's columns travel as one struct, so a NULL inside the latest
+    matching right row stays a NULL (never back-filled from an older
+    row). The only wide operation is one hash shuffle of the union on
+    the key; no range join, no per-key materialization."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, ts_col)]
-    renamed = {c: c + suffix for c in value_cols}
+    # the matched right row travels as ONE struct: carrying each value
+    # column independently with last(ignorenulls) would resurrect a
+    # stale older value whenever the latest matching row holds a NULL,
+    # stitching together a (id, value) tuple that never existed
     r = right.select(
         F.col(by),
         F.col(ts_col),
-        *[F.col(c).alias(renamed[c]) for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+            *[F.col(c).alias(c + suffix) for c in value_cols],
+        ).alias("_rrow"),
+        *(
+            [F.col(right_seq_col).alias("_rseq")]
+            if right_seq_col is not None
+            else []
+        ),
     ).withColumn("_side", F.lit(0))
-    r = r.withColumn(f"{ts_col}{suffix}", F.col(ts_col))
-    seq_order = (
-        [F.col(right_seq_col + suffix)]
-        if right_seq_col and right_seq_col in value_cols
-        else []
-    )
+    seq_order = [F.col("_rseq").asc_nulls_first()] if right_seq_col else []
     l_tagged = left.withColumn("_side", F.lit(1))
     unioned = l_tagged.unionByName(r, allowMissingColumns=True)
     w = (
@@ -107,7 +116,11 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("_side"), *seq_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned
-    for c in [f"{ts_col}{suffix}", *renamed.values()]:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    carried = unioned.withColumn(
+        "_rrow", F.last("_rrow", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1)
+    for c in [f"{ts_col}{suffix}", *[c + suffix for c in value_cols]]:
+        out = out.withColumn(c, F.col(f"_rrow.{c}"))
+    drops = ["_side", "_rrow"] + (["_rseq"] if right_seq_col else [])
+    return out.drop(*drops)

@@ -161,8 +161,13 @@ class CrawlRun:
                     .option("path", path)
                     .saveAsTable(name)
                 )
+                # the marker records the bucket count the files were
+                # PHYSICALLY written with: resume must re-register with
+                # this count, not the (possibly retuned) config value —
+                # a mismatched declared spec would silently drop rows
+                # from the exchange-elided fetch join
                 with open(marker, "w") as f:
-                    f.write("ok")
+                    f.write(str(n_buckets))
             elif not self.spark.catalog.tableExists(name):
                 # resume in a fresh session: re-register the external table
                 # WITH its bucket spec. A plain catalog.createTable drops the
@@ -171,16 +176,35 @@ class CrawlRun:
                 # the cost this layout exists to avoid. Spark reads bucket
                 # ids back from the _NNNNN file-name suffixes, so DDL over
                 # the same LOCATION restores the original layout.
-                schema = self.spark.read.parquet(path).schema
-                cols = ", ".join(
-                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-                )
-                self.spark.sql(
-                    f"CREATE TABLE {name} ({cols}) USING parquet "
-                    f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
-                    f"INTO {n_buckets} BUCKETS "
-                    f"LOCATION '{path}'"
-                )
+                with open(marker) as f:
+                    stored = f.read().strip()
+                written_buckets = int(stored) if stored.isdigit() else None
+                if written_buckets is None:
+                    # pre-round-3 marker ('ok'): the physical count is
+                    # unknown — fall back to the safe unbucketed
+                    # registration (correct join, extra shuffle)
+                    self.spark.catalog.createTable(name, path=path, source="parquet")
+                else:
+                    if written_buckets != n_buckets:
+                        import warnings
+
+                        warnings.warn(
+                            f"pages_prepared was written with "
+                            f"{written_buckets} buckets; config now says "
+                            f"{n_buckets} — re-registering with the "
+                            f"written layout", stacklevel=2,
+                        )
+                    schema = self.spark.read.parquet(path).schema
+                    cols = ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in schema.fields
+                    )
+                    self.spark.sql(
+                        f"CREATE TABLE {name} ({cols}) USING parquet "
+                        f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+                        f"INTO {written_buckets} BUCKETS "
+                        f"LOCATION '{path}'"
+                    )
             self._pages_prepared = self.spark.table(name)
         return self._pages_prepared
 

@@ -327,6 +327,84 @@ def test_jpeg_rejects_non_baseline_and_garbage():
         J.decode_jpeg(bad_sof)
 
 
+def test_jpeg_dqt_emitted_in_zigzag_order():
+    """T.81 B.2.4.1: DQT bodies are in zigzag scan order — an external
+    decoder must recover the intended Annex-K table (the round-trip
+    alone can't catch a self-consistent scramble)."""
+    import struct as _s
+
+    from pathik_spark.kernels import jpeg as J
+
+    enc = J.encode_jpeg_baseline(_smooth_rgb(16, 16), quality=75)
+    # walk segments, collect DQT bodies
+    pos, dqt = 2, {}
+    while pos + 4 <= len(enc):
+        marker = enc[pos + 1]
+        if marker == 0xDA:
+            break
+        (seglen,) = _s.unpack_from(">H", enc, pos + 2)
+        body = enc[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            dqt[body[0] & 0x0F] = list(body[1:65])
+        pos += 2 + seglen
+    want_luma = J._scaled_quant(J.QUANT_LUMA, 75)[J.ZIGZAG]
+    want_chroma = J._scaled_quant(J.QUANT_CHROMA, 75)[J.ZIGZAG]
+    assert dqt[0] == [int(v) for v in want_luma]
+    assert dqt[1] == [int(v) for v in want_chroma]
+    # zigzag of the luma table differs from natural order, so this test
+    # genuinely distinguishes the two emissions
+    assert dqt[0] != [int(v) for v in J._scaled_quant(J.QUANT_LUMA, 75)]
+
+
+def test_jpeg_grayscale_scan_is_noninterleaved():
+    """T.81 A.2.2: a single-component scan is non-interleaved (one
+    block per MCU, row-major) regardless of declared sampling factors.
+    Hand-build a 1-component hv=2x2 JPEG and check the pixels land in
+    the right places — the interleaved misread would scramble blocks
+    with no stream error."""
+    import struct as _s
+
+    import numpy as np
+
+    from pathik_spark.kernels import jpeg as J
+
+    # 16x16 grey: four 8x8 blocks with distinct flat levels
+    grey = np.zeros((16, 16))
+    levels = [40.0, 90.0, 150.0, 210.0]
+    for b, lv in enumerate(levels):
+        by, bx = divmod(b, 2)
+        grey[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = lv
+
+    q = J._scaled_quant(J.QUANT_LUMA, 90)[J.ZIGZAG]
+    dc = J._encode_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac = J._encode_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    bw = J._BitWriter()
+    pred = 0
+    for by in range(2):  # non-interleaved: row-major single blocks
+        for bx in range(2):
+            pred = J._encode_block(
+                bw, grey[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q, pred, dc, ac
+            )
+    entropy = bw.flush()
+
+    def seg(marker, body):
+        return _s.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(int(v) for v in q))
+    out += seg(0xC0, _s.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x22, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(J.AC_LUMA_BITS) + bytes(J.AC_LUMA_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy + b"\xff\xd9"
+
+    dec = J.decode_jpeg(bytes(out)).astype(float)
+    for b, lv in enumerate(levels):
+        by, bx = divmod(b, 2)
+        block = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+        assert abs(block.mean() - lv) < 4.0, (b, lv, block.mean())
+
+
 def test_jpeg_dispatch_through_hashes_and_features():
     import numpy as np
 

@@ -129,6 +129,55 @@ def test_resume_preserves_pages_bucket_layout(spark, corpus, tmp_path):
     assert plan.count("hashpartitioning(url_hash") == 1, plan
 
 
+def test_resume_bucket_count_follows_written_layout(spark, corpus, tmp_path):
+    """Resume re-registers with the bucket count the files were
+    PHYSICALLY written with (recorded in the marker), not the current
+    config — a mismatched declared spec would silently drop rows from
+    the exchange-elided fetch join. A legacy 'ok' marker (unknown
+    physical count) falls back to the safe unbucketed registration."""
+    import warnings
+
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    def make_run(buckets):
+        return CrawlRun(
+            spark,
+            pages=corpus["pages"],
+            robots=corpus["robots"],
+            links=corpus["links"],
+            state_dir=str(tmp_path),
+            config=CrawlConfig(run_id="rbk", pages_buckets=buckets),
+        )
+
+    run1 = make_run(8)
+    run1.run(corpus["seeds"], n_rounds=1)
+    name = run1._table_name("pages")
+    marker = tmp_path / "rbk" / "pages_prepared.done"
+    assert marker.read_text().strip() == "8"
+    baseline = run1._prepared_pages().count()
+
+    # resume with a RETUNED config: must keep the written 8-bucket spec
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    run2 = make_run(16)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        prepared = run2._prepared_pages()
+    assert any("written layout" in str(w.message) for w in caught)
+    ddl = spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
+    assert "8 BUCKETS" in ddl, ddl
+    assert prepared.count() == baseline
+
+    # legacy pre-round-3 marker: unknown count -> unbucketed fallback
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    marker.write_text("ok")
+    run3 = make_run(16)
+    prepared3 = run3._prepared_pages()
+    assert prepared3.count() == baseline
+    ddl3 = spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
+    assert "BUCKETS" not in ddl3, ddl3
+
+
 def test_seen_antijoin_shape(spark, corpus):
     fr = prepare_frontier(corpus["seeds"])
     seen = fr.limit(10).select("url_hash")

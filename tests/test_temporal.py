@@ -68,6 +68,42 @@ def test_asof_join_le_semantics_and_nulls(spark):
     assert len(out) == 4
 
 
+def test_asof_join_null_in_matched_row_stays_null(spark):
+    """The matched right row travels atomically: a NULL value inside
+    the LATEST matching row must come through as NULL, never back-
+    filled from an older row (which would fabricate a tuple that never
+    existed)."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 7, _ts(10), 1.0), (101, 7, _ts(15), None)],
+        "rid long, user_id long, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, by="user_id", ts_col="ts", value_cols=["rid", "v"]
+    ).collect()[0]
+    assert out["rid_asof"] == 101
+    assert out["v_asof"] is None  # NOT 1.0 from row 100
+
+
+def test_asof_join_seq_col_need_not_be_a_value_col(spark):
+    """right_seq_col works even when it is not in value_cols."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, 7, _ts(10), 1.0), (6, 7, _ts(10), 2.0)],
+        "rid long, user_id long, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, by="user_id", ts_col="ts",
+        value_cols=["v"], right_seq_col="rid",
+    ).collect()[0]
+    assert out["v_asof"] == 2.0  # the rid=6 row wins the tie
+    assert "rid_asof" not in out.asDict()
+
+
 def test_asof_join_right_tie_breaks_by_seq(spark):
     left = spark.createDataFrame(
         [(1, 7, _ts(10))], "event_id long, user_id long, ts timestamp"
