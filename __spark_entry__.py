@@ -125,6 +125,32 @@ def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seen_filter(fr, seen, bc).select("url")
 
 
+def _q_cuckoo_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-sharded URL-seen filter (B2's second arm, deletion-capable
+    — operators/cuckoo.py) over the REAL operators; like the bloom arm,
+    a false positive only routes rows into the exact join, so the
+    oracle is the same exact anti-join on canonical URLs."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.operators.cuckoo import build_cuckoo_shards, cuckoo_seen_filter
+    from pathik_spark.operators.frontier import prepare_frontier
+
+    _register_views(spark, sf_dir)
+    seeds = spark.sql(
+        f"WITH {URLS_CTE} SELECT url, id AS seq, CAST(0 AS INT) AS priority FROM urls_cte"
+    )
+    seen_seeds = spark.sql(
+        f"WITH {URLS_CTE} SELECT url, id AS seq, CAST(0 AS INT) AS priority "
+        f"FROM urls_cte WHERE id % 3 = 0"
+    )
+    fr = prepare_frontier(seeds, num_shards=32)
+    seen = prepare_frontier(seen_seeds, num_shards=32).select(
+        "url_hash", "host_hash", "url"
+    )
+    shards = build_cuckoo_shards(seen)
+    bc = spark.sparkContext.broadcast(shards)
+    return cuckoo_seen_filter(fr, seen, bc).select("url")
+
+
 def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 vectorized extraction: the REAL Arrow UDF runs over HTML pages
     templated around the documents table's text; the DuckDB oracle states
@@ -857,6 +883,7 @@ def _q_embedding_neardup(spark, sf_dir):
 ENGINE_ORACLE_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "bloom_seen_filter": _q_bloom_seen,
+    "cuckoo_seen_filter": _q_cuckoo_seen,
     "extract_text_vectorized": _q_extract_text,
     "css_select": _q_css_select,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,

@@ -33,6 +33,12 @@ class CrawlConfig:
     global_burst: int = 3
     bloom_fpp: float = 0.01
     use_bloom: bool = True
+    # which sharded pre-filter backs the URL-seen fast path (north-star
+    # "bloom/cuckoo"): blooms are smaller per key; the cuckoo filter
+    # supports DELETION, so TTL-expired URLs can be removed from the
+    # in-memory shards between rounds instead of rebuilding them
+    # (operators/cuckoo.expire_shards)
+    seen_prefilter: str = "bloom"  # bloom | cuckoo
     # bloom pre-filter only pays for itself once the seen set is large;
     # below this many seen rows the exact anti-join alone is faster
     bloom_min_seen: int = 100_000
@@ -95,4 +101,8 @@ class CrawlConfig:
             raise ValueError("max_message_bytes out of 1KB..100MB range (schema.py:226-232)")
         if self.n_rounds < 1 or self.num_shards < 1:
             raise ValueError("n_rounds and num_shards must be >= 1")
+        if self.seen_prefilter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_prefilter must be bloom|cuckoo, got {self.seen_prefilter}"
+            )
         return self

@@ -2099,6 +2099,9 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
+    # identical anti-join semantics: the cuckoo arm's false positives
+    # also only route rows INTO the exact join
+    "cuckoo_seen_filter": duck_bloom_seen_sql,
     "extract_text_vectorized": duck_extract_text_sql,
     "css_select": duck_css_select_sql,
     "minhash_lsh_pairs": duck_minhash_lsh_sql,

@@ -118,6 +118,21 @@ class CrawlRun:
 
         return "pathik_" + re.sub(r"[^A-Za-z0-9_]", "_", self.config.run_id) + "_" + suffix
 
+    # -- seen pre-filter backend (north-star "bloom/cuckoo") -----------------
+    def _build_prefilter_shards(self, seen: DataFrame):
+        if self.config.seen_prefilter == "cuckoo":
+            from pathik_spark.operators.cuckoo import build_cuckoo_shards
+
+            return build_cuckoo_shards(seen)
+        return build_bloom_shards(seen, fpp=self.config.bloom_fpp)
+
+    def _seen_filter(self, frontier: DataFrame, seen, shards_bc) -> DataFrame:
+        if self.config.seen_prefilter == "cuckoo":
+            from pathik_spark.operators.cuckoo import cuckoo_seen_filter
+
+            return cuckoo_seen_filter(frontier, seen, shards_bc)
+        return seen_filter(frontier, seen, shards_bc)
+
     def _prepared_pages(self) -> DataFrame:
         """Pages keyed by canonical url_hash, materialized ONCE per run as
         a table BUCKETED by url_hash (the fetch-join key): the canonicalize
@@ -263,7 +278,7 @@ class CrawlRun:
             if self._bloom_future is not None and self._bloom_for_round == round_no:
                 shards = self._bloom_future.result()  # prebuilt last round
             else:
-                shards = build_bloom_shards(seen, fpp=cfg.bloom_fpp)
+                shards = self._build_prefilter_shards(seen)
             self._bloom_future = None
             if shards:
                 bloom_bc = spark.sparkContext.broadcast(shards)
@@ -271,7 +286,7 @@ class CrawlRun:
         # persist (small url-metadata rows, no html) so the canonicalize UDF
         # + robots + seen chain runs once per round. Unpersisted at commit.
         persisted: list[DataFrame] = []
-        unseen = seen_filter(candidates, seen, bloom_bc).persist()
+        unseen = self._seen_filter(candidates, seen, bloom_bc).persist()
         persisted.append(unseen)
 
         scheduled, deferred = schedule_round(
@@ -433,7 +448,7 @@ class CrawlRun:
         # next round's compute (the build is a full scan of the seen set —
         # serial at round start, free here)
         if cfg.use_bloom and nf_rows > 0 and seen_total >= cfg.bloom_min_seen:
-            self._bloom_future = pool.submit(build_bloom_shards, seen_out, cfg.bloom_fpp)
+            self._bloom_future = pool.submit(self._build_prefilter_shards, seen_out)
             self._bloom_for_round = round_no + 1
         stats = RoundStats(
             round=round_no,
