@@ -327,6 +327,33 @@ def test_jpeg_rejects_non_baseline_and_garbage():
         J.decode_jpeg(bad_sof)
 
 
+def test_jpeg_mutation_totality():
+    """Crawl-robustness: 200 seeded random byte corruptions of a valid
+    JPEG either decode or raise MediaDecodeError — image_hashes never
+    leaks any other exception (it must emit a null-hash row, not crash
+    a task)."""
+    import random
+
+    from pathik_spark.kernels import jpeg as J
+    from pathik_spark.kernels import media as K
+    from pathik_spark.kernels.media import MediaDecodeError
+
+    good = bytearray(J.encode_jpeg_baseline(_smooth_rgb(24, 24), quality=80))
+    rng = random.Random(1234)
+    for _ in range(200):
+        mut = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        payload = bytes(mut)
+        try:
+            J.decode_jpeg(payload)
+        except MediaDecodeError:
+            pass  # the declared failure mode
+        # and through the dispatch layer: null or hash, never a raise
+        K.image_hashes(payload)
+        K.stdlib_decode_features(payload, 8)
+
+
 def test_jpeg_dqt_emitted_in_zigzag_order():
     """T.81 B.2.4.1: DQT bodies are in zigzag scan order — an external
     decoder must recover the intended Annex-K table (the round-trip

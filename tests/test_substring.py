@@ -99,6 +99,71 @@ def test_portable_and_fast_hash_arms_agree(spark, docs):
     assert fast == port
 
 
+def test_randomized_equality_with_python_reference(spark):
+    """40 random small-vocab docs (dup n-grams arise naturally): the
+    distributed spans/strip must equal a brute-force pure-Python
+    reference."""
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        for d in range(40)
+    }
+    n = 3
+    # python reference: global 3-gram counts -> positions -> merged spans
+    toks = {d: t.split() if t else [] for d, t in texts.items()}
+    counts: dict[tuple, int] = {}
+    for d, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            g = tuple(ts[p : p + n])
+            counts[g] = counts.get(g, 0) + 1
+    want_spans = set()
+    for d, ts in toks.items():
+        pos = [
+            p for p in range(len(ts) - n + 1)
+            if counts[tuple(ts[p : p + n])] >= 2
+        ]
+        spans, cur = [], None
+        for p in pos:
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], max(cur[1], p + n))
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (p, p + n)
+        if cur:
+            spans.append(cur)
+        for s, e in spans:
+            want_spans.add((d, s, e))
+
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=n, min_count=2).collect()
+    }
+    assert got_spans == want_spans
+
+    # strip equality
+    covered = {d: set() for d in texts}
+    for d, s, e in want_spans:
+        covered[d].update(range(s, e))
+    want_clean = {
+        d: " ".join(t for i, t in enumerate(ts) if i not in covered[d])
+        for d, ts in toks.items()
+    }
+    got_clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicated_spans(
+            docs, duplicated_spans(docs, n=n, min_count=2)
+        ).collect()
+    }
+    assert got_clean == want_clean
+
+
 def test_no_python_udf_in_plan(spark, docs):
     spans = duplicated_spans(docs, n=5, min_count=2)
     plan = strip_duplicated_spans(docs, spans)._jdf.queryExecution().executedPlan().toString()

@@ -119,6 +119,41 @@ def test_asof_join_right_tie_breaks_by_seq(spark):
     assert out["rid_asof"] == 6  # largest seq among equal-ts right rows
 
 
+def test_asof_randomized_equality_with_python_reference(spark):
+    """Random keys/timestamps with deliberate collisions: the
+    distributed as-of must equal the brute-force per-row argmax."""
+    import random
+
+    rng = random.Random(99)
+    lefts = [
+        (i, rng.randint(0, 6), _ts(rng.randint(0, 50))) for i in range(200)
+    ]
+    rights = [
+        (1000 + j, rng.randint(0, 6), _ts(rng.randint(0, 50)), float(j))
+        for j in range(80)
+    ]
+    want = {}
+    for eid, k, ts in lefts:
+        cands = [(rts, rid, v) for rid, rk, rts, v in rights if rk == k and rts <= ts]
+        if cands:
+            rts, rid, v = max(cands)  # latest ts, then largest rid
+            want[eid] = (rid, v)
+        else:
+            want[eid] = (None, None)
+    left = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rights, "rid long, user_id long, ts timestamp, v double"
+    )
+    got = {
+        r["event_id"]: (r["rid_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, by="user_id", ts_col="ts",
+            value_cols=["rid", "v"], right_seq_col="rid",
+        ).collect()
+    }
+    assert got == want
+
+
 def test_asof_join_single_shuffle_plan(spark):
     """The scale contract: one hash exchange on the key for the whole
     join (the union + window), never a range join / cartesian."""
