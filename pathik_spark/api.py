@@ -50,6 +50,8 @@ def prepare_training_corpus(
     apply_c4: bool = True,
     lm_reference: DataFrame | None = None,
     min_mean_logp: float | None = None,
+    substring_ngram: int | None = None,
+    substring_min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
@@ -62,6 +64,12 @@ def prepare_training_corpus(
        pre-cleaned text) — rewrites text, drops gated docs;
     2. CCNet line-level boilerplate removal corpus-wide
        (``line_max_occurrences``);
+    2b. optional exact-substring span removal (Lee et al. ExactSubstr,
+       ``substring_ngram`` tokens, >= ``substring_min_count``
+       occurrences corpus-wide) — catches verbatim boilerplate that
+       crosses line boundaries; note the stripped text is the
+       whitespace-normalized reconstruction (lowercased), which the
+       downstream gates normalize anyway;
     3. the composed ``clean_corpus`` verdict (language AND quality AND
        Gopher-repetition AND near-dup-canonical; ``pairs`` defaults to
        MinHash-LSH candidates generated from the cleaned text and
@@ -95,6 +103,18 @@ def prepare_training_corpus(
     staged = line_dedup(staged, max_occurrences=line_max_occurrences).select(
         "doc_id", "text"
     )
+    if substring_ngram is not None:
+        from pathik_spark.operators.substring import (
+            duplicated_spans,
+            strip_duplicated_spans,
+        )
+
+        spans = duplicated_spans(
+            staged, n=substring_ngram, min_count=substring_min_count
+        )
+        staged = strip_duplicated_spans(staged, spans).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
     if pairs is None:
         shingles = word_shingles(staged)
         cands = lsh_candidate_pairs(minhash_signatures(shingles))

@@ -63,6 +63,50 @@ def test_prepare_training_corpus(spark):
     assert all(r["lang_guess"] == "en" for r in rep)
 
 
+def test_prepare_training_corpus_substring_stage(spark):
+    """substring_ngram enables the ExactSubstr stage: a verbatim
+    multi-line license block shared across docs disappears even though
+    no single LINE repeats enough for the line-dedup gate, while unique
+    sentences survive."""
+    license_block = (
+        "this work is licensed under the creative commons attribution "
+        "share alike four point zero international license terms"
+    )
+    def uniq_sent(i: int) -> str:
+        # every 8-gram window of this sentence includes an i-specific
+        # token, so no window can repeat across docs
+        return (
+            f"document {i} keeps marker {i} inside its own distinctive "
+            f"passage {i} about topic {i} forever"
+        )
+
+    rows = []
+    for i in range(24):
+        body = " ".join([_line(i, j) for j in range(6)] + [uniq_sent(i)])
+        # the block repeats in only 6 docs -> each of its LINES occurs 6x
+        # (below line_max_occurrences) but its 8-grams occur >= 2x
+        text = body + (" " + license_block if i % 4 == 0 else "")
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, _ = pathik_spark.prepare_training_corpus(
+        docs,
+        line_max_occurrences=1000,
+        min_quality=0.2,
+        apply_c4=False,
+        substring_ngram=8,
+    )
+    got = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert got, "corpus not empty"
+    assert all("creative commons" not in t for t in got.values())
+    # each doc's unique passage core survives (the final token bordering
+    # the license block can erode away: the 8-gram "forever this work
+    # is ..." contains no doc-specific token and repeats across the
+    # license docs — correct ExactSubstr boundary behavior)
+    for i, t in got.items():
+        assert f"document {i} keeps marker {i}" in t, (i, t)
+        assert f"passage {i} about topic {i}" in t, (i, t)
+
+
 def test_prepare_training_corpus_lm_gate(spark):
     docs = _docs(spark)
     # add one gibberish doc that passes C4 shape rules but not the LM
