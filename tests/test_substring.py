@@ -168,3 +168,18 @@ def test_no_python_udf_in_plan(spark, docs):
     spans = duplicated_spans(docs, n=5, min_count=2)
     plan = strip_duplicated_spans(docs, spans)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_duplicated_spans_plan_shape(spark, docs):
+    """The scale contract: exactly 3 exchanges (grams->join, partial-
+    agg'd counts->join, doc_id window), the islands groupBy reuses the
+    window's doc_id partitioning, no Python, no cartesian."""
+    plan = (
+        duplicated_spans(docs, n=5, min_count=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 3, plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
