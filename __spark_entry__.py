@@ -634,6 +634,30 @@ def _q_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckDB-oracled PQ arm: the FULL machinery (per-subspace
+    k-means codebook training, encode UDF, per-query ADC LUTs, the
+    compressed-domain partition-top-C scan, exact re-rank) run at its
+    exact limit n_candidates >= corpus size, where re-ranking every row
+    makes the result equal brute-force top-k independent of the trained
+    codebooks (operators/pq.py)."""
+    from pathik_spark.operators.pq import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(
+        emb,
+        queries,
+        k=5,
+        n_subspaces=8,
+        n_codes=16,
+        n_candidates=1_000_000,
+        rerank=True,
+    ).withColumnRenamed("rank", "rnk")
+
+
 def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION LSH-blocked near-dup arm (exact=False), oracled by
     computing the same SRP buckets relationally in DuckDB (hyperplanes
@@ -917,6 +941,7 @@ ENGINE_ORACLE_QUERIES = {
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,
+    "pq_ann_exact_rerank": _q_pq_exact,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,

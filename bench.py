@@ -63,8 +63,41 @@ def _hw_probe_work(_):
 # the probe gate + normalization are expressed relative to it.
 PROBE_REF_EFF = float(os.environ.get("PATHIK_BENCH_PROBE_REF_EFF", "0.92"))
 PROBE_GATE = float(os.environ.get("PATHIK_BENCH_PROBE_GATE", "0.8"))
-PROBE_MAX_WAIT_S = float(os.environ.get("PATHIK_BENCH_PROBE_MAX_WAIT_S", "420"))
-PROBE_RETRY_SLEEP_S = float(os.environ.get("PATHIK_BENCH_PROBE_RETRY_SLEEP_S", "45"))
+PROBE_MAX_WAIT_S = float(os.environ.get("PATHIK_BENCH_PROBE_MAX_WAIT_S", "90"))
+PROBE_RETRY_SLEEP_S = float(os.environ.get("PATHIK_BENCH_PROBE_RETRY_SLEEP_S", "30"))
+
+# Repetitions per timed query, reporting the MIN. The host VM's
+# effective parallel capacity swings ~4x WITHIN a single suite run
+# (bursty co-tenant load: the r3 investigation measured back-to-back
+# identical probes at 0.23 -> 0.65 efficiency seconds apart), so a
+# pre-run probe cannot gate it and a single timing can land on a
+# burst. Min-of-N is the standard estimator for the engine's
+# quiet-window cost; the per-rep spread is recorded in extras as the
+# window-noise witness.
+REPS = max(1, int(os.environ.get("PATHIK_BENCH_REPS", "2")))
+# when the two base reps disagree by >25% a burst hit one of them:
+# spend up to this many extra reps chasing a quiet draw
+REPS_EXTRA = max(0, int(os.environ.get("PATHIK_BENCH_REPS_EXTRA", "2")))
+_REP_SPREADS: list[float] = []
+
+
+def best_of(fn) -> float:
+    """Run fn() REPS times (fn returns elapsed seconds); keep the min.
+    If the reps disagree by >25%, a co-tenant burst hit at least one —
+    run up to REPS_EXTRA more until two draws agree within 25%."""
+    times = [fn() for _ in range(REPS)]
+    extra = 0
+    while (
+        len(times) > 1
+        and extra < REPS_EXTRA
+        and sorted(times)[1] > min(times) * 1.25
+    ):
+        times.append(fn())
+        extra += 1
+    lo = min(times)
+    if len(times) > 1 and lo > 0:
+        _REP_SPREADS.append(max(times) / lo)
+    return round(lo, 3)
 
 
 def gated_probe() -> dict[str, object]:
@@ -189,23 +222,37 @@ def main() -> None:
         F.length(_xt(F.col("html"))).alias("n")
     ).agg(F.sum("n")).collect()
 
-    dt, n_urls = bench_crawl_round(spark, corpus, tempfile.mkdtemp(prefix="pathik_bench_"))
-    timings["crawl_pipeline_2rounds"] = round(dt, 3)
+    crawl_runs: list[tuple[float, int]] = []
+
+    def _crawl_once() -> float:
+        dt, n = bench_crawl_round(
+            spark, corpus, tempfile.mkdtemp(prefix="pathik_bench_")
+        )
+        crawl_runs.append((dt, n))
+        return dt
+
+    timings["crawl_pipeline_2rounds"] = best_of(_crawl_once)
+    best_dt, n_urls = min(crawl_runs)
     extras["crawl_urls_scheduled"] = n_urls
-    extras["crawl_urls_per_sec"] = round(n_urls / dt, 2)
+    extras["crawl_urls_per_sec"] = round(n_urls / best_dt, 2)
 
     # extraction-only throughput (the X5 kernel at full width)
     from pathik_spark.functions.extract_udfs import extract_text_udf
 
     pages = corpus["pages"]
     n_pages = pages.count()
-    t0 = time.perf_counter()
-    pages.select(F.length(extract_text_udf(F.col("html"))).alias("n")).agg(
-        F.sum("n")
-    ).collect()
-    dt = time.perf_counter() - t0
-    timings["extract_throughput"] = round(dt, 3)
-    extras["extract_pages_per_sec"] = round(n_pages / dt, 2)
+
+    def _extract_once() -> float:
+        t0 = time.perf_counter()
+        pages.select(F.length(extract_text_udf(F.col("html"))).alias("n")).agg(
+            F.sum("n")
+        ).collect()
+        return time.perf_counter() - t0
+
+    timings["extract_throughput"] = best_of(_extract_once)
+    extras["extract_pages_per_sec"] = round(
+        n_pages / timings["extract_throughput"], 2
+    )
 
     # relational / dedup / ANN / text operators at SF_DIR via the entry queries
     qset = E.queries()
@@ -239,10 +286,15 @@ def main() -> None:
         "line_dedup",
         "anchor_profile",
     ):
-        t0 = time.perf_counter()
-        df = qset[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+        def _entry_once(name=name) -> float:
+            t0 = time.perf_counter()
+            qset[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+
+        timings[name] = best_of(_entry_once)
 
     # exact substring dedup over the FULL documents table (the entry
     # query slices to 300 docs for the DuckDB oracle; the bench measures
@@ -256,12 +308,16 @@ def main() -> None:
     docs_full = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
         int(CPUS)
     )
-    t0 = time.perf_counter()
-    spans = duplicated_spans(docs_full, n=8, min_count=2)
-    strip_duplicated_spans(docs_full, spans).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["substring_dedup_full"] = round(time.perf_counter() - t0, 3)
+
+    def _substr_once() -> float:
+        t0 = time.perf_counter()
+        spans = duplicated_spans(docs_full, n=8, min_count=2)
+        strip_duplicated_spans(docs_full, spans).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    timings["substring_dedup_full"] = best_of(_substr_once)
 
     # LSH ANN at a production embedding width (dim=768, tiled from the
     # 64-dim fixture): one matmul per Arrow batch, constant-size plan
@@ -277,23 +333,48 @@ def main() -> None:
     wq = wide.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    t0 = time.perf_counter()
-    lsh_bucketed_topk(wide, wq, k=10, n_planes=8, dim=768).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["lsh_ann_dim768"] = round(time.perf_counter() - t0, 3)
+    def _lsh_once() -> float:
+        t0 = time.perf_counter()
+        lsh_bucketed_topk(wide, wq, k=10, n_planes=8, dim=768).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings["lsh_ann_dim768"] = best_of(_lsh_once)
 
     # IVF at the same production width: coarse-quantizer training (2
     # distributed Lloyd steps) + nprobe probe + exact re-rank
     from pathik_spark.operators.ann import ivf_topk
 
-    t0 = time.perf_counter()
-    ivf_topk(wide, wq, k=10, n_centroids=16, nprobe=4, dim=768).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["ivf_ann_dim768"] = round(time.perf_counter() - t0, 3)
+    def _ivf_once() -> float:
+        t0 = time.perf_counter()
+        ivf_topk(
+            wide, wq, k=10, n_centroids=16, nprobe=4, dim=768
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings["ivf_ann_dim768"] = best_of(_ivf_once)
+
+    # PQ-ADC at the same width: codebook training + byte-code encode +
+    # compressed-domain candidate scan + exact re-rank of 50 candidates
+    from pathik_spark.operators.pq import pq_adc_topk
+
+    def _pq_once() -> float:
+        t0 = time.perf_counter()
+        pq_adc_topk(
+            wide, wq, k=10, n_subspaces=16, n_codes=256,
+            n_candidates=50, dim=768, rerank=True,
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings["pq_ann_dim768"] = best_of(_pq_once)
 
     total = round(sum(timings.values()), 3)
+    extras["bench_reps"] = REPS
+    if _REP_SPREADS:
+        spreads = sorted(_REP_SPREADS)
+        extras["rep_spread_median"] = round(spreads[len(spreads) // 2], 3)
+        extras["rep_spread_max"] = round(spreads[-1], 3)
     probe_eff = float(extras["hw_probe_parallel_efficiency"])  # type: ignore[arg-type]
     norm, factor = normalize_timings(timings, probe_eff)
     extras["hw_probe_ref_efficiency"] = PROBE_REF_EFF

@@ -2111,6 +2111,10 @@ ENGINE_ORACLE_SQL = {
     "lsh_ann_topk": duck_lsh_ann_sql,
     "embedding_neardup_lsh": duck_embedding_neardup_lsh_sql,
     "ivf_ann_exact_probe": duck_ivf_exact_sql,
+    # PQ at its exact limit (rerank over ALL candidates) is brute-force
+    # cosine top-k independent of the trained codebooks — same oracle
+    # as the IVF exact-probe arm (operators/pq.py docstring)
+    "pq_ann_exact_rerank": duck_ivf_exact_sql,
     "dedup_clusters": duck_dedup_clusters_sql,
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,
