@@ -79,6 +79,11 @@ class CrawlConfig:
     # spot-instance clusters).
     eager_commit: bool = False
     n_rounds: int = 1
+    # round-state backend: "auto" picks Iceberg when runtime jars + a
+    # configured V2 catalog are in the session (the 10^10 deployment,
+    # tables.iceberg_session_conf), else the parquet+manifest store with
+    # identical visibility/resume semantics; "iceberg"/"parquet" force.
+    state_backend: str = "auto"
     # crawler product token: robots.txt group selection (RFC 9309) when
     # the robots input is raw robots_txt bodies rather than a rules table
     user_agent: str = "pathik"
@@ -104,5 +109,9 @@ class CrawlConfig:
         if self.seen_prefilter not in ("bloom", "cuckoo"):
             raise ValueError(
                 f"seen_prefilter must be bloom|cuckoo, got {self.seen_prefilter}"
+            )
+        if self.state_backend not in ("auto", "parquet", "iceberg"):
+            raise ValueError(
+                f"state_backend must be auto|parquet|iceberg, got {self.state_backend}"
             )
         return self

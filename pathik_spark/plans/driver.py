@@ -41,7 +41,7 @@ from pathik_spark.operators.metrics import host_metrics, partition_lineage
 from pathik_spark.operators.robots import attach_robots, filter_disallowed
 from pathik_spark.operators.scheduler import schedule_round
 from pathik_spark.operators.seen import build_bloom_shards, seen_filter
-from pathik_spark.sources.tables import SnapshotStore
+from pathik_spark.sources.tables import SnapshotStore, make_store
 
 FRONTIER_COLS = ["url", "seq", "priority", "attempt"]
 SEEN_COLS = ["url_hash", "host_hash", "url"]
@@ -104,7 +104,9 @@ class CrawlRun:
         self.robots = robots
         self.links = links
         self.config = (config or CrawlConfig()).validate()
-        self.store = SnapshotStore(spark, state_dir, self.config.run_id)
+        self.store = make_store(
+            spark, state_dir, self.config.run_id, backend=self.config.state_backend
+        )
         self._pages_prepared: DataFrame | None = None
         self._links_prepared: DataFrame | None = None
         # bloom shards for round k+1 are built DURING round k's derived

@@ -96,3 +96,250 @@ class SnapshotStore:
     def has_table(self, round_no: int, name: str) -> bool:
         manifest = self.read_manifest(round_no)
         return manifest is not None and name in manifest["tables"]
+
+
+# -- Iceberg arm (north-rule state backend) ---------------------------------
+#
+# The 10^10 deployment keeps round state in Iceberg tables: each round's
+# artifacts / seen delta / next_frontier / host_metrics / lineage land as
+# one partition (`_round=k`) of a catalog table, and round VISIBILITY is a
+# row appended to a `_manifest` table — Iceberg's atomic snapshot commit
+# gives the manifest append the same crash semantics as the parquet
+# store's manifest.json rename: a killed run's partial round has data
+# partitions but no manifest row, so resume ignores and rewrites it
+# (overwritePartitions is idempotent per (_round, table)).
+#
+# The sandbox has no Iceberg runtime jars, so `make_store` falls back to
+# the parquet SnapshotStore; the Iceberg path is exercised by
+# tests/test_iceberg_store.py against any Spark catalog that supports the
+# DataFrameWriterV2 API (live-gated on `iceberg_available`).
+
+ICEBERG_EXTENSION = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+ICEBERG_CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_session_conf(
+    warehouse: str, catalog: str = "pathik", catalog_type: str = "hadoop"
+) -> dict[str, str]:
+    """Session conf for an Iceberg hadoop/hive catalog (pass to
+    SparkSession.builder before start; jars via --packages
+    org.apache.iceberg:iceberg-spark-runtime-<ver>). Mirrors the S3A/Kafka
+    conf-assembly pattern: assembly is always testable, the live round
+    trip is env-gated."""
+    return {
+        "spark.sql.extensions": ICEBERG_EXTENSION,
+        f"spark.sql.catalog.{catalog}": ICEBERG_CATALOG_IMPL,
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        # per-partition (not whole-table) INSERT OVERWRITE — the store's
+        # idempotent round-rewrite primitive
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }
+
+
+def configured_iceberg_catalog(spark: SparkSession) -> str | None:
+    """First session catalog configured with the Iceberg SparkCatalog
+    implementation, or None."""
+    prefix = "spark.sql.catalog."
+    for key, val in spark.sparkContext.getConf().getAll():
+        if (
+            key.startswith(prefix)
+            and key.count(".") == 3
+            and val == ICEBERG_CATALOG_IMPL
+        ):
+            return key[len(prefix):]
+    return None
+
+
+def _safe_ident(s: str) -> str:
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", s)
+
+
+class IcebergSnapshotStore:
+    """SnapshotStore twin over a V2 catalog. Same public surface
+    (write_table / commit / write_round / read_manifest / read_table /
+    has_table / latest_complete_round) plus the filesystem `root` /
+    `_round_dir` staging area the driver uses for overlapped direct-path
+    writes (next_frontier, seen_compact) — commit() ingests any staged
+    parquet listed in table_names that was not written through
+    write_table, so the committed round is fully catalog-resident."""
+
+    #: partition column added to every round table
+    ROUND_COL = "_round"
+    #: file format for created tables (an Iceberg catalog reads this as
+    #: the table's write.format.default; the V2 session catalog needs it
+    #: to CTAS — which is how the tests exercise this class jar-free.
+    #: On a non-Iceberg session catalog, set
+    #: spark.sql.sources.partitionOverwriteMode=dynamic so
+    #: overwritePartitions replaces only the round's partition).
+    PROVIDER = "parquet"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        run_id: str,
+        catalog: str | None = None,
+    ):
+        self.spark = spark
+        self.root = os.path.join(state_dir, run_id)
+        os.makedirs(self.root, exist_ok=True)
+        cat = catalog or configured_iceberg_catalog(spark)
+        if cat is None:
+            raise ValueError(
+                "IcebergSnapshotStore needs a configured V2 catalog "
+                "(iceberg_session_conf) or an explicit catalog name"
+            )
+        self.namespace = f"{cat}.crawl_{_safe_ident(run_id)}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.namespace}")
+        self._written: set[tuple[int, str]] = set()
+
+    def _round_dir(self, round_no: int) -> str:
+        return os.path.join(self.root, f"round={round_no}")
+
+    def _fq(self, name: str) -> str:
+        return f"{self.namespace}.{_safe_ident(name)}"
+
+    def _table_exists(self, fq: str) -> bool:
+        try:
+            return self.spark.catalog.tableExists(fq)
+        except Exception:
+            return False
+
+    def _insert_overwrite(self, fq: str, staged: DataFrame) -> None:
+        """Replace exactly the staged rows' partitions. INSERT OVERWRITE
+        (not DataFrameWriterV2.overwritePartitions) so the same code runs
+        against Iceberg catalogs AND plain V1 session-catalog parquet
+        tables (the jar-free test harness); dynamic partitionOverwriteMode
+        (set by iceberg_session_conf) makes both replace per-partition."""
+        tmp = f"pathik_ice_stage_{abs(hash(fq)) % 10**8}"
+        staged.createOrReplaceTempView(tmp)
+        try:
+            cols = ", ".join(f"`{c}`" for c in self.spark.table(fq).columns)
+            self.spark.sql(f"INSERT OVERWRITE TABLE {fq} SELECT {cols} FROM {tmp}")
+        finally:
+            self.spark.catalog.dropTempView(tmp)
+
+    def write_table(self, round_no: int, name: str, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        fq = self._fq(name)
+        staged = df.withColumn(self.ROUND_COL, F.lit(int(round_no)))
+        if self._table_exists(fq):
+            self._insert_overwrite(fq, staged)
+        else:
+            (
+                staged.writeTo(fq)
+                .using(self.PROVIDER)
+                .partitionedBy(F.col(self.ROUND_COL))
+                .create()
+            )
+        self._written.add((round_no, name))
+        return (
+            self.spark.table(fq)
+            .where(F.col(self.ROUND_COL) == int(round_no))
+            .drop(self.ROUND_COL)
+        )
+
+    def commit(
+        self, round_no: int, table_names: list[str], stats: dict | None = None
+    ) -> None:
+        # ingest direct-path staged parquet (driver's overlapped writers)
+        for name in table_names:
+            if (round_no, name) in self._written:
+                continue
+            staged = os.path.join(self._round_dir(round_no), f"{name}.parquet")
+            if os.path.isdir(staged):
+                self.write_table(round_no, name, self.spark.read.parquet(staged))
+            else:
+                raise FileNotFoundError(
+                    f"commit round {round_no}: table {name!r} neither "
+                    f"written via write_table nor staged at {staged}"
+                )
+        fq = self._fq("_manifest")
+        row = self.spark.createDataFrame(
+            [(int(round_no), json.dumps(sorted(table_names)), json.dumps(stats or {}, sort_keys=True))],
+            schema="round INT, tables STRING, stats STRING",
+        )
+        if self._table_exists(fq):
+            # re-commit of a rewritten partial round replaces its row
+            self._insert_overwrite(fq, row)
+        else:
+            from pyspark.sql import functions as F
+
+            row.writeTo(fq).using(self.PROVIDER).partitionedBy(F.col("round")).create()
+
+    def write_round(
+        self, round_no: int, tables: dict[str, DataFrame], stats: dict | None = None
+    ) -> None:
+        for name, df in tables.items():
+            self.write_table(round_no, name, df)
+        self.commit(round_no, list(tables.keys()), stats)
+
+    def read_manifest(self, round_no: int) -> dict | None:
+        fq = self._fq("_manifest")
+        if not self._table_exists(fq):
+            return None
+        rows = (
+            self.spark.table(fq).where(f"round = {int(round_no)}").collect()
+        )
+        if not rows:
+            return None
+        names = json.loads(rows[0]["tables"])
+        return {
+            "round": round_no,
+            "tables": {n: self._fq(n) for n in names},
+            "stats": json.loads(rows[0]["stats"]),
+        }
+
+    def latest_complete_round(self) -> int | None:
+        fq = self._fq("_manifest")
+        if not self._table_exists(fq):
+            return None
+        row = self.spark.table(fq).agg({"round": "max"}).collect()[0]
+        return int(row[0]) if row[0] is not None else None
+
+    def read_table(self, round_no: int, name: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        manifest = self.read_manifest(round_no)
+        assert manifest is not None, f"round {round_no} not committed"
+        assert name in manifest["tables"], f"table {name!r} not in round {round_no}"
+        return (
+            self.spark.table(manifest["tables"][name])
+            .where(F.col(self.ROUND_COL) == int(round_no))
+            .drop(self.ROUND_COL)
+        )
+
+    def has_table(self, round_no: int, name: str) -> bool:
+        manifest = self.read_manifest(round_no)
+        return manifest is not None and name in manifest["tables"]
+
+
+def make_store(
+    spark: SparkSession, state_dir: str, run_id: str, backend: str = "auto"
+):
+    """Pick the round-state backend. ``auto``: Iceberg when both the
+    runtime jars and a configured V2 catalog are present (the 10^10
+    deployment), else the parquet+manifest store (identical semantics —
+    the whole driver is backend-agnostic). ``iceberg`` forces (raises
+    without jars/catalog); ``parquet`` forces the fallback."""
+    if backend not in ("auto", "parquet", "iceberg"):
+        raise ValueError(f"state_backend must be auto|parquet|iceberg, got {backend}")
+    if backend == "parquet":
+        return SnapshotStore(spark, state_dir, run_id)
+    has_iceberg = iceberg_available(spark) and configured_iceberg_catalog(spark)
+    if backend == "iceberg":
+        if not has_iceberg:
+            raise ValueError(
+                "state_backend=iceberg but no Iceberg runtime/catalog in the "
+                "session (add iceberg-spark-runtime jars + iceberg_session_conf)"
+            )
+        return IcebergSnapshotStore(spark, state_dir, run_id)
+    return (
+        IcebergSnapshotStore(spark, state_dir, run_id)
+        if has_iceberg
+        else SnapshotStore(spark, state_dir, run_id)
+    )

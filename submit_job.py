@@ -17,6 +17,14 @@ Local smoke (no cluster):
     python submit_job.py --synthetic 2000 --rounds 2 --state-dir /tmp/ps
 
 The job resumes from the last committed round automatically (B5).
+
+Iceberg round state (the north-rule 10^10 deployment) — add the runtime
+jars and a hadoop-catalog warehouse; round tables + the visibility
+manifest then live in the catalog (sources/tables.IcebergSnapshotStore):
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+        --py-files pathik_spark.zip submit_job.py ... \
+        --state-backend iceberg --iceberg-warehouse s3a://bucket/warehouse
 """
 
 from __future__ import annotations
@@ -48,13 +56,32 @@ def main() -> None:
         "(subdomains of listed hosts are blocked too), or a comma-separated "
         "inline list",
     )
+    ap.add_argument(
+        "--state-backend",
+        default="auto",
+        choices=("auto", "parquet", "iceberg"),
+        help="round-state backend; iceberg needs the iceberg-spark-runtime "
+        "jars on the cluster (--packages) plus --iceberg-warehouse",
+    )
+    ap.add_argument(
+        "--iceberg-warehouse",
+        default=None,
+        help="warehouse path/URI for a hadoop-type Iceberg catalog; when "
+        "set, the session is configured with catalog 'pathik' "
+        "(sources/tables.iceberg_session_conf)",
+    )
     args = ap.parse_args()
 
     from pathik_spark.config import CrawlConfig
     from pathik_spark.plans.driver import CrawlRun
     from pathik_spark.session import get_spark
 
-    spark = get_spark(f"pathik_crawl_{args.run_id}")
+    extra_conf = None
+    if args.iceberg_warehouse:
+        from pathik_spark.sources.tables import iceberg_session_conf
+
+        extra_conf = iceberg_session_conf(args.iceberg_warehouse)
+    spark = get_spark(f"pathik_crawl_{args.run_id}", extra_conf=extra_conf)
 
     if args.synthetic:
         from pathik_spark.fixtures import corpus_to_spark, gen_corpus
@@ -76,6 +103,7 @@ def main() -> None:
         n_salts=args.n_salts,
         num_shards=args.num_shards,
         n_rounds=args.rounds,
+        state_backend=args.state_backend,
     )
     blocklist = None
     if args.blocked_hosts:
