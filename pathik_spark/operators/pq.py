@@ -77,17 +77,17 @@ def pq_codebooks(
         raise ValueError(f"dim={dim} not divisible by n_subspaces={n_subspaces}")
     sub_dim = dim // n_subspaces
     sample_n = min(max(n_codes * PQ_TRAIN_OVERSAMPLE, 1024), PQ_TRAIN_MAX_SAMPLE)
-    rows = (
+    pdf = (
         embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .withColumn("_h", F.xxhash64(F.col("vid")))
         .orderBy("_h", "vid")
         .limit(sample_n)
         .select("vec")
-        .collect()
+        .toPandas()  # Arrow transfer: ~10x cheaper than Row collect at 16k x 768
     )
-    if not rows:
+    if len(pdf) == 0:
         raise ValueError("pq_codebooks: empty embeddings input")
-    sample = _normalize_rows(np.array([r["vec"] for r in rows], dtype=np.float64))
+    sample = _normalize_rows(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
     books = np.zeros((n_subspaces, n_codes, sub_dim))
     for s in range(n_subspaces):
         sub = sample[:, s * sub_dim : (s + 1) * sub_dim]
@@ -98,10 +98,14 @@ def pq_codebooks(
             # assign by L2: argmax(x.c - 0.5*|c|^2) == argmin |x - c|^2
             scores = sub @ cents.T - 0.5 * np.sum(cents * cents, axis=1)
             code = np.argmax(scores, axis=1)
-            for c in range(k):
-                mask = code == c
-                if mask.any():
-                    cents[c] = sub[mask].mean(axis=0)
+            # vectorized Lloyd update (a per-cluster Python loop is the
+            # training hotspot at n_codes=256); empty clusters keep
+            # their previous centroid
+            counts = np.bincount(code, minlength=k).astype(np.float64)
+            sums = np.zeros((k, sub_dim))
+            np.add.at(sums, code, sub)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         books[s, :k] = cents
         if k < n_codes:
             # pad duplicate rows so the array is rectangular; argmin
