@@ -658,6 +658,23 @@ def _q_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def _q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/classifier.py): the
+    corpus-wide LR scoring pass with the fixed PRETRAINED weights, so
+    the DuckDB twin is a static literal expression. Compares the
+    exp-free LOGIT (sigmoid is monotone; keep == logit > 0) — the same
+    cross-engine-exact-arithmetic trick as lm_score."""
+    from pathik_spark.operators.classifier import (
+        PRETRAINED_QUALITY_MODEL,
+        score_quality_lr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return score_quality_lr(docs, PRETRAINED_QUALITY_MODEL).select(
+        "doc_id", "logit", "keep"
+    )
+
+
 def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION LSH-blocked near-dup arm (exact=False), oracled by
     computing the same SRP buckets relationally in DuckDB (hyperplanes
@@ -942,6 +959,7 @@ ENGINE_ORACLE_QUERIES = {
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,
     "pq_ann_exact_rerank": _q_pq_exact,
+    "quality_lr_score": _q_quality_lr,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,

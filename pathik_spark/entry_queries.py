@@ -1866,6 +1866,37 @@ FROM documents
 """
 
 
+def duck_quality_lr_sql() -> str:
+    """DuckDB twin of score_quality_lr(PRETRAINED_QUALITY_MODEL) over
+    documents (operators/classifier.py): the same 6 raw features
+    (regexp counts / ratios), the same left-to-right dot-product chain,
+    and the exp-free LOGIT as the compared value — sigmoid is monotone,
+    so keep == (logit > 0) without cross-engine exp() arithmetic."""
+    from pathik_spark.functions.text_constants import LANG_MARKERS, PUNCT_CLASS
+    from pathik_spark.operators.classifier import PRETRAINED_QUALITY_MODEL
+
+    d = DUCK
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    norm = _norm_text(d, "text")
+    arrlen = d["ARRLEN"](d["SPLIT_WS"](norm))
+    n_tokens = f"CAST(CASE WHEN {norm} = '' THEN 0 ELSE {arrlen} END AS DOUBLE)"
+    feats = [
+        f"LEAST({n_chars} / 2000.0, 1.0)",
+        f"(CAST({d['RECOUNT']('text', PUNCT_CLASS)} AS DOUBLE) / ({n_chars} + 1.0))",
+        f"(CAST({d['RECOUNT']('lower(text)', LANG_MARKERS['en'])} AS DOUBLE) / ({n_tokens} + 1.0))",
+        f"(({n_chars} + 1.0) / ({n_tokens} + 1.0))",
+        f"(CAST({d['RECOUNT']('text', '[0-9]')} AS DOUBLE) / ({n_chars} + 1.0))",
+        f"(CAST({d['RECOUNT']('text', '[A-Z]')} AS DOUBLE) / ({n_chars} + 1.0))",
+    ]
+    z = repr(float(PRETRAINED_QUALITY_MODEL["bias"]))
+    for f, w in zip(feats, PRETRAINED_QUALITY_MODEL["weights"]):
+        z = f"({z} + {f} * {repr(float(w))})"
+    return f"""
+SELECT doc_id, ROUND({z}, 6) AS logit, {z} > 0.0 AS keep
+FROM documents
+"""
+
+
 LM_VOCAB = 16  # small vocab so the fixture corpus actually has OOV tokens
 
 
@@ -2115,6 +2146,7 @@ ENGINE_ORACLE_SQL = {
     # cosine top-k independent of the trained codebooks — same oracle
     # as the IVF exact-probe arm (operators/pq.py docstring)
     "pq_ann_exact_rerank": duck_ivf_exact_sql,
+    "quality_lr_score": duck_quality_lr_sql,
     "dedup_clusters": duck_dedup_clusters_sql,
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,
