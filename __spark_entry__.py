@@ -658,6 +658,33 @@ def _q_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def _q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stage of BPE tokenizer training (operators/
+    bpe.py): the word-frequency dictionary — one explode + one
+    map-side-combined groupBy. The driver merge loop consuming it is
+    reference-equality tested in tests/test_bpe.py (sim-oracle
+    pattern); this oracles the only part that touches the corpus."""
+    from pathik_spark.operators.bpe import word_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return word_counts(docs)
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the learned merge list (rank, left, right) for 64
+    merges — deterministic (tie-break: count desc, pair lexicographic)
+    but iterative, so the oracle is the pytest reference-equality suite
+    (tests/test_bpe.py), not SQL."""
+    from pathik_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=64)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 def _q_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (operators/classifier.py): the
     corpus-wide LR scoring pass with the fixed PRETRAINED weights, so
@@ -960,6 +987,7 @@ ENGINE_ORACLE_QUERIES = {
     "ivf_ann_exact_probe": _q_ivf_exact,
     "pq_ann_exact_rerank": _q_pq_exact,
     "quality_lr_score": _q_quality_lr,
+    "bpe_word_counts": _q_bpe_word_counts,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,
@@ -987,6 +1015,7 @@ ROWS_ONLY_QUERIES = {
     "multimodal_features": _q_multimodal_features,
     "image_neardup": _q_image_neardup,
     "ivf_ann_topk": _q_ivf_ann,
+    "bpe_merges": _q_bpe_merges,
 }
 
 

@@ -1866,6 +1866,21 @@ FROM documents
 """
 
 
+def duck_bpe_word_counts_sql() -> str:
+    """DuckDB twin of operators/bpe.word_counts: the word-frequency
+    dictionary that is the ONLY distributed stage of BPE training."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split({norm}, ' ')) AS word
+  FROM documents WHERE {norm} <> ''
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks WHERE word <> '' GROUP BY word
+"""
+
+
 def duck_quality_lr_sql() -> str:
     """DuckDB twin of score_quality_lr(PRETRAINED_QUALITY_MODEL) over
     documents (operators/classifier.py): the same 6 raw features
@@ -2147,6 +2162,7 @@ ENGINE_ORACLE_SQL = {
     # as the IVF exact-probe arm (operators/pq.py docstring)
     "pq_ann_exact_rerank": duck_ivf_exact_sql,
     "quality_lr_score": duck_quality_lr_sql,
+    "bpe_word_counts": duck_bpe_word_counts_sql,
     "dedup_clusters": duck_dedup_clusters_sql,
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,
