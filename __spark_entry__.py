@@ -658,6 +658,24 @@ def _q_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def _q_recrawl_ttl_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive re-crawl policy (operators/delta.recrawl_ttl_hours):
+    per-host churn from the snapshot diff -> linearly interpolated TTL
+    (churny hosts recrawl sooner). The filter arm consuming these TTLs
+    is pytest-verified (tests/test_anchors_delta.py)."""
+    from pathik_spark.entry_queries import DELTA_SNAPSHOTS_CTE
+    from pathik_spark.operators.delta import (
+        crawl_delta,
+        delta_stats,
+        recrawl_ttl_hours,
+    )
+
+    _register_views(spark, sf_dir)
+    prev = spark.sql(f"WITH {DELTA_SNAPSHOTS_CTE} SELECT * FROM prev_snap")
+    cur = spark.sql(f"WITH {DELTA_SNAPSHOTS_CTE} SELECT * FROM cur_snap")
+    return recrawl_ttl_hours(delta_stats(crawl_delta(prev, cur)))
+
+
 def _q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed stage of BPE tokenizer training (operators/
     bpe.py): the word-frequency dictionary — one explode + one
@@ -988,6 +1006,7 @@ ENGINE_ORACLE_QUERIES = {
     "pq_ann_exact_rerank": _q_pq_exact,
     "quality_lr_score": _q_quality_lr,
     "bpe_word_counts": _q_bpe_word_counts,
+    "recrawl_ttl_adaptive": _q_recrawl_ttl_adaptive,
     "extract_links_discovery": _q_extract_links,
     "url_validate": _q_url_validate,
     "url_domain_derivation": _q_url_domain,

@@ -285,6 +285,8 @@ def main() -> None:
         "trap_signals",
         "line_dedup",
         "anchor_profile",
+        "quality_lr_score",
+        "bpe_word_counts",
     ):
 
         def _entry_once(name=name) -> float:

@@ -1667,6 +1667,19 @@ FROM agg
 """
 
 
+def duck_recrawl_ttl_sql(min_hours: float = 24.0, max_hours: float = 720.0) -> str:
+    """DuckDB twin of recrawl_ttl_hours(delta_stats(crawl_delta(...))):
+    the churn rollup wrapped in the linear TTL interpolation (NULL
+    churn -> max_hours)."""
+    stats = duck_crawl_delta_stats_sql().strip()
+    return f"""
+WITH stats AS ({stats})
+SELECT host,
+  COALESCE(ROUND({max_hours} - ({max_hours} - {min_hours}) * churn, 6), {max_hours}) AS ttl_hours
+FROM stats
+"""
+
+
 def lines_docs_sql() -> str:
     """(doc_id, text) multi-line corpus for the line-dedup oracle —
     identical text in both dialects. Per doc: a corpus-wide boilerplate
@@ -2163,6 +2176,7 @@ ENGINE_ORACLE_SQL = {
     "pq_ann_exact_rerank": duck_ivf_exact_sql,
     "quality_lr_score": duck_quality_lr_sql,
     "bpe_word_counts": duck_bpe_word_counts_sql,
+    "recrawl_ttl_adaptive": duck_recrawl_ttl_sql,
     "dedup_clusters": duck_dedup_clusters_sql,
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,

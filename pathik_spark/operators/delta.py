@@ -73,3 +73,60 @@ def delta_stats(delta: DataFrame, host_expr=None) -> DataFrame:
         "*",
         F.round(changed.cast("double") / total.cast("double"), 6).alias("churn"),
     )
+
+
+def recrawl_ttl_hours(
+    stats: DataFrame, min_hours: float = 24.0, max_hours: float = 720.0
+) -> DataFrame:
+    """(host, ttl_hours): the adaptive re-crawl policy — churny hosts
+    get short TTLs, stable hosts long ones, linearly interpolated
+    (churn 0 -> max_hours, churn 1 -> min_hours). NULL churn (a host
+    with no delta observations) defaults to max_hours: assume stable
+    until measured. Output is one row per host — bounded, broadcastable
+    into the seen filter at any corpus size."""
+    if not (0 < min_hours <= max_hours):
+        raise ValueError(f"need 0 < min_hours <= max_hours, got {min_hours}, {max_hours}")
+    ttl = F.round(
+        F.lit(float(max_hours))
+        - (F.lit(float(max_hours)) - F.lit(float(min_hours))) * F.col("churn"),
+        6,
+    )
+    return stats.select(
+        "host", F.coalesce(ttl, F.lit(float(max_hours))).alias("ttl_hours")
+    )
+
+
+def recrawl_filter_adaptive(
+    frontier: DataFrame,
+    seen: DataFrame | None,
+    ttls: DataFrame,
+    now,
+    ts_col: str = "seen_ts",
+    bloom_shards_bc=None,
+) -> DataFrame:
+    """Per-host freshness-aware URL-seen: a seen record blocks the
+    frontier only while YOUNGER than its host's TTL (the churn-derived
+    table from recrawl_ttl_hours); staler records expire and the URL
+    re-enters. Hosts absent from ``ttls`` never expire (conservative:
+    a plain seen filter for them).
+
+    Scale shape mirrors seen.recrawl_filter: the TTL table is per-host
+    (bounded) and broadcast onto the seen scan — the frontier side is
+    untouched, and the full-set bloom/cuckoo shards stay valid as the
+    pre-filter (a bloom miss is never-seen, hence never fresh-seen)."""
+    from pathik_spark.functions.urls import hostname_of
+    from pathik_spark.operators.seen import seen_filter
+
+    if seen is None:
+        return frontier
+    aged = seen.withColumn("_host", hostname_of(F.col("url"))).join(
+        F.broadcast(ttls.select(F.col("host").alias("_host"), "ttl_hours")),
+        "_host",
+        "left",
+    )
+    now_s = F.unix_timestamp(F.lit(now).cast("timestamp")).cast("double")
+    age_s = now_s - F.unix_timestamp(F.col(ts_col)).cast("double")
+    fresh = aged.filter(
+        F.col("ttl_hours").isNull() | (age_s <= F.col("ttl_hours") * 3600.0)
+    ).select("url_hash")
+    return seen_filter(frontier, fresh, bloom_shards_bc)

@@ -125,3 +125,60 @@ def test_delta_stats_churn(spark):
     assert (a["n_unchanged"], a["n_removed"], a["n_added"], a["n_modified"]) == (3, 1, 0, 0)
     assert abs(a["churn"] - 0.25) < 1e-9
     assert stats["b.example"]["churn"] == 1.0
+
+
+def test_recrawl_ttl_hours_law(spark):
+    from pathik_spark.operators.delta import recrawl_ttl_hours
+
+    stats = spark.createDataFrame(
+        [("stable.example", 0.0), ("churny.example", 1.0), ("mid.example", 0.5), ("nodata.example", None)],
+        "host string, churn double",
+    )
+    got = {r["host"]: r["ttl_hours"] for r in recrawl_ttl_hours(stats, 24.0, 720.0).collect()}
+    assert got["stable.example"] == 720.0
+    assert got["churny.example"] == 24.0
+    assert abs(got["mid.example"] - 372.0) < 1e-9
+    assert got["nodata.example"] == 720.0  # unknown host -> assume stable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        recrawl_ttl_hours(stats, 0.0, 720.0)
+
+
+def test_recrawl_filter_adaptive(spark):
+    import datetime
+
+    from pathik_spark.functions.urls import url_hash_expr
+    from pathik_spark.operators.delta import recrawl_filter_adaptive
+
+    now = datetime.datetime(2014, 3, 10, 0, 0, 0)
+    old = datetime.datetime(2014, 3, 1, 0, 0, 0)   # 9 days old
+    new = datetime.datetime(2014, 3, 9, 12, 0, 0)  # 12 h old
+    urls = {
+        "a": "https://churny.example/a",   # seen 9d ago, ttl 24h -> STALE, readmit
+        "b": "https://churny.example/b",   # seen 12h ago, ttl 24h -> fresh, block
+        "c": "https://stable.example/c",   # seen 9d ago, ttl 720h -> fresh, block
+        "d": "https://unknown.example/d",  # seen 9d ago, no ttl -> block (never expires)
+        "e": "https://churny.example/e",   # never seen -> pass
+    }
+    frontier = spark.createDataFrame(
+        [(u,) for u in urls.values()], "url string"
+    ).withColumn("url_hash", url_hash_expr(F.col("url")))
+    seen = spark.createDataFrame(
+        [
+            (urls["a"], old),
+            (urls["b"], new),
+            (urls["c"], old),
+            (urls["d"], old),
+        ],
+        "url string, seen_ts timestamp",
+    ).withColumn("url_hash", url_hash_expr(F.col("url")))
+    ttls = spark.createDataFrame(
+        [("churny.example", 24.0), ("stable.example", 720.0)],
+        "host string, ttl_hours double",
+    )
+    out = {
+        r["url"]
+        for r in recrawl_filter_adaptive(frontier, seen, ttls, now).collect()
+    }
+    assert out == {urls["a"], urls["e"]}
