@@ -139,22 +139,22 @@ def bpe_encode(
 ) -> DataFrame:
     """(doc_id, tokens array<string>, n_bpe_tokens): scan-local subword
     encoding. The merge list ships as a UDF closure (a few KB-MB); a
-    per-batch word memo makes hot words O(1)."""
+    per-batch word memo makes hot words O(1).
+
+    Normalization happens in the JVM plan via the SAME normalized_text
+    expression the trainer's word_counts stage uses — the UDF only
+    splits on single spaces. A Python re-implementation here would risk
+    silent tokenization drift (locale/Unicode case-mapping differences)
+    producing words at encode time that never existed in training."""
     frozen = [tuple(p) for p in merges]
-
-    import re
-
-    # the Python twin of normalized_text (Java \s is ASCII-only)
-    ws = re.compile(r"\s+", re.ASCII)
 
     def enc(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             toks_col = []
-            for text in pdf["_text"]:
+            for norm in pdf["_norm"]:
                 toks: list[str] = []
-                norm = ws.sub(" ", text.lower()).strip() if isinstance(text, str) else ""
-                if norm:
+                if isinstance(norm, str) and norm:
                     for w in norm.split(" "):
                         got = memo.get(w)
                         if got is None:
@@ -172,7 +172,8 @@ def bpe_encode(
         ]
     )
     out = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+        F.col(id_col).alias("doc_id"),
+        normalized_text(F.col(text_col)).alias("_norm"),
     ).mapInPandas(enc, schema)
     return out.withColumn("n_bpe_tokens", F.size("tokens"))
 

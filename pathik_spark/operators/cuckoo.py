@@ -81,44 +81,52 @@ def build_cuckoo_table(
     hashes = np.unique(hashes.astype(np.uint64))
     n = max(1, len(hashes))
     m = _next_pow2(int(np.ceil(n / (SLOTS * load))))
+    fps_all = _fingerprints(hashes)
+    odd = int(_FP_ODD)
     while True:
-        table = np.zeros((m, SLOTS), dtype=np.uint16)
-        fps = _fingerprints(hashes)
-        b1s = _bucket1(hashes, m)
+        # fingerprints/buckets precomputed vectorized; the placement walk
+        # itself runs on plain Python ints over a flat list — per-key
+        # numpy scalar round-trips would cost ~100x at the documented
+        # ~10^6-URL shard size (filter builds happen every round).
+        mask = m - 1
+        tbl = [0] * (m * SLOTS)
+        b1s = (hashes & np.uint64(mask)).astype(np.int64).tolist()
         ok = True
-        for k in range(len(hashes)):
-            fp = fps[k]
-            i1 = int(b1s[k])
-            i2 = int(_alt_bucket(np.array([i1]), np.array([fp], dtype=np.uint16), m)[0])
+        for fp, i1 in zip(fps_all.tolist(), b1s):
+            i2 = i1 ^ ((fp * odd) & mask)
             placed = False
             for b in (i1, i2):
-                empty = np.nonzero(table[b] == 0)[0]
-                if len(empty):
-                    table[b, empty[0]] = fp
-                    placed = True
+                base = b * SLOTS
+                for s in range(SLOTS):
+                    if tbl[base + s] == 0:
+                        tbl[base + s] = fp
+                        placed = True
+                        break
+                if placed:
                     break
             if placed:
                 continue
             # deterministic kick walk from i1
             cur, cur_fp = i1, fp
             for kick in range(_MAX_KICKS):
-                slot = kick % SLOTS
-                cur_fp, table[cur, slot] = table[cur, slot], cur_fp
-                cur = int(
-                    _alt_bucket(
-                        np.array([cur]), np.array([cur_fp], dtype=np.uint16), m
-                    )[0]
-                )
-                empty = np.nonzero(table[cur] == 0)[0]
-                if len(empty):
-                    table[cur, empty[0]] = cur_fp
+                idx = cur * SLOTS + kick % SLOTS
+                cur_fp, tbl[idx] = tbl[idx], cur_fp
+                cur = cur ^ ((cur_fp * odd) & mask)
+                base = cur * SLOTS
+                done = False
+                for s in range(SLOTS):
+                    if tbl[base + s] == 0:
+                        tbl[base + s] = cur_fp
+                        done = True
+                        break
+                if done:
                     break
             else:
                 ok = False
             if not ok:
                 break
         if ok:
-            return m, table
+            return m, np.asarray(tbl, dtype=np.uint16).reshape(m, SLOTS)
         m *= 2  # too full / pathological kicks: grow and rebuild
 
 
@@ -146,17 +154,21 @@ def delete_cuckoo(m: int, table: np.ndarray, hashes: np.ndarray) -> int:
     (the TTL-expiry path satisfies this by construction)."""
     h = np.asarray(hashes, dtype=np.uint64)
     fps = _fingerprints(h)
-    b1s = _bucket1(h, m)
+    mask = m - 1
+    odd = int(_FP_ODD)
     removed = 0
-    for k in range(len(h)):
-        fp = fps[k]
-        i1 = int(b1s[k])
-        i2 = int(_alt_bucket(np.array([i1]), np.array([fp], dtype=np.uint16), m)[0])
+    for fp, i1 in zip(fps.tolist(), (h & np.uint64(mask)).astype(np.int64).tolist()):
+        i2 = i1 ^ ((fp * odd) & mask)
+        done = False
         for b in (i1, i2):
-            slots = np.nonzero(table[b] == fp)[0]
-            if len(slots):
-                table[b, slots[0]] = 0
-                removed += 1
+            row = table[b]
+            for s in range(SLOTS):
+                if row[s] == fp:
+                    row[s] = 0
+                    removed += 1
+                    done = True
+                    break
+            if done:
                 break
     return removed
 

@@ -212,14 +212,24 @@ class IcebergSnapshotStore:
         """Replace exactly the staged rows' partitions. INSERT OVERWRITE
         (not DataFrameWriterV2.overwritePartitions) so the same code runs
         against Iceberg catalogs AND plain V1 session-catalog parquet
-        tables (the jar-free test harness); dynamic partitionOverwriteMode
-        (set by iceberg_session_conf) makes both replace per-partition."""
+        tables (the jar-free test harness). partitionOverwriteMode is
+        pinned to dynamic around the statement — under the default static
+        mode INSERT OVERWRITE would replace the WHOLE table, destroying
+        every prior round, so the store must not depend on the session
+        having been built via iceberg_session_conf."""
         tmp = f"pathik_ice_stage_{abs(hash(fq)) % 10**8}"
         staged.createOrReplaceTempView(tmp)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prior = self.spark.conf.get(mode_key, None)
+        self.spark.conf.set(mode_key, "dynamic")
         try:
             cols = ", ".join(f"`{c}`" for c in self.spark.table(fq).columns)
             self.spark.sql(f"INSERT OVERWRITE TABLE {fq} SELECT {cols} FROM {tmp}")
         finally:
+            if prior is None:
+                self.spark.conf.unset(mode_key)
+            else:
+                self.spark.conf.set(mode_key, prior)
             self.spark.catalog.dropTempView(tmp)
 
     def write_table(self, round_no: int, name: str, df: DataFrame) -> DataFrame:

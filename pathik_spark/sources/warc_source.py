@@ -39,21 +39,48 @@ from pyspark.sql import types as T
 
 _GZIP_MAGIC = b"\x1f\x8b"
 _MAX_HEADER = 64 * 1024  # a WARC header block beyond 64 KB is garbage
+_GZ_CHUNK = 1 << 20  # feed the decompressor 1 MB slices
+
+
+def gzip_member_stream(buf: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (member_byte_offset, decompressed_bytes) per gzip member of
+    a concatenated-member archive (the Common Crawl per-record layout) —
+    or a single member for whole-file gzip.
+
+    Cost discipline: the decompressor is fed bounded memoryview slices,
+    never ``buf[pos:]`` — slicing the remaining tail per member would be
+    O(members x archive_size) memcpy (terabytes on a real ~1 GB
+    member-per-record archive). With chunked feeding, ``unused_data``
+    holds at most one chunk, so the whole stream is O(archive_size)."""
+    mv = memoryview(buf)
+    n = len(buf)
+    pos = 0
+    while pos < n and buf[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = []
+        fed = pos
+        try:
+            while fed < n and not d.eof:
+                end = min(fed + _GZ_CHUNK, n)
+                out.append(d.decompress(mv[fed:end]))
+                fed = end
+        except zlib.error:
+            # corrupt member: keep what decoded, stop (garbage tolerance)
+            yield pos, b"".join(out)
+            return
+        yield pos, b"".join(out)
+        if not d.eof:  # truncated trailing member
+            return
+        consumed = (fed - pos) - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - decompressor guarantee
+            return
+        pos += consumed
 
 
 def gunzip_members(buf: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the Common Crawl
-    per-record layout) — or a single member — into one byte stream."""
-    out = []
-    pos = 0
-    while pos < len(buf) and buf[pos : pos + 2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(buf[pos:]))
-        consumed = len(buf) - pos - len(d.unused_data)
-        if consumed <= 0:  # pragma: no cover - decompressor guarantee
-            break
-        pos += consumed
-    return b"".join(out)
+    """Decompress a concatenation of gzip members — or a single member —
+    into one byte stream."""
+    return b"".join(data for _, data in gzip_member_stream(buf))
 
 
 def parse_warc_header(block: bytes) -> dict[str, str]:
@@ -123,8 +150,21 @@ def _archive_records(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for path, content in zip(pdf["path"], pdf["content"]):
             buf = bytes(content)
             if buf[:2] == _GZIP_MAGIC:
-                buf = gunzip_members(buf)
-            for offset, fields, payload in iter_warc_records(buf):
+                # record_offset for gzipped archives is the COMPRESSED
+                # member's byte offset in the archive — the CDX
+                # convention, so provenance joins against a CDX index and
+                # random access (seek + gunzip one member) both work. In
+                # the member-per-record CC layout that is exact per
+                # record; records sharing one member (whole-file gzip)
+                # share the member's offset.
+                record_iter = (
+                    (m_off, fields, payload)
+                    for m_off, data in gzip_member_stream(buf)
+                    for _, fields, payload in iter_warc_records(data)
+                )
+            else:
+                record_iter = iter_warc_records(buf)
+            for offset, fields, payload in record_iter:
                 rows.append(
                     (
                         fields.get("warc-target-uri"),
@@ -165,7 +205,9 @@ def read_warc_archives(
 ) -> DataFrame:
     """Distributed WARC ingest: one task per archive file, records
     parsed scan-local. Returns the engine pages shape plus provenance
-    (archive path + byte offset — lineage back to the source dump).
+    (archive path + byte offset — lineage back to the source dump;
+    for gzipped archives the offset is the compressed member offset,
+    CDX semantics).
 
     ``path`` accepts a directory or a glob (binaryFile semantics);
     plain and gzipped archives mix freely. ``warc_types`` filters

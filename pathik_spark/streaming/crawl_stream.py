@@ -13,14 +13,17 @@ in rounds).
 
 Scale notes: everything before foreachBatch is stateless expression or
 state-store-backed (the seen state is keyed by the 8-byte url_hash —
-the streaming twin of the bloom/cuckoo-sharded batch anti-join; a
-watermark bounds it when the frontier carries an event time). The
-micro-batch body reuses the SAME batch operators (fetch_join,
-extract_artifacts), so streaming and batch crawl artifacts are
-byte-identical for the same admitted URLs — asserted in
-tests/test_crawl_stream.py. Exactly-once: the file sink + checkpoint
-give idempotent replay; re-running with the same checkpoint fetches
-nothing twice (the resume test).
+the streaming twin of the bloom/cuckoo-sharded batch anti-join; with a
+watermark the dedup uses dropDuplicatesWithinWatermark so seen keys are
+EVICTED past the delay — bounded state; without one it is exact
+lifetime dedup with state growing in distinct URLs). The micro-batch
+body reuses the SAME batch operators (fetch_join, extract_artifacts),
+so streaming and batch crawl artifacts are byte-identical for the same
+admitted URLs — asserted in tests/test_crawl_stream.py. Idempotent
+replay: foreachBatch is at-least-once, so artifacts are written via
+dynamic overwrite of the batch_id partition — a re-run batch replaces
+its own partition; re-running with the same checkpoint fetches nothing
+twice (the resume test).
 
 Reference parity: the reference's long-running crawler daemon
 (crawler.go loop) maps to this always-on stream; its per-host limiter
@@ -61,8 +64,42 @@ def prepare_frontier_stream(
         .withColumn("host_hash", U.host_hash_expr(F.col("host"), num_shards))
     )
     if watermark is not None:
-        out = out.withWatermark("event_ts", watermark)
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+        # dropDuplicates only evicts state when the event-time column is
+        # part of the dedup subset, so keying on url_hash alone would grow
+        # the state store by one entry per distinct URL forever. The
+        # within-watermark variant evicts keys past the delay — the
+        # streaming twin of the batch TTL re-crawl window (seen.py).
+        return out.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+            ["url_hash"]
+        )
+    # no watermark: exact lifetime dedup, state grows with distinct URLs
     return out.dropDuplicates(["url_hash"])
+
+
+def artifact_batch_writer(prepared_pages: DataFrame, out_dir: str, content_type: str):
+    """The foreachBatch body: fetch join + extraction, landed as ONE
+    batch_id partition. foreachBatch is at-least-once — a batch whose
+    files landed but whose checkpoint commit did not is re-run with the
+    same batch_id — so the write is a dynamic overwrite of that
+    partition: the replay replaces the orphaned attempt's files instead
+    of appending duplicates (idempotent; asserted in
+    tests/test_crawl_stream.py)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arts = extract_artifacts(
+            fetch_join(batch_df, prepared_pages, prepared=True),
+            with_markdown=content_type in ("markdown", "both"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            arts.drop("html")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return process_batch
 
 
 def streaming_crawl(
@@ -108,13 +145,7 @@ def streaming_crawl(
     admitted = stateful_host_budget(prepped, max_per_host=max_per_host)
 
     prepared_pages = pages_by_hash(pages)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        arts = extract_artifacts(
-            fetch_join(batch_df, prepared_pages, prepared=True),
-            with_markdown=content_type in ("markdown", "both"),
-        ).withColumn("batch_id", F.lit(batch_id))
-        arts.drop("html").write.mode("append").parquet(out_dir)
+    process_batch = artifact_batch_writer(prepared_pages, out_dir, content_type)
 
     writer = (
         admitted.writeStream.foreachBatch(process_batch)

@@ -98,3 +98,53 @@ def test_robots_filter_in_stream(spark, tmp_path):
     streaming_crawl(spark, fdir, pages, odir, cdir, robots=robots)
     urls = {r["url"] for r in spark.read.parquet(odir).collect()}
     assert urls == {"https://h0.example/p3", "https://h1.example/p1"}
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch with the same
+    batch_id (crash between files landing and checkpoint commit) must
+    REPLACE its partition, not append duplicates."""
+    from pathik_spark.operators.fetch import pages_by_hash
+    from pathik_spark.streaming.crawl_stream import (
+        artifact_batch_writer,
+        prepare_frontier_stream,
+    )
+
+    pages = _pages(spark)
+    odir = str(tmp_path / "o")
+    batch = prepare_frontier_stream(
+        spark.createDataFrame(
+            _frontier_rows(["https://h0.example/p0", "https://h1.example/p1"]),
+            "url string, seq long, priority int, event_ts timestamp",
+        )
+    )
+    writer = artifact_batch_writer(pages_by_hash(pages), odir, "both")
+    writer(batch, 0)
+    first = sorted(spark.read.parquet(odir).drop("batch_id").collect())
+    writer(batch, 0)  # replayed batch, same batch_id
+    assert sorted(spark.read.parquet(odir).drop("batch_id").collect()) == first
+    # a NEW batch id lands as an additional partition, nothing replaced
+    writer(batch, 1)
+    arts = spark.read.parquet(odir)
+    assert arts.count() == 2 * len(first)
+    assert arts.filter(F.col("batch_id") == 0).count() == len(first)
+
+
+def test_watermarked_dedup_uses_state_evicting_variant(spark, tmp_path):
+    """With a watermark the seen dedup must be dropDuplicatesWithinWatermark
+    (state evicted past the delay); plain dropDuplicates keyed on url_hash
+    alone never evicts. Asserted on the analyzed streaming plan."""
+    from pathik_spark.streaming.crawl_stream import (
+        FRONTIER_STREAM_SCHEMA,
+        prepare_frontier_stream,
+    )
+
+    fdir = str(tmp_path / "f")
+    _write_frontier(spark, fdir, ["https://h0.example/p0"])
+    stream = spark.readStream.schema(FRONTIER_STREAM_SCHEMA).parquet(fdir)
+    with_wm = prepare_frontier_stream(stream, watermark="1 hour")
+    plan = with_wm._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
+    no_wm = prepare_frontier_stream(stream)
+    plan2 = no_wm._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" not in plan2

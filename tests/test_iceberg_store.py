@@ -216,3 +216,31 @@ def test_live_iceberg_round_trip(spark, tmp_path):  # pragma: no cover
     store = make_store(spark, str(tmp_path), "live", backend="iceberg")
     store.write_round(0, {"artifacts": _mini(spark, "a")})
     assert store.latest_complete_round() == 0
+
+
+def test_v2_round_survives_static_overwrite_mode(spark, tmp_path):
+    """Data-loss regression: under the session DEFAULT (static)
+    partitionOverwriteMode, INSERT OVERWRITE replaces the whole table —
+    the store must pin dynamic mode itself rather than depend on the
+    session having been built via iceberg_session_conf, or round 1's
+    commit silently destroys round 0."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    store = IcebergSnapshotStore(
+        spark, str(tmp_path), "static-run", catalog="spark_catalog"
+    )
+    try:
+        store.write_round(0, {"artifacts": _mini(spark, "a0", 5), "seen": _mini(spark, "s0", 3)})
+        store.write_round(1, {"artifacts": _mini(spark, "a1", 4), "seen": _mini(spark, "s1", 2)})
+        # round 0 intact after round 1's INSERT OVERWRITE path
+        assert store.read_table(0, "artifacts").count() == 5
+        assert store.read_table(0, "seen").count() == 3
+        assert store.read_manifest(0) is not None
+        assert store.latest_complete_round() == 1
+        # the store restored the caller's session conf
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.sql(f"DROP NAMESPACE IF EXISTS {store.namespace} CASCADE")

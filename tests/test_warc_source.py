@@ -141,3 +141,66 @@ def test_type_filter(spark, tmp_path):
     assert all_rows.count() == 3  # sink writes resource records only
     none = read_warc_archives(spark, str(tmp_path), warc_types=("request",))
     assert none.count() == 0
+
+
+def test_member_offsets_are_compressed_archive_offsets(spark, tmp_path):
+    """CDX semantics for gzipped archives: record_offset is the byte
+    offset of the record's COMPRESSED gzip member in the archive (seek +
+    gunzip-one-member random access), never an offset into the
+    decompressed concatenation."""
+    from pathik_spark.sources.warc_source import gzip_member_stream
+
+    files = _write_archives(spark, tmp_path / "plain3", n_parts=1)
+    raw = open(files[0]["path"], "rb").read()
+    records = list(iter_warc_records(raw))
+    pos = [off for off, _, _ in records] + [len(raw)]
+    parts = [gzip.compress(raw[pos[i] : pos[i + 1]]) for i in range(len(records))]
+    members = b"".join(parts)
+    member_dir = tmp_path / "members2"
+    member_dir.mkdir()
+    (member_dir / "m.warc.gz").write_bytes(members)
+
+    expected_offsets = []
+    acc = 0
+    for p in parts:
+        expected_offsets.append(acc)
+        acc += len(p)
+    # unit: the member stream yields exactly those compressed offsets
+    assert [off for off, _ in gzip_member_stream(members)] == expected_offsets
+    # end-to-end: record_offset == the member's compressed offset, and
+    # seeking there + decompressing one member recovers the record
+    got = {
+        r["url"]: r["record_offset"]
+        for r in read_warc_archives(spark, str(member_dir)).collect()
+    }
+    by_url = {f["warc-target-uri"]: off for off, f, _ in records}
+    for url, rec_off in got.items():
+        i = pos.index(by_url[url])
+        assert rec_off == expected_offsets[i]
+        import zlib as _z
+
+        d = _z.decompressobj(wbits=_z.MAX_WBITS | 16)
+        member = d.decompress(members[rec_off:])
+        assert list(iter_warc_records(member))[0][1]["warc-target-uri"] == url
+
+
+def test_gzip_member_stream_garbage_and_truncation():
+    import zlib as _z
+
+    a = gzip.compress(b"alpha")
+    b = gzip.compress(b"beta")
+    # truncated trailing member: keep fully-decoded members, no raise
+    stream = a + b[: len(b) // 2]
+    got = list(gzip_member_stream_import()(stream))
+    assert got[0] == (0, b"alpha")
+    assert len(got) <= 2  # truncated tail never yields phantom members
+    # corrupt middle member: decoding stops without raising
+    corrupt = a + b"\x1f\x8b" + b"\x00" * 20 + b
+    out = gunzip_members(corrupt)
+    assert out.startswith(b"alpha")
+
+
+def gzip_member_stream_import():
+    from pathik_spark.sources.warc_source import gzip_member_stream
+
+    return gzip_member_stream
