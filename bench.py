@@ -81,11 +81,14 @@ REPS_EXTRA = max(0, int(os.environ.get("PATHIK_BENCH_REPS_EXTRA", "2")))
 _REP_SPREADS: list[float] = []
 
 
-def best_of(fn) -> float:
+def best_of(fn, reps: int | None = None) -> float:
     """Run fn() REPS times (fn returns elapsed seconds); keep the min.
     If the reps disagree by >25%, a co-tenant burst hit at least one —
-    run up to REPS_EXTRA more until two draws agree within 25%."""
-    times = [fn() for _ in range(REPS)]
+    run up to REPS_EXTRA more until two draws agree within 25%.
+    ``reps`` overrides the base count for entries long enough that one
+    co-tenant burst can cover ALL base draws while leaving them in
+    agreement (so the disagreement rule never fires)."""
+    times = [fn() for _ in range(reps if reps is not None else REPS)]
     extra = 0
     while (
         len(times) > 1
@@ -231,7 +234,10 @@ def main() -> None:
         crawl_runs.append((dt, n))
         return dt
 
-    timings["crawl_pipeline_2rounds"] = best_of(_crawl_once)
+    # 3 base reps for the headline entry: at ~20-40 s per rep a single
+    # multi-minute co-tenant burst can cover two agreeing draws (seen
+    # in-round: suite min 41.3 s vs 18.6 s isolated minutes later)
+    timings["crawl_pipeline_2rounds"] = best_of(_crawl_once, reps=max(REPS, 3))
     best_dt, n_urls = min(crawl_runs)
     extras["crawl_urls_scheduled"] = n_urls
     extras["crawl_urls_per_sec"] = round(n_urls / best_dt, 2)
