@@ -518,6 +518,29 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, max_occurrences=int(math.ceil(LINE_DEDUP_FRACTION * n_docs)))
 
 
+def _q_host_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site template boilerplate removal (the RefinedWeb/FineWeb
+    per-dump pass): the REAL host_line_dedup operator over a 7-host
+    synthesized corpus — nav lines on 100% of a host's pages and ~60%
+    footers are removed per host, ~33% promos survive — vs the full
+    relational restatement with the same integer-exact threshold."""
+    from pathik_spark.entry_queries import (
+        HOST_LINE_MAX_DOC_PCT,
+        HOST_LINE_MIN_DOCS,
+        host_lines_docs_sql,
+    )
+    from pathik_spark.operators.linedup import host_line_dedup
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(host_lines_docs_sql())
+    return host_line_dedup(
+        docs,
+        group_col="grp",
+        min_docs=HOST_LINE_MIN_DOCS,
+        max_doc_pct=HOST_LINE_MAX_DOC_PCT,
+    )
+
+
 def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 heuristic cleaning: the REAL expression-only c4_clean operator
     over a synthesized corpus of good/short/unpunctuated/banner/code
@@ -990,6 +1013,7 @@ ENGINE_ORACLE_QUERIES = {
     "crawl_delta": _q_crawl_delta,
     "crawl_delta_stats": _q_crawl_delta_stats,
     "line_dedup": _q_line_dedup,
+    "host_line_dedup": _q_host_line_dedup,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,

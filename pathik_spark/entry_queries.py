@@ -1739,6 +1739,80 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+HOST_LINE_MIN_DOCS = 2
+HOST_LINE_MAX_DOC_PCT = 50
+
+
+def host_lines_docs_sql() -> str:
+    """(doc_id, grp, text) per-site corpus for the host-line-dedup
+    oracle — identical text in both dialects. 7 synthetic hosts; per
+    doc: a host nav line (100% of the host's docs -> template), a
+    unique body line, a 1-in-3 promo (~33% -> kept at the 50%
+    threshold), a blank line, and a ~60% footer (doc_id % 10 < 6 ->
+    template wherever the per-group integer count clears 50%, the
+    boundary the integer-exact heaviness test pins)."""
+    src = "'h' || CAST(doc_id % 7 AS STRING)"
+    did = "CAST(doc_id AS STRING)"
+    return f"""
+SELECT doc_id, {src} AS grp,
+  'Navigation menu for host ' || {src} || ' pages.' || chr(10)
+  || 'Body content unique to document ' || {did} || '.' || chr(10)
+  || CASE WHEN doc_id % 3 = 0 THEN 'Promo banner shown on some pages.'
+          ELSE 'Second body line for doc ' || {did} || '.' END || chr(10)
+  || '' || chr(10)
+  || CASE WHEN doc_id % 10 < 6 THEN 'Footer copyright ' || {src} || ' notice.'
+          ELSE 'Tail body line for doc ' || {did} || '.' END AS text
+FROM documents
+"""
+
+
+def duck_host_line_dedup_sql() -> str:
+    """DuckDB twin of host_line_dedup (operators/linedup.py): per-site
+    template detection (distinct-doc counts per (grp, line_key) against
+    group totals, integer-exact percent threshold), per-group anti-join,
+    reassembly in document order."""
+    d = DUCK
+    norm = _norm_text(d, "line")
+    return f"""
+WITH docs AS ({host_lines_docs_sql().strip()}),
+lines AS (
+  SELECT doc_id, grp,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM docs
+),
+keyed AS (SELECT *, {d['HASH60'](norm)} AS line_key FROM lines),
+totals AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS group_docs FROM docs GROUP BY grp),
+counts AS (
+  SELECT grp, line_key, COUNT(DISTINCT doc_id) AS n_docs
+  FROM keyed WHERE trim(line) <> ''
+  GROUP BY grp, line_key
+),
+heavy AS (
+  SELECT c.grp, c.line_key FROM counts c JOIN totals t USING (grp)
+  WHERE c.n_docs >= {HOST_LINE_MIN_DOCS}
+    AND c.n_docs * 100 > {HOST_LINE_MAX_DOC_PCT} * t.group_docs
+),
+kept AS (
+  SELECT k.* FROM keyed k
+  ANTI JOIN heavy h ON k.grp = h.grp AND k.line_key = h.line_key
+),
+doc_lines AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lines GROUP BY doc_id, grp
+),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY line_no), chr(10)) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.grp, COALESCE(r.text, '') AS text, t.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM doc_lines t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def c4_docs_sql() -> str:
     """(doc_id, text) corpus for the C4-clean oracle: a good sentence,
     a too-short line, a no-terminal-punctuation line, a javascript
@@ -2194,6 +2268,7 @@ ENGINE_ORACLE_SQL = {
     "crawl_delta": duck_crawl_delta_sql,
     "crawl_delta_stats": duck_crawl_delta_stats_sql,
     "line_dedup": duck_line_dedup_sql,
+    "host_line_dedup": duck_host_line_dedup_sql,
     "c4_clean": duck_c4_clean_sql,
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,

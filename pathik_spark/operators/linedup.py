@@ -119,6 +119,103 @@ def line_dedup(
     ).select("doc_id", "text", "n_lines", "n_kept")
 
 
+def host_template_lines(
+    docs: DataFrame,
+    group_col: str = "source",
+    min_docs: int = 2,
+    max_doc_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-site template table: (grp, line_key, n_docs, group_docs,
+    sample_line) for lines present in MORE than ``max_doc_pct`` percent
+    of a group's documents (and in at least ``min_docs`` of them).
+
+    This is the site-template complement to the corpus-wide
+    ``duplicate_lines``: a host's nav/sidebar/footer lines repeat on
+    every page of THAT site while staying rare corpus-wide, so a global
+    occurrence threshold scaled to corpus size never catches them
+    (RefinedWeb/FineWeb run exactly this pass per dump/site). The
+    heaviness test is pure integer arithmetic
+    (n_docs * 100 > max_doc_pct * group_docs) so the DuckDB oracle
+    agrees exactly at any boundary.
+
+    Scale shape: counting keys on (grp, line_key) — hash-uniform even
+    when one host dominates the corpus, because a host's DISTINCT lines
+    spread over the key space regardless of its page count. The
+    membership dedup (a line counted once per document) rides the same
+    shuffle. Group totals are one tiny aggregate, broadcast."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line_key", _line_key(F.col("line")))
+    per_doc = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("grp", "line_key")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("line").alias("sample_line"),
+        )
+    )
+    totals = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("group_docs")
+    )
+    return (
+        per_doc.join(F.broadcast(totals), "grp")
+        .filter(
+            (F.col("n_docs") >= int(min_docs))
+            & (F.col("n_docs") * 100 > int(max_doc_pct) * F.col("group_docs"))
+        )
+        .select("grp", "line_key", "n_docs", "group_docs", "sample_line")
+    )
+
+
+def host_line_dedup(
+    docs: DataFrame,
+    group_col: str = "source",
+    min_docs: int = 2,
+    max_doc_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove each site's template lines from that site's documents
+    (lines in > ``max_doc_pct``% of the group's docs); identical lines
+    on OTHER sites are untouched. Returns (doc_id, grp, text, n_lines,
+    n_kept), reassembled in original order — same contract as
+    ``line_dedup``, plus the group key.
+
+    The removal join keys on (grp, line_key): the template set is tiny
+    per group but too large corpus-wide to broadcast at 10^10 docs, so
+    this is a shuffle join on a hash-uniform composite key; AQE's
+    skew-split covers a mega-host's line volume."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line_key", _line_key(F.col("line")))
+    heavy = (
+        host_template_lines(docs, group_col, min_docs, max_doc_pct, text_col, id_col)
+        .select("grp", "line_key")
+        .withColumn("_heavy", F.lit(True))
+    )
+    marked = lines.join(heavy, ["grp", "line_key"], "left")
+    keep = F.col("_heavy").isNull()
+    return marked.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("line_no", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+    ).select("doc_id", "grp", "text", "n_lines", "n_kept")
+
+
 # --- C4-style heuristic cleaning ---------------------------------------------
 
 # C4 §2.2 constants (Raffel et al. 2020) — shared verbatim with the

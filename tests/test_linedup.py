@@ -99,3 +99,45 @@ def test_c4_doc_gates(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in c4_clean(docs).collect()}
     assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_host_line_dedup_per_site_independence(spark):
+    """A line that is template-heavy on host A (every page) but appears
+    on one page of host B is removed ONLY from A's documents; unique
+    body lines and blank lines always survive."""
+    from pathik_spark.operators.linedup import host_line_dedup, host_template_lines
+
+    nav = "Shared navigation bar line."
+    rows = [
+        # host A: nav on all 3 pages (100% > 50%) -> template
+        (1, "a", f"{nav}\nBody one."),
+        (2, "a", f"{nav}\n\nBody two."),
+        (3, "a", f"{nav}\nBody three."),
+        # host B: same line on 1 of 3 pages (33% < 50%) -> kept
+        (4, "b", f"{nav}\nOther body."),
+        (5, "b", "Plain page five."),
+        (6, "b", "Plain page six."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    heavy = host_template_lines(docs).collect()
+    assert [(r["grp"], r["n_docs"], r["group_docs"]) for r in heavy] == [("a", 3, 3)]
+
+    got = {r["doc_id"]: r for r in host_line_dedup(docs).collect()}
+    assert got[1]["text"] == "Body one."
+    assert got[2]["text"] == "\nBody two."  # blank line survives
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 2)
+    assert got[4]["text"] == f"{nav}\nOther body."  # untouched on host B
+    assert got[5]["text"] == "Plain page five."
+
+
+def test_host_line_dedup_min_docs_floor(spark):
+    """min_docs keeps tiny groups from declaring their only page's
+    lines templates (1 of 1 docs = 100% but < min_docs)."""
+    from pathik_spark.operators.linedup import host_template_lines
+
+    docs = spark.createDataFrame(
+        [(1, "solo", "Single page line.\nAnother line.")],
+        "doc_id long, source string, text string",
+    )
+    assert host_template_lines(docs, min_docs=2).count() == 0
