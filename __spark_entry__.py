@@ -518,6 +518,19 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, max_occurrences=int(math.ceil(LINE_DEDUP_FRACTION * n_docs)))
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 hard document gates (word bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    fraction, stop-word floor): the REAL scan-local gopher_rules
+    operator over a per-rule stratified corpus vs the list-expression
+    restatement."""
+    from pathik_spark.entry_queries import gopher_docs_sql
+    from pathik_spark.operators.quality import gopher_rules
+
+    _register_views(spark, sf_dir)
+    return gopher_rules(spark.sql(gopher_docs_sql()))
+
+
 def _q_host_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-site template boilerplate removal (the RefinedWeb/FineWeb
     per-dump pass): the REAL host_line_dedup operator over a 7-host
@@ -1014,6 +1027,7 @@ ENGINE_ORACLE_QUERIES = {
     "crawl_delta_stats": _q_crawl_delta_stats,
     "line_dedup": _q_line_dedup,
     "host_line_dedup": _q_host_line_dedup,
+    "gopher_rules": _q_gopher_rules,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,

@@ -1739,6 +1739,84 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def gopher_docs_sql() -> str:
+    """(doc_id, text) corpus for the gopher_rules oracle — identical
+    text in both dialects, one stratum per rule: too-short (word
+    floor), all-bullet lines, all-ellipsis-terminated lines (U+2026 so
+    the symbol counter stays quiet and the line rule is isolated),
+    hash-mark spam (symbol ratio), numeric flood (alphabetic-word
+    fraction), and a clean 80-word document that passes every gate."""
+    base = (
+        "'the quick brown fox jumps over and over the lazy dog "
+        "with calm grace today again. '"
+    )
+    return f"""
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'Too short document.'
+    WHEN 1 THEN repeat('- item line for the listing and here' || chr(10), 10)
+    WHEN 2 THEN repeat('the story and plot continue without an end…' || chr(10), 10)
+    WHEN 3 THEN repeat({base}, 5) || '#### #### #### ####'
+    WHEN 4 THEN repeat('12345 ', 60) || 'the of words'
+    ELSE repeat({base}, 5)
+  END AS text
+FROM documents
+"""
+
+
+def duck_gopher_rules_sql() -> str:
+    """DuckDB twin of gopher_rules (operators/quality.py): the Gopher
+    Table A1 hard document gates restated over lists — word bounds,
+    mean-word-length band, hash+ellipsis symbol ratio, bullet/ellipsis
+    line fractions over non-blank lines, alphabetic-word fraction,
+    distinct-stop-word floor; keep derived from the ROUNDED signals."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    stops = "['the','be','to','of','and','that','have','with']"
+    return f"""
+WITH docs AS ({gopher_docs_sql().strip()}),
+base AS (
+  SELECT doc_id, text, {norm} AS norm FROM docs
+),
+sig AS (
+  SELECT doc_id,
+    CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_words,
+    CASE WHEN norm = '' THEN 0
+         ELSE length(norm) - (len(string_split(norm, ' ')) - 1) END AS sum_wlen,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+    string_split(norm, ' ') AS words
+  FROM base
+),
+r AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    round(sum_wlen / greatest(n_words, 1), 6) AS mean_word_len,
+    round((n_hash + n_ellipsis) / greatest(n_words, 1), 6) AS symbol_ratio,
+    round(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(lines,
+            l -> (rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')))
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+    round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+          / greatest(n_words, 1), 6) AS alpha_word_frac,
+    CAST(len(list_intersect(list_distinct(words), {stops})) AS BIGINT)
+      AS n_stop_distinct
+  FROM sig
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND n_stop_distinct >= 2) AS keep
+FROM r
+"""
+
+
 HOST_LINE_MIN_DOCS = 2
 HOST_LINE_MAX_DOC_PCT = 50
 
@@ -2269,6 +2347,7 @@ ENGINE_ORACLE_SQL = {
     "crawl_delta_stats": duck_crawl_delta_stats_sql,
     "line_dedup": duck_line_dedup_sql,
     "host_line_dedup": duck_host_line_dedup_sql,
+    "gopher_rules": duck_gopher_rules_sql,
     "c4_clean": duck_c4_clean_sql,
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,

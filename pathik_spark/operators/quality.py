@@ -141,6 +141,104 @@ def repetition_signals(
     )
 
 
+# Gopher document-rule thresholds (Rae et al. 2021, Table A1) — the
+# rules NOT already covered by repetition_signals (repetition family)
+# or quality_score (soft score): hard per-document structural gates.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' chars + '...' runs, per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_DISTINCT = 2
+
+
+def gopher_rules(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher hard document filters (Rae et al. 2021, Table A1) as
+    one scan-local pass: word-count bounds, mean-word-length band,
+    symbol-to-word ratio (hash marks + ellipsis runs), bullet-prefixed
+    and ellipsis-terminated line fractions, alphabetic-word fraction,
+    and the distinct-stop-word floor. Returns every signal plus the
+    composed ``keep`` verdict, one row per document.
+
+    Like repetition_signals, everything is per-document array/string
+    expression work — no shuffle, no UDF, no groupBy: at 100 TB each
+    document's verdict computes inside the scan task that read it
+    (whole-stage codegen). Ratios are rounded to 6 dp and ``keep`` is
+    derived from the ROUNDED values so the DuckDB twin agrees exactly.
+
+    Conventions (shared with the oracle): words are single-space tokens
+    of the normalized text (empty doc -> 0 words, the report.py rule);
+    line fractions are over NON-BLANK raw lines; '...' runs count
+    non-overlapping via replace-arithmetic in both dialects."""
+    text = F.col(text_col)
+    norm = normalized_text(text)
+    words = F.split(norm, " ")
+    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(words))
+    # sum of word lengths = len(norm) - (n_words - 1) separators
+    sum_wlen = F.when(norm == "", F.lit(0)).otherwise(
+        F.length(norm) - (F.size(words) - F.lit(1))
+    )
+    mean_wlen = sum_wlen.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+    ellipsis_frac = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    out = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stop_distinct"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WLEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WLEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT)
+    )
+    return out.withColumn("keep", keep)
+
+
 def clean_corpus(
     documents: DataFrame,
     pairs: DataFrame,

@@ -217,3 +217,45 @@ def test_clean_corpus_gates_compose(spark):
         F.col("count") > 1
     )
     assert two.count() == 0
+
+
+def test_gopher_rules_per_rule_isolation(spark):
+    """Each Gopher Table A1 gate trips on exactly its target document
+    while the clean 80-word document passes all of them."""
+    from pathik_spark.operators.quality import gopher_rules
+
+    base = (
+        "the quick brown fox jumps over and over the lazy dog "
+        "with calm grace today again. " * 5
+    )
+    rows = [
+        (0, "Too short document."),
+        (1, "- item line for the listing and here\n" * 10),
+        (2, "the story and plot continue without an end…\n" * 10),
+        (3, base + "#### #### #### ####"),
+        (4, "12345 " * 60 + "the of words"),
+        (5, base),
+        (6, ""),  # empty doc: 0 words, no crash, keep=false
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+
+    assert not got[0]["keep"] and got[0]["n_words"] == 3
+    assert not got[1]["keep"] and got[1]["bullet_line_frac"] == 1.0
+    assert not got[2]["keep"] and got[2]["ellipsis_line_frac"] == 1.0
+    assert got[2]["symbol_ratio"] == 0.0  # U+2026 is not a '...' run
+    assert not got[3]["keep"] and got[3]["symbol_ratio"] > 0.1
+    assert not got[4]["keep"] and got[4]["alpha_word_frac"] < 0.8
+    assert got[5]["keep"]
+    assert got[5]["n_words"] == 80 and got[5]["n_stop_distinct"] == 3
+    assert not got[6]["keep"] and got[6]["n_words"] == 0
+
+
+def test_gopher_rules_plan_is_scan_local(spark):
+    """No shuffle, no Python: the verdict computes inside the scan."""
+    from pathik_spark.operators.quality import gopher_rules
+
+    docs = spark.createDataFrame([(1, "some text here.")], "doc_id long, text string")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
