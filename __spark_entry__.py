@@ -518,6 +518,18 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, max_occurrences=int(math.ceil(LINE_DEDUP_FRACTION * n_docs)))
 
 
+def _q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of Gopher's repetition table: top-{2,3,4}-gram and
+    duplicate-{5..10}-gram CHAR fractions — the REAL scan-local
+    single-aggregate-pass operator over a per-behavior stratified
+    corpus vs the windowed-lead relational restatement."""
+    from pathik_spark.entry_queries import ngram_docs_sql
+    from pathik_spark.operators.quality import ngram_repetition_signals
+
+    _register_views(spark, sf_dir)
+    return ngram_repetition_signals(spark.sql(ngram_docs_sql()))
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher Table A1 hard document gates (word bounds, mean word
     length, symbol ratio, bullet/ellipsis line fractions, alphabetic
@@ -1028,6 +1040,7 @@ ENGINE_ORACLE_QUERIES = {
     "line_dedup": _q_line_dedup,
     "host_line_dedup": _q_host_line_dedup,
     "gopher_rules": _q_gopher_rules,
+    "ngram_repetition": _q_ngram_repetition,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,

@@ -1739,6 +1739,107 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def ngram_docs_sql() -> str:
+    """(doc_id, text) corpus for the ngram-repetition oracle — one
+    stratum per behavior: a 6-word phrase repeated 10x (duplicate
+    5/6-gram char mass), a bigram repeated with unique spacers (top
+    2-gram mass only — every longer gram distinct), a 47-word varied
+    sentence (passes all thresholds), and a 3-token doc (token floor)."""
+    clean = (
+        "'many rivers wind through quiet valleys where tall pines shade "
+        "mossy stones and small birds sing over clear water while distant "
+        "hills fold into purple dusk as travelers rest beside warm fires "
+        "telling long stories about strange lands they crossed during "
+        "bright mornings and cold evenings together'"
+    )
+    spaced_bigram = (
+        "'alpha beta cold alpha beta warm alpha beta mild alpha beta gray "
+        "alpha beta blue alpha beta dark alpha beta pale alpha beta slim "
+        "alpha beta tall alpha beta wide'"
+    )
+    return f"""
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN repeat('the sly fox guards seven gates ', 10)
+    WHEN 1 THEN {spaced_bigram}
+    WHEN 2 THEN {clean}
+    ELSE 'tiny doc here.'
+  END AS text
+FROM documents
+"""
+
+
+def duck_ngram_repetition_sql() -> str:
+    """DuckDB twin of ngram_repetition_signals (operators/quality.py):
+    n-grams via windowed lead() over exploded tokens, per-(doc, n) MAX
+    of count*char-length (top gram mass) and SUM of (count-1)*length
+    (duplicate instance mass), fractions over normalized char length."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    leads = ", ".join(f"lead(tok, {k}) OVER w AS t{k}" for k in range(1, 10))
+    gram_selects = []
+    for n in range(2, 11):
+        parts = " || ' ' || ".join(["tok"] + [f"t{k}" for k in range(1, n)])
+        gram_selects.append(
+            f"SELECT doc_id, {n} AS n, {parts} AS gram FROM led WHERE t{n-1} IS NOT NULL"
+        )
+    grams_union = "\n  UNION ALL ".join(gram_selects)
+    top_cols = ",\n  ".join(
+        f"round(coalesce(MAX(CASE WHEN a.n = {n} THEN a.best END), 0)"
+        f" / greatest(t.nchars, 1), 6) AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n  ".join(
+        f"round(least(coalesce(MAX(CASE WHEN a.n = {n} THEN a.dup END), 0)"
+        f" / greatest(t.nchars, 1), 1.0), 6) AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    keep_terms = ["n_tokens >= 5"]
+    for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16)):
+        keep_terms.append(f"top_{n}gram_char_frac <= {thr}")
+    for n, thr in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)):
+        keep_terms.append(f"dup_{n}gram_char_frac <= {thr}")
+    keep = " AND ".join(keep_terms)
+    return f"""
+WITH docs AS ({ngram_docs_sql().strip()}),
+base AS (SELECT doc_id, {norm} AS norm FROM docs),
+toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(norm, ' '), 1) - 1 AS pos,
+         unnest(string_split(norm, ' ')) AS tok
+  FROM base WHERE norm <> ''
+),
+led AS (
+  SELECT doc_id, pos, tok, {leads}
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  {grams_union}
+),
+cnts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c, length(gram) AS glen
+  FROM grams GROUP BY doc_id, n, gram
+),
+agg AS (
+  SELECT doc_id, n, MAX(c * glen) AS best, SUM((c - 1) * glen) AS dup
+  FROM cnts GROUP BY doc_id, n
+),
+tot AS (
+  SELECT doc_id, length(norm) AS nchars,
+         CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tokens
+  FROM base
+),
+sig AS (
+  SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  {top_cols},
+  {dup_cols}
+  FROM tot t LEFT JOIN agg a USING (doc_id)
+  GROUP BY t.doc_id, t.n_tokens, t.nchars
+)
+SELECT *, ({keep}) AS keep FROM sig
+"""
+
+
 def gopher_docs_sql() -> str:
     """(doc_id, text) corpus for the gopher_rules oracle — identical
     text in both dialects, one stratum per rule: too-short (word
@@ -2348,6 +2449,7 @@ ENGINE_ORACLE_SQL = {
     "line_dedup": duck_line_dedup_sql,
     "host_line_dedup": duck_host_line_dedup_sql,
     "gopher_rules": duck_gopher_rules_sql,
+    "ngram_repetition": duck_ngram_repetition_sql,
     "c4_clean": duck_c4_clean_sql,
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,

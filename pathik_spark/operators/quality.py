@@ -141,6 +141,126 @@ def repetition_signals(
     )
 
 
+# Gopher n-gram repetition thresholds (Rae et al. 2021, Table A1):
+# max char-fraction of the most frequent {2,3,4}-gram, and max
+# char-fraction covered by duplicate {5..10}-gram instances.
+TOP_NGRAM_CHAR_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_CHAR_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _ngrams(toks_col, n: int):
+    """Space-joined n-grams of a token array column (empty when the doc
+    has fewer than n tokens). The joined string's length equals the
+    char span the n-gram covers in the normalized text."""
+    n_tokens = F.size(toks_col)
+    return F.when(
+        n_tokens >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks_col, i + F.lit(k)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_stats(sorted_arr):
+    """(best, dup) over a SORTED n-gram array in one aggregate pass:
+    best = max over grams of count * char-length (the top gram's char
+    mass); dup = summed char-length of every instance beyond a gram's
+    first (duplicate char mass, overlaps counted per instance)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("cnt"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, x):
+        cnt = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["cnt"] + 1
+        ).otherwise(F.lit(1))
+        dup = F.when(cnt > 1, acc["dup"] + F.length(x)).otherwise(acc["dup"])
+        best = F.greatest(acc["best"], cnt * F.length(x))
+        return F.struct(
+            x.alias("prev"), cnt.alias("cnt"), best.alias("best"), dup.alias("dup")
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        acc0,
+        step,
+        lambda a: F.struct(a["best"].alias("best"), a["dup"].alias("dup")),
+    )
+
+
+def ngram_repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The rest of Gopher's repetition table (repetition_signals covers
+    lines/tokens/top-bigram-count): per document, the char-fraction of
+    the most frequent {2,3,4}-gram and the char-fraction covered by
+    duplicate {5..10}-gram instances, plus the conjunctive ``keep``.
+
+    Fractions are over the normalized text's char length; dup coverage
+    counts each duplicate instance's full span (overlapping instances
+    counted per instance, capped at 1.0) — a deterministic rule both
+    dialects state identically, matching the DataTrove-style
+    approximation rather than exact position masking.
+
+    Scale shape: scan-local like repetition_signals — the 9 sorted
+    n-gram arrays and their single-pass aggregates are per-document
+    expression work with NO shuffle and NO Python. The staged
+    projections keep every higher-order-function input an O(1)
+    attribute reference (see the SPARK-36718 note above)."""
+    text = F.col(text_col)
+    norm = normalized_text(text)
+    staged = docs.select(F.col(id_col), norm.alias("_norm"))
+    toks = F.when(
+        F.col("_norm") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("_norm"), " "))
+    staged = staged.select(
+        F.col(id_col),
+        F.length(F.col("_norm")).alias("_nchars"),
+        toks.alias("_toks"),
+    )
+    ns = list(TOP_NGRAM_CHAR_MAX) + list(DUP_NGRAM_CHAR_MAX)
+    staged = staged.select(
+        F.col(id_col),
+        F.col("_nchars"),
+        F.size(F.col("_toks")).alias("_ntoks"),
+        *[
+            F.sort_array(_ngrams(F.col("_toks"), n)).alias(f"_g{n}")
+            for n in ns
+        ],
+    )
+    staged = staged.select(
+        F.col(id_col),
+        F.col("_nchars"),
+        F.col("_ntoks"),
+        *[_gram_stats(F.col(f"_g{n}")).alias(f"_s{n}") for n in ns],
+    )
+    nchars = F.col("_nchars")
+    cols = [F.col(id_col), F.col("_ntoks").alias("n_tokens")]
+    for n in TOP_NGRAM_CHAR_MAX:
+        cols.append(
+            _frac(F.col(f"_s{n}")["best"], nchars).alias(f"top_{n}gram_char_frac")
+        )
+    for n in DUP_NGRAM_CHAR_MAX:
+        cols.append(
+            F.least(_frac(F.col(f"_s{n}")["dup"], nchars), F.lit(1.0)).alias(
+                f"dup_{n}gram_char_frac"
+            )
+        )
+    out = staged.select(*cols)
+    keep = F.col("n_tokens") >= MIN_TOKENS
+    for n, thr in TOP_NGRAM_CHAR_MAX.items():
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in DUP_NGRAM_CHAR_MAX.items():
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return out.withColumn("keep", keep)
+
+
 # Gopher document-rule thresholds (Rae et al. 2021, Table A1) — the
 # rules NOT already covered by repetition_signals (repetition family)
 # or quality_score (soft score): hard per-document structural gates.

@@ -259,3 +259,27 @@ def test_gopher_rules_plan_is_scan_local(spark):
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ngram_repetition_signals_exact_values(spark):
+    """Hand-computed char-mass fractions and the scan-local plan."""
+    from pathik_spark.operators.quality import ngram_repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # top-2 'a b' x3: 3*3/11
+            (2, "one two three four five one two three four five"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_repetition_signals(docs)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["top_2gram_char_frac"] == round(9 / 11, 6)
+    assert got[1]["dup_5gram_char_frac"] == 0.0
+    # the 5-word phrase repeats once: one duplicate 5-gram instance of
+    # 23 chars over 47 total
+    assert got[2]["dup_5gram_char_frac"] == round(23 / 47, 6)
+    assert got[3]["n_tokens"] == 0 and not got[3]["keep"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
