@@ -518,6 +518,22 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, max_occurrences=int(math.ceil(LINE_DEDUP_FRACTION * n_docs)))
 
 
+def _q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content sniffing (crawl payload routing): the REAL
+    pure-expression sniff_content_type over a per-label stratified
+    binary corpus vs the hex-prefix CASE chain restatement."""
+    from pyspark.sql import functions as F
+
+    from pathik_spark.entry_queries import sniff_docs_sql
+    from pathik_spark.functions.sniff import sniff_content_type
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(sniff_docs_sql())
+    return docs.select(
+        "doc_id", sniff_content_type(F.col("payload")).alias("content_type")
+    )
+
+
 def _q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of Gopher's repetition table: top-{2,3,4}-gram and
     duplicate-{5..10}-gram CHAR fractions — the REAL scan-local
@@ -1041,6 +1057,7 @@ ENGINE_ORACLE_QUERIES = {
     "host_line_dedup": _q_host_line_dedup,
     "gopher_rules": _q_gopher_rules,
     "ngram_repetition": _q_ngram_repetition,
+    "content_sniff": _q_content_sniff,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,

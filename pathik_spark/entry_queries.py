@@ -1739,6 +1739,53 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def sniff_docs_sql() -> str:
+    """(doc_id, payload BLOB) corpus for the content-sniff oracle —
+    identical unhex() text in both dialects, one stratum per label:
+    png/pdf/zip/gif/riff/jpeg/gzip magic numbers, a '<'-opening markup
+    payload, an unknown-magic payload, and an empty payload."""
+    return """
+SELECT doc_id,
+  unhex(CASE doc_id % 10
+    WHEN 0 THEN '89504E470D0A1A0A0011'
+    WHEN 1 THEN '255044462D312E340011'
+    WHEN 2 THEN '504B03040A0000000011'
+    WHEN 3 THEN '47494638396111110011'
+    WHEN 4 THEN '52494646AAAA00000011'
+    WHEN 5 THEN 'FFD8FFE000104A460011'
+    WHEN 6 THEN '1F8B0800000000000011'
+    WHEN 7 THEN '3C68746D6C3E68690011'
+    WHEN 8 THEN 'DEADBEEF001122330011'
+    ELSE ''
+  END) AS payload
+FROM documents
+"""
+
+
+def duck_content_sniff_sql() -> str:
+    """DuckDB twin of sniff_content_type (functions/sniff.py): the same
+    longest-prefix-first magic chain over substr(hex(payload), ...) —
+    hex-then-slice because DuckDB cannot slice BLOBs directly."""
+    from pathik_spark.functions.sniff import MAGIC_PREFIXES
+
+    whens = "\n    ".join(
+        f"WHEN substr(hx, 1, {len(p)}) = '{p}' THEN '{label}'"
+        for p, label in MAGIC_PREFIXES
+    )
+    return f"""
+WITH docs AS ({sniff_docs_sql().strip()}),
+h AS (SELECT doc_id, payload, hex(payload) AS hx FROM docs)
+SELECT doc_id,
+  CASE
+    WHEN payload IS NULL THEN NULL
+    WHEN octet_length(payload) = 0 THEN 'empty'
+    {whens}
+    ELSE 'other'
+  END AS content_type
+FROM h
+"""
+
+
 def ngram_docs_sql() -> str:
     """(doc_id, text) corpus for the ngram-repetition oracle — one
     stratum per behavior: a 6-word phrase repeated 10x (duplicate
@@ -2450,6 +2497,7 @@ ENGINE_ORACLE_SQL = {
     "host_line_dedup": duck_host_line_dedup_sql,
     "gopher_rules": duck_gopher_rules_sql,
     "ngram_repetition": duck_ngram_repetition_sql,
+    "content_sniff": duck_content_sniff_sql,
     "c4_clean": duck_c4_clean_sql,
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,

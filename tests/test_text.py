@@ -283,3 +283,39 @@ def test_ngram_repetition_signals_exact_values(spark):
     assert got[3]["n_tokens"] == 0 and not got[3]["keep"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_sniff_content_type_magic_chain(spark):
+    """Magic numbers win over markup; empty and null handled; real
+    decoder outputs (kernels/media.py) sniff to their own labels."""
+    from pyspark.sql import functions as F
+
+    from pathik_spark.functions.sniff import sniff_content_type
+
+    rows = [
+        (0, bytearray(b"\x89PNG\r\n\x1a\nxx")),
+        (1, bytearray(b"%PDF-1.4")),
+        (2, bytearray(b"PK\x03\x04zipzip")),
+        (3, bytearray(b"GIF89a\x01\x02")),
+        (4, bytearray(b"RIFF\x00\x00\x00\x00WAVE")),
+        (5, bytearray(b"\xff\xd8\xff\xe0jpeg")),
+        (6, bytearray(b"\x1f\x8b\x08\x00gz")),
+        (7, bytearray(b"<!doctype html>")),
+        (8, bytearray(b"plain text payload")),
+        (9, bytearray(b"")),
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, b binary")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", sniff_content_type(F.col("b")).alias("t")).collect()
+    }
+    assert got == {
+        0: "png", 1: "pdf", 2: "zip", 3: "gif", 4: "riff", 5: "jpeg",
+        6: "gzip", 7: "markup", 8: "other", 9: "empty", 10: None,
+    }
+    plan = (
+        df.select(sniff_content_type(F.col("b")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
