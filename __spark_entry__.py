@@ -518,6 +518,25 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, max_occurrences=int(math.ceil(LINE_DEDUP_FRACTION * n_docs)))
 
 
+def _q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization: the pandas-UDF operator (CPython
+    unicodedata) vs DuckDB's utf8proc nfc_normalize — two independent
+    implementations agreeing over a decomposed-composition corpus."""
+    from pyspark.sql import functions as F
+
+    from pathik_spark.entry_queries import unicode_docs_sql
+    from pathik_spark.functions.unicode_norm import normalize_unicode
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(unicode_docs_sql())
+    return docs.select(
+        "doc_id",
+        normalize_unicode(F.col("text"), form="NFC").alias("text_nfc"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(normalize_unicode(F.col("text"), form="NFC")).alias("n_chars_nfc"),
+    )
+
+
 def _q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content sniffing (crawl payload routing): the REAL
     pure-expression sniff_content_type over a per-label stratified
@@ -1058,6 +1077,7 @@ ENGINE_ORACLE_QUERIES = {
     "gopher_rules": _q_gopher_rules,
     "ngram_repetition": _q_ngram_repetition,
     "content_sniff": _q_content_sniff,
+    "nfc_normalize": _q_nfc_normalize,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
     "hash_split": _q_hash_split,

@@ -1739,6 +1739,38 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def unicode_docs_sql() -> str:
+    """(doc_id, text) corpus for the NFC-normalization oracle —
+    identical UTF-8 literals in both dialects: decomposed accents
+    (e + U+0301), decomposed ring (A + U+030A), Hangul jamo that
+    compose to a syllable, multi-mark sequences (only the first mark
+    composes), an already-composed string, and pure ASCII."""
+    return f"""
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'resumé with é decomposed accents'
+    WHEN 1 THEN 'Å ngström units here'
+    WHEN 2 THEN '가 hangul jamo pair'
+    WHEN 3 THEN 'ȫ stacked marks survive'
+    WHEN 4 THEN 'café already composed text'
+    ELSE 'plain ascii stays put.'
+  END AS text
+FROM documents
+"""
+
+
+def duck_nfc_normalize_sql() -> str:
+    """DuckDB twin of normalize_unicode(form='NFC') — an INDEPENDENT
+    implementation (utf8proc) vs the operator's CPython unicodedata:
+    agreement over the composition corpus is the verification."""
+    return f"""
+WITH docs AS ({unicode_docs_sql().strip()})
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       length(text) AS n_chars_raw, length(nfc_normalize(text)) AS n_chars_nfc
+FROM docs
+"""
+
+
 def sniff_docs_sql() -> str:
     """(doc_id, payload BLOB) corpus for the content-sniff oracle —
     identical unhex() text in both dialects, one stratum per label:
@@ -2498,6 +2530,7 @@ ENGINE_ORACLE_SQL = {
     "gopher_rules": duck_gopher_rules_sql,
     "ngram_repetition": duck_ngram_repetition_sql,
     "content_sniff": duck_content_sniff_sql,
+    "nfc_normalize": duck_nfc_normalize_sql,
     "c4_clean": duck_c4_clean_sql,
     "url_blocklist": duck_url_blocklist_sql,
     "hash_split": duck_hash_split_sql,

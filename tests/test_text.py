@@ -319,3 +319,41 @@ def test_sniff_content_type_magic_chain(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_normalize_unicode_forms_and_controls(spark):
+    """All four forms match CPython unicodedata; control stripping
+    keeps tab/newline; NULL passes through; the plan is Arrow-batched
+    (no row-at-a-time PythonUDF)."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from pathik_spark.functions.unicode_norm import normalize_unicode
+
+    dec = "resumé Å ȫ 가"
+    ctrl = "line\x00one\x07\ttab\nnewline\x9fend"
+    df = spark.createDataFrame([(0, dec), (1, ctrl), (2, None)], "i long, t string")
+    for form in ("NFC", "NFKC", "NFD", "NFKD"):
+        got = {
+            r["i"]: r["o"]
+            for r in df.select(
+                "i", normalize_unicode(F.col("t"), form=form).alias("o")
+            ).collect()
+        }
+        assert got[0] == unicodedata.normalize(form, dec)
+        assert got[2] is None
+    got = df.select(
+        "i", normalize_unicode(F.col("t"), strip_controls=True).alias("o")
+    ).collect()
+    stripped = {r["i"]: r["o"] for r in got}[1]
+    assert stripped == "lineone\ttab\nnewlineend"
+    import pytest
+
+    with pytest.raises(ValueError, match="form must be"):
+        normalize_unicode(F.col("t"), form="NFX")
+    plan = (
+        df.select(normalize_unicode(F.col("t")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
