@@ -529,11 +529,19 @@ def _q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     docs = spark.sql(unicode_docs_sql())
-    return docs.select(
+    # normalize ONCE, then derive the length from the alias — each
+    # normalize_unicode() call is a distinct pandas UDF instance Spark
+    # cannot common-subexpression-eliminate
+    normalized = docs.select(
         "doc_id",
         normalize_unicode(F.col("text"), form="NFC").alias("text_nfc"),
         F.length("text").alias("n_chars_raw"),
-        F.length(normalize_unicode(F.col("text"), form="NFC")).alias("n_chars_nfc"),
+    )
+    return normalized.select(
+        "doc_id",
+        "text_nfc",
+        "n_chars_raw",
+        F.length("text_nfc").alias("n_chars_nfc"),
     )
 
 

@@ -1853,11 +1853,21 @@ def duck_ngram_repetition_sql() -> str:
     n-grams via windowed lead() over exploded tokens, per-(doc, n) MAX
     of count*char-length (top gram mass) and SUM of (count-1)*length
     (duplicate instance mass), fractions over normalized char length."""
+    # thresholds come FROM the operator module: tuning quality.py must
+    # retune this twin in lockstep or the gate would flag a spurious
+    # engine-vs-oracle mismatch
+    from pathik_spark.operators.quality import (
+        DUP_NGRAM_CHAR_MAX,
+        MIN_TOKENS,
+        TOP_NGRAM_CHAR_MAX,
+    )
+
     d = DUCK
     norm = _norm_text(d, "text")
-    leads = ", ".join(f"lead(tok, {k}) OVER w AS t{k}" for k in range(1, 10))
+    ns = sorted(list(TOP_NGRAM_CHAR_MAX) + list(DUP_NGRAM_CHAR_MAX))
+    leads = ", ".join(f"lead(tok, {k}) OVER w AS t{k}" for k in range(1, max(ns)))
     gram_selects = []
-    for n in range(2, 11):
+    for n in ns:
         parts = " || ' ' || ".join(["tok"] + [f"t{k}" for k in range(1, n)])
         gram_selects.append(
             f"SELECT doc_id, {n} AS n, {parts} AS gram FROM led WHERE t{n-1} IS NOT NULL"
@@ -1866,17 +1876,17 @@ def duck_ngram_repetition_sql() -> str:
     top_cols = ",\n  ".join(
         f"round(coalesce(MAX(CASE WHEN a.n = {n} THEN a.best END), 0)"
         f" / greatest(t.nchars, 1), 6) AS top_{n}gram_char_frac"
-        for n in (2, 3, 4)
+        for n in TOP_NGRAM_CHAR_MAX
     )
     dup_cols = ",\n  ".join(
         f"round(least(coalesce(MAX(CASE WHEN a.n = {n} THEN a.dup END), 0)"
         f" / greatest(t.nchars, 1), 1.0), 6) AS dup_{n}gram_char_frac"
-        for n in range(5, 11)
+        for n in DUP_NGRAM_CHAR_MAX
     )
-    keep_terms = ["n_tokens >= 5"]
-    for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16)):
+    keep_terms = [f"n_tokens >= {MIN_TOKENS}"]
+    for n, thr in TOP_NGRAM_CHAR_MAX.items():
         keep_terms.append(f"top_{n}gram_char_frac <= {thr}")
-    for n, thr in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)):
+    for n, thr in DUP_NGRAM_CHAR_MAX.items():
         keep_terms.append(f"dup_{n}gram_char_frac <= {thr}")
     keep = " AND ".join(keep_terms)
     return f"""
@@ -1950,9 +1960,13 @@ def duck_gopher_rules_sql() -> str:
     mean-word-length band, hash+ellipsis symbol ratio, bullet/ellipsis
     line fractions over non-blank lines, alphabetic-word fraction,
     distinct-stop-word floor; keep derived from the ROUNDED signals."""
+    # thresholds come FROM the operator module (same lockstep rule as
+    # duck_ngram_repetition_sql / duck_content_sniff_sql)
+    from pathik_spark.operators import quality as Q
+
     d = DUCK
     norm = _norm_text(d, "text")
-    stops = "['the','be','to','of','and','that','have','with']"
+    stops = "[" + ",".join(f"'{w}'" for w in Q.GOPHER_STOP_WORDS) + "]"
     return f"""
 WITH docs AS ({gopher_docs_sql().strip()}),
 base AS (
@@ -1986,13 +2000,14 @@ r AS (
   FROM sig
 )
 SELECT *,
-  (n_words >= 50 AND n_words <= 100000
-   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-   AND symbol_ratio <= 0.1
-   AND bullet_line_frac <= 0.9
-   AND ellipsis_line_frac <= 0.3
-   AND alpha_word_frac >= 0.8
-   AND n_stop_distinct >= 2) AS keep
+  (n_words >= {Q.GOPHER_MIN_WORDS} AND n_words <= {Q.GOPHER_MAX_WORDS}
+   AND mean_word_len >= {Q.GOPHER_MIN_MEAN_WLEN}
+   AND mean_word_len <= {Q.GOPHER_MAX_MEAN_WLEN}
+   AND symbol_ratio <= {Q.GOPHER_MAX_SYMBOL_RATIO}
+   AND bullet_line_frac <= {Q.GOPHER_MAX_BULLET_LINE_FRAC}
+   AND ellipsis_line_frac <= {Q.GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+   AND alpha_word_frac >= {Q.GOPHER_MIN_ALPHA_WORD_FRAC}
+   AND n_stop_distinct >= {Q.GOPHER_MIN_STOP_DISTINCT}) AS keep
 FROM r
 """
 

@@ -44,14 +44,47 @@ def _line_key(line_col):
     return portable_hash64(normalized_text(line_col))
 
 
-def corpus_lines(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, line_no, line, line_key): one row per line, document
-    order preserved via line_no. Blank lines carry through (they are
-    dropped from counting by callers, kept for faithful reassembly)."""
+def corpus_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *extra_cols, line_no, line, line_key): one row per
+    line, document order preserved via line_no. Blank lines carry
+    through (they are dropped from counting by callers, kept for
+    faithful reassembly). ``extra_cols`` carries grouping keys (e.g.
+    the host column for the per-site variant) through the explode."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     ).withColumn("line_key", _line_key(F.col("line")))
+
+
+def _reassemble(marked: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Rebuild documents from a lines relation carrying a `_heavy` flag
+    (null = keep): kept lines rejoin with newlines in original order;
+    n_lines/n_kept count total vs surviving. Shared by the corpus-wide
+    and per-site dedup so their reassembly semantics cannot diverge."""
+    keep = F.col("_heavy").isNull()
+    return (
+        marked.groupBy("doc_id", *group_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("line_no", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .select("doc_id", *group_cols, "text", "n_lines", "n_kept")
+    )
 
 
 def duplicate_lines(
@@ -103,20 +136,7 @@ def line_dedup(
     # ONE groupBy on doc_id: one corpus shuffle instead of two, one
     # scan-side pass instead of totals + rebuilt
     marked = lines.join(F.broadcast(heavy), "line_key", "left")
-    keep = F.col("_heavy").isNull()
-    return marked.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(keep, F.struct("line_no", "line")))
-                ),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text"),
-        F.count("*").alias("n_lines"),
-        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
-    ).select("doc_id", "text", "n_lines", "n_kept")
+    return _reassemble(marked)
 
 
 def host_template_lines(
@@ -145,11 +165,9 @@ def host_template_lines(
     spread over the key space regardless of its page count. The
     membership dedup (a line counted once per document) rides the same
     shuffle. Group totals are one tiny aggregate, broadcast."""
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
-    ).withColumn("line_key", _line_key(F.col("line")))
+    lines = corpus_lines(
+        docs.withColumn("grp", F.col(group_col)), text_col, id_col, extra_cols=("grp",)
+    )
     per_doc = (
         lines.filter(F.trim(F.col("line")) != "")
         .groupBy("grp", "line_key")
@@ -189,31 +207,16 @@ def host_line_dedup(
     per group but too large corpus-wide to broadcast at 10^10 docs, so
     this is a shuffle join on a hash-uniform composite key; AQE's
     skew-split covers a mega-host's line volume."""
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
-    ).withColumn("line_key", _line_key(F.col("line")))
+    lines = corpus_lines(
+        docs.withColumn("grp", F.col(group_col)), text_col, id_col, extra_cols=("grp",)
+    )
     heavy = (
         host_template_lines(docs, group_col, min_docs, max_doc_pct, text_col, id_col)
         .select("grp", "line_key")
         .withColumn("_heavy", F.lit(True))
     )
     marked = lines.join(heavy, ["grp", "line_key"], "left")
-    keep = F.col("_heavy").isNull()
-    return marked.groupBy("doc_id", "grp").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(keep, F.struct("line_no", "line")))
-                ),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text"),
-        F.count("*").alias("n_lines"),
-        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
-    ).select("doc_id", "grp", "text", "n_lines", "n_kept")
+    return _reassemble(marked, group_cols=("grp",))
 
 
 # --- C4-style heuristic cleaning ---------------------------------------------

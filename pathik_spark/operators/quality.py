@@ -169,19 +169,24 @@ def _gram_stats(sorted_arr):
     best = max over grams of count * char-length (the top gram's char
     mass); dup = summed char-length of every instance beyond a gram's
     first (duplicate char mass, overlaps counted per instance)."""
+    # best/dup are LONG: a maximally repetitive huge document's char
+    # mass (count * gram length) clears 2^31, and an int wrap would turn
+    # the spammiest fraction negative — passing the very filter it
+    # should trip (the DuckDB twin's COUNT/SUM are already BIGINT).
     acc0 = F.struct(
         F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("cnt"),
-        F.lit(0).alias("best"),
-        F.lit(0).alias("dup"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
     )
 
     def step(acc, x):
         cnt = F.when(
-            acc["prev"].isNotNull() & (x == acc["prev"]), acc["cnt"] + 1
-        ).otherwise(F.lit(1))
-        dup = F.when(cnt > 1, acc["dup"] + F.length(x)).otherwise(acc["dup"])
-        best = F.greatest(acc["best"], cnt * F.length(x))
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["cnt"] + F.lit(1)
+        ).otherwise(F.lit(1).cast("long"))
+        glen = F.length(x).cast("long")
+        dup = F.when(cnt > 1, acc["dup"] + glen).otherwise(acc["dup"])
+        best = F.greatest(acc["best"], cnt * glen)
         return F.struct(
             x.alias("prev"), cnt.alias("cnt"), best.alias("best"), dup.alias("dup")
         )
@@ -298,21 +303,44 @@ def gopher_rules(
     non-overlapping via replace-arithmetic in both dialects."""
     text = F.col(text_col)
     norm = normalized_text(text)
-    words = F.split(norm, " ")
-    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(words))
+    # staged projections (the SPARK-36718 discipline documented at
+    # repetition_signals): the _words/_lines arrays become attributes
+    # BEFORE any higher-order function consumes them — a HOF argument
+    # that is itself regex-normalize+split would be re-evaluated per
+    # element (O(L^2) regex work per doc), and the scalar signals would
+    # each re-normalize the text besides.
+    staged = documents.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("_text"),
+        norm.alias("_norm"),
+    )
+    staged = staged.select(
+        "doc_id",
+        "_text",
+        "_norm",
+        F.when(F.col("_norm") == "", F.array().cast("array<string>"))
+        .otherwise(F.split(F.col("_norm"), " "))
+        .alias("_words"),
+        F.filter(
+            F.split(F.col("_text"), "\n"), lambda l: F.trim(l) != ""
+        ).alias("_lines"),
+    )
+    words = F.col("_words")
+    lines = F.col("_lines")
+    rawtext = F.col("_text")
+    n_words = F.size(words)
     # sum of word lengths = len(norm) - (n_words - 1) separators
-    sum_wlen = F.when(norm == "", F.lit(0)).otherwise(
-        F.length(norm) - (F.size(words) - F.lit(1))
+    sum_wlen = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.length(F.col("_norm")) - (n_words - F.lit(1))
     )
     mean_wlen = sum_wlen.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_hash = F.length(rawtext) - F.length(F.replace(rawtext, F.lit("#"), F.lit("")))
     n_ellipsis = (
-        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        F.length(rawtext) - F.length(F.replace(rawtext, F.lit("..."), F.lit("")))
     ) / F.lit(3)
     symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(
         n_words, F.lit(1)
     ).cast("double")
-    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
     bullet_frac = F.size(
         F.filter(
@@ -335,8 +363,8 @@ def gopher_rules(
             F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
         )
     )
-    out = documents.select(
-        F.col(id_col).alias("doc_id"),
+    out = staged.select(
+        F.col("doc_id"),
         n_words.cast("long").alias("n_words"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
