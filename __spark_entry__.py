@@ -683,6 +683,64 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, train_unigram_lm(docs, vocab_size=LM_VOCAB))
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing: the REAL rank-exact head/middle/tail
+    cut per language over lm_score output vs the windowed restatement."""
+    from pathik_spark.entry_queries import LM_VOCAB
+    from pathik_spark.operators.lm import lm_score, perplexity_buckets, train_unigram_lm
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    scored = lm_score(docs, train_unigram_lm(docs, vocab_size=LM_VOCAB)).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return perplexity_buckets(scored, lang_col="lang").select(
+        "doc_id", "lang", "mean_logp", "ppl_bucket"
+    )
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (target = English docs, raw = all): the
+    REAL hashed-ngram feature LMs + broadcast-scored weights vs the
+    relational restatement."""
+    from pathik_spark.entry_queries import DSIR_BUCKETS
+    from pathik_spark.operators.dsir import dsir_log_weights, train_feature_lm
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_log_weights(
+        docs,
+        train_feature_lm(target, DSIR_BUCKETS),
+        train_feature_lm(docs, DSIR_BUCKETS),
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR Gumbel-top-k selection — deterministic hash-
+    lattice Gumbel in integer micro units, so the selected SET is
+    engine- and partitioning-exact."""
+    from pathik_spark.entry_queries import DSIR_BUCKETS, DSIR_K
+    from pathik_spark.operators.dsir import dsir_select
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=DSIR_K, n_buckets=DSIR_BUCKETS
+    )
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set (SRP-cluster arm): within-cluster cosine >=
+    threshold drops all but the lowest id per duplicate chain."""
+    from pathik_spark.operators.ann import semdedup_keep
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 120)
+    return semdedup_keep(emb, threshold=0.25, n_planes=6, dim=64)
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -1096,6 +1154,10 @@ ENGINE_ORACLE_QUERIES = {
     "corpus_report": _q_corpus_report,
     "page_metadata": _q_page_metadata,
     "lm_score": _q_lm_score,
+    "perplexity_buckets": _q_perplexity_buckets,
+    "dsir_weights": _q_dsir_weights,
+    "dsir_select": _q_dsir_select,
+    "semdedup": _q_semdedup,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

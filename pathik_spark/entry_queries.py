@@ -2502,6 +2502,148 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def duck_perplexity_buckets_sql() -> str:
+    """DuckDB twin of lm.perplexity_buckets over lm_score(documents):
+    per-language rank-exact head/middle/tail cut — row_number over
+    (mean_logp DESC, doc_id), bucket = floor((rn-1)*3/cnt). mean_logp
+    comes from integer micro-log10 sums, so the order (and therefore
+    the cut) is engine-exact."""
+    return f"""
+WITH lmscore AS ({duck_lm_score_sql()}),
+langd AS (
+  SELECT l.doc_id, d.lang, l.mean_logp
+  FROM lmscore l JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, mean_logp,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY mean_logp DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM langd
+)
+SELECT doc_id, lang, mean_logp,
+  CASE CAST(FLOOR(CAST(rn - 1 AS DOUBLE) * 3 / cnt) AS INTEGER)
+    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM ranked
+"""
+
+
+DSIR_BUCKETS = 512  # small feature space so the fixture corpus collides
+DSIR_K = 150
+
+
+def _dsir_cte(d) -> str:
+    """Shared DSIR CTE block: hashed unigram+bigram features over
+    documents (bucket = hash60(gram) % DSIR_BUCKETS), add-one-smoothed
+    feature LMs for the TARGET (lang='en') and the RAW pool (all docs),
+    and per-doc integer micro-log10 importance weights
+    sum(cnt * (lp_target - lp_raw)) — operators/dsir.py restated
+    relationally. SUMs are cast to BIGINT (DuckDB would promote to
+    HUGEINT and break the schema compare)."""
+    norm = _norm_text(d, "text")
+    h = d["HASH60"]("gram")
+    return f"""
+toks_cte AS (SELECT doc_id, lang, {d['SPLIT_WS'](norm)} AS toks FROM documents WHERE {norm} <> ''),
+tokens AS (
+  SELECT doc_id, lang, generate_subscripts(toks,1)-1 AS pos, unnest(toks) AS tok
+  FROM toks_cte
+),
+grams AS (
+  SELECT doc_id, lang, tok AS gram FROM tokens
+  UNION ALL
+  SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS gram
+  FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+feats AS (
+  SELECT doc_id, lang, {h} % {DSIR_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY doc_id, lang, bucket
+),
+t_counts AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n FROM feats WHERE lang = 'en' GROUP BY bucket),
+q_counts AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n FROM feats GROUP BY bucket),
+t_mass AS (SELECT CAST(COALESCE(SUM(n), 0) + {DSIR_BUCKETS} AS BIGINT) AS m FROM t_counts),
+q_mass AS (SELECT CAST(COALESCE(SUM(n), 0) + {DSIR_BUCKETS} AS BIGINT) AS m FROM q_counts),
+t_lm AS (SELECT bucket, CAST(ROUND(log10((n + 1.0) / m) * 1000000) AS BIGINT) AS lp FROM t_counts, t_mass),
+q_lm AS (SELECT bucket, CAST(ROUND(log10((n + 1.0) / m) * 1000000) AS BIGINT) AS lp FROM q_counts, q_mass),
+t_floor AS (SELECT CAST(ROUND(log10(1.0 / m) * 1000000) AS BIGINT) AS flp FROM t_mass),
+q_floor AS (SELECT CAST(ROUND(log10(1.0 / m) * 1000000) AS BIGINT) AS flp FROM q_mass),
+w AS (
+  SELECT f.doc_id,
+    CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+    CAST(SUM(f.cnt * (COALESCE(t.lp, tf.flp) - COALESCE(q.lp, qf.flp))) AS BIGINT) AS logw_micro
+  FROM feats f
+  LEFT JOIN t_lm t USING (bucket)
+  LEFT JOIN q_lm q USING (bucket)
+  CROSS JOIN t_floor tf CROSS JOIN q_floor qf
+  GROUP BY f.doc_id
+),
+weights AS (
+  SELECT d.doc_id,
+    COALESCE(w.n_grams, 0) AS n_grams,
+    COALESCE(w.logw_micro, 0) AS logw_micro,
+    ROUND(COALESCE(w.logw_micro, 0) / 1000000.0, 6) AS logw
+  FROM documents d LEFT JOIN w USING (doc_id)
+)"""
+
+
+def duck_dsir_weights_sql() -> str:
+    """DuckDB twin of dsir.dsir_log_weights (target = lang='en' docs,
+    raw pool = all documents)."""
+    return f"""
+WITH {_dsir_cte(DUCK)}
+SELECT doc_id, n_grams, logw_micro, logw FROM weights
+"""
+
+
+def duck_dsir_select_sql() -> str:
+    """DuckDB twin of dsir.dsir_select: Gumbel-top-k over the importance
+    weights with the deterministic hash-lattice Gumbel (u = (hash60
+    ('dsir:'||doc_id) % 1e6 + 0.5)/1e6, g = -ln(-ln(u)), integer micro
+    units) — temperature 1, k = DSIR_K."""
+    d = DUCK
+    h = d["HASH60"]("('dsir:' || CAST(doc_id AS STRING))")
+    u = f"(({h} % 1000000) + 0.5) / 1000000.0"
+    return f"""
+WITH {_dsir_cte(d)},
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+    logw_micro + CAST(ROUND(-ln(-ln({u})) * 1000000) AS BIGINT) AS key_micro
+  FROM weights
+)
+SELECT doc_id, n_grams, logw, key_micro
+FROM keyed ORDER BY key_micro DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
+def duck_semdedup_sql(
+    n_planes: int = 6, dim: int = 64, threshold: float = 0.25, n_vecs: int = 120
+) -> str:
+    """DuckDB twin of ann.semdedup_keep (SRP-bucket arm): clusters from
+    the same inlined hyperplanes, within-cluster pairs at cosine >=
+    threshold, keep = no smaller-id neighbor — SemDeDup's one-survivor-
+    per-duplicate-chain rule, restated relationally."""
+    return f"""
+WITH {_lsh_bucket_ctes(n_planes, dim, f"WHERE vec_id < {n_vecs}")},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(av.v * bv.v) AS dot,
+         SQRT(SUM(av.v * av.v)) AS na,
+         SQRT(SUM(bv.v * bv.v)) AS nb
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id AND bv.pos = av.pos
+  GROUP BY a.vec_id, b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT id_b AS vec_id FROM pairs
+  WHERE ROUND(dot / (na * nb), 6) >= {threshold}
+)
+SELECT b.vec_id, CAST(b.bucket AS INTEGER) AS cluster,
+  (d.vec_id IS NULL) AS keep
+FROM buckets b LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -2556,6 +2698,10 @@ ENGINE_ORACLE_SQL = {
     "corpus_report": duck_corpus_report_sql,
     "page_metadata": duck_page_metadata_sql,
     "lm_score": duck_lm_score_sql,
+    "perplexity_buckets": duck_perplexity_buckets_sql,
+    "dsir_weights": duck_dsir_weights_sql,
+    "dsir_select": duck_dsir_select_sql,
+    "semdedup": duck_semdedup_sql,
 }
 
 

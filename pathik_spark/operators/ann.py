@@ -373,3 +373,68 @@ def embedding_near_dup_pairs(
         F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold)
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication — cluster
+    the embedding space coarsely, compute exact pairwise cosine only
+    WITHIN each cluster, and keep one representative per near-duplicate
+    group. Returns (vec_id, cluster, keep): ``keep`` is False iff the
+    vector has a same-cluster neighbor with cosine >= threshold and a
+    smaller id — the deterministic "keep the lowest id" tie-break, so
+    exactly one member of every duplicate chain survives per cluster.
+
+    Two clustering arms share the downstream plan:
+
+    - default: SRP LSH buckets (deterministic literal hyperplanes) —
+      fully relational, DuckDB-oracleable (`semdedup` entry);
+    - ``centroids`` given: k-means cells (the published method's
+      clustering; train with :func:`ivf_centroids`) — at 10^10 vectors
+      the cid is the layout key, so each cluster's quadratic pair join
+      stays inside one partition's worth of data.
+
+    The within-cluster self-join is the intended quadratic: SemDeDup's
+    whole point is that clusters bound the pair blow-up (cluster sizes
+    are ~corpus/n_clusters; skewed mega-clusters split via AQE skew
+    join on the cluster key).
+    """
+    base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    if centroids is not None:
+        base = base.withColumn(
+            "cluster", make_ivf_assign_udf(centroids, 1)(F.col("vec")).cast("int")
+        )
+    else:
+        base = base.withColumn(
+            "cluster", make_lsh_bucket_udf(n_planes, dim)(F.col("vec")).cast("int")
+        )
+    a, b = base.alias("a"), base.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6) >= threshold
+        )
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        base.select("vid", "cluster")
+        .join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

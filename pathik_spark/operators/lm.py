@@ -28,7 +28,7 @@ in the 6th decimal between engines/partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pathik_spark.operators.dedup import normalized_text
@@ -116,3 +116,92 @@ def lm_score(
         F.coalesce(F.col("oov_rate"), F.lit(1.0)).alias("oov_rate"),
         F.coalesce(F.col("mean_logp"), F.lit(0.0)).alias("mean_logp"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    lang_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by LM score and
+    cut the ranking into equal-population buckets (head = best-scoring
+    third, tail = worst). CCNet (Wenzek et al. 2020) trains on the head
+    and middle and drops (or down-weights) the tail.
+
+    ``scored`` is the output of :func:`lm_score` (needs ``doc_id`` and
+    ``mean_logp``; higher mean_logp = lower perplexity = better text),
+    optionally carrying ``lang_col`` so bucketing is per-language — the
+    CCNet formulation, where each language gets its own head/middle/tail
+    regardless of how its absolute perplexities compare to other
+    languages'.
+
+    The cut is RANK-exact, not quantile-approximate: row_number over
+    (mean_logp DESC, doc_id ASC) — a deterministic total order since
+    mean_logp is derived from integer micro-log10 sums — and
+    bucket_idx = floor(rank-1) * n_buckets / count. Integer-in-double
+    arithmetic, bit-identical in any engine (the DuckDB oracle restates
+    it verbatim). The window sorts each language partition: at 100 TB
+    that is one range-partitioned sort per language — acceptable for a
+    once-per-corpus pass, but when only the *cutoffs* are needed use
+    :func:`perplexity_cutoffs` + :func:`bucket_by_cutoffs`, which keep
+    the corpus scan-local.
+    """
+    if len(labels) < 2:
+        raise ValueError("need at least 2 bucket labels")
+    part = [F.col(lang_col)] if lang_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.desc("mean_logp"), F.asc("doc_id"))
+    wc = Window.partitionBy(*part)
+    n = len(labels)
+    idx = F.floor(
+        (F.row_number().over(w) - 1).cast("double")
+        * n
+        / F.count("*").over(wc)
+    ).cast("int")
+    arr = F.array(*[F.lit(x) for x in labels])
+    return scored.withColumn("ppl_bucket", F.element_at(arr, idx + 1))
+
+
+def perplexity_cutoffs(
+    scored: DataFrame,
+    fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+    lang_col: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale path for CCNet bucketing: per-language approximate
+    mean_logp cutoffs at the given head-fractions (descending score
+    order), ONE aggregation over the corpus — no global sort. Returns
+    (lang?, cutoffs array<double>) with len(fractions) entries, where
+    cutoffs[i] is the score at the i-th cut; a doc is in bucket i iff
+    its mean_logp is above cutoffs[i] but not above cutoffs[i-1].
+    ``percentile_approx`` (Greenwald-Khanna) is within 1/accuracy of
+    the exact quantile — the production arm trades exact bucket
+    populations for a scan-local corpus pass."""
+    # fraction f of docs ABOVE the cutoff == the (1-f) quantile of mean_logp
+    qs = F.array(*[F.lit(1.0 - f) for f in fractions])
+    agg = F.percentile_approx("mean_logp", qs, F.lit(accuracy)).alias("cutoffs")
+    if lang_col:
+        return scored.groupBy(lang_col).agg(agg)
+    return scored.agg(agg)
+
+
+def bucket_by_cutoffs(
+    scored: DataFrame,
+    cutoffs: DataFrame,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Assign ppl_bucket from broadcast cutoffs (the
+    :func:`perplexity_cutoffs` output): corpus side stays scan-local —
+    the pairing that survives 100 TB. len(labels) must be
+    len(cutoffs)+1."""
+    joined = (
+        scored.join(F.broadcast(cutoffs), on=lang_col, how="left")
+        if lang_col
+        else scored.crossJoin(F.broadcast(cutoffs))
+    )
+    expr = None
+    for i, lab in enumerate(labels[:-1]):
+        cond = F.col("mean_logp") >= F.element_at("cutoffs", i + 1)
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return joined.withColumn("ppl_bucket", expr).drop("cutoffs")

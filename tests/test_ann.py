@@ -154,3 +154,62 @@ def test_ivf_probe_join_broadcasts_queries(spark, emb):
     out = A.ivf_topk(emb, queries, k=5, centroids=cents, n_centroids=8, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the corpus side never shuffles for the probe
+
+
+def test_semdedup_chain_keeps_lowest_id(spark):
+    # three near-identical vectors + one far-away: the chain collapses
+    # to its lowest id, the outlier survives regardless of cluster
+    base = [1.0] + [0.0] * 63
+    tweak = [0.999] + [0.001] * 63
+    tweak2 = [0.998] + [0.002] * 63
+    far = [0.0] * 32 + [1.0] + [0.0] * 31
+    df = spark.createDataFrame(
+        [(0, base), (1, tweak), (2, tweak2), (7, far)],
+        "vec_id long, embedding array<double>",
+    )
+    out = A.semdedup_keep(df, threshold=0.95, n_planes=4, dim=64)
+    keep = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert keep[0] is True
+    assert keep[1] is False and keep[2] is False
+    assert keep[7] is True
+
+
+def test_semdedup_threshold_above_one_keeps_all(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 40)
+    out = A.semdedup_keep(sub, threshold=1.01)
+    assert out.count() == 40
+    assert out.filter(~F.col("keep")).count() == 0
+
+
+def test_semdedup_dropped_subset_of_exact_pairs(spark, emb):
+    # LSH clustering only REMOVES candidate pairs vs the exact
+    # all-pairs graph, so the dropped set is a subset of exact id_b's
+    sub = emb.filter(F.col("vec_id") < 80)
+    dropped = {
+        r["vec_id"]
+        for r in A.semdedup_keep(sub, threshold=0.3).filter(~F.col("keep")).collect()
+    }
+    exact_b = {
+        r["id_b"]
+        for r in A.embedding_near_dup_pairs(sub, threshold=0.3, exact=True).collect()
+    }
+    assert dropped <= exact_b
+
+
+def test_semdedup_centroid_arm_respects_clusters(spark):
+    # two well-separated groups, each containing a duplicate pair: the
+    # k-means arm must drop one per group, never across groups
+    a = [1.0] + [0.0] * 63
+    a2 = [0.999] + [0.001] * 63
+    b = [0.0] * 63 + [1.0]
+    b2 = [0.001] * 63 + [0.999]
+    df = spark.createDataFrame(
+        [(0, a), (1, a2), (10, b), (11, b2)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = A.ivf_centroids(df, n_centroids=2, dim=64)
+    out = A.semdedup_keep(df, threshold=0.95, centroids=cents)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[0]["keep"] is True and rows[1]["keep"] is False
+    assert rows[10]["keep"] is True and rows[11]["keep"] is False
+    assert rows[0]["cluster"] != rows[10]["cluster"]

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from pathik_spark.operators.lm import lm_score, train_unigram_lm
 
 
@@ -62,3 +64,49 @@ def test_lm_score_partitioning_independent(spark):
     a = {r["doc_id"]: r["mean_logp"] for r in lm_score(docs, lm).collect()}
     b = {r["doc_id"]: r["mean_logp"] for r in lm_score(docs.repartition(17), lm).collect()}
     assert a == b
+
+
+def test_perplexity_buckets_exact_thirds(spark):
+    from pathik_spark.operators.lm import perplexity_buckets
+
+    rows = [
+        # lang en: scores 9..1 -> head {0,1,2}, middle {3,4,5}, tail {6,7,8}
+        *[(i, "en", float(9 - i)) for i in range(9)],
+        # lang fr: 2 docs -> head gets 1, tail gets 1 under 3-way floor cut
+        (100, "fr", 5.0),
+        (101, "fr", 1.0),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, mean_logp double")
+    out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(scored, lang_col="lang").collect()}
+    assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert out[100] == "head" and out[101] == "middle"
+
+
+def test_perplexity_buckets_tiebreak_on_doc_id(spark):
+    from pathik_spark.operators.lm import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)], "doc_id long, mean_logp double"
+    )
+    out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(scored).collect()}
+    assert [out[i] for i in range(6)] == ["head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_perplexity_cutoffs_and_bucket_by_cutoffs(spark):
+    from pathik_spark.operators.lm import bucket_by_cutoffs, perplexity_cutoffs
+
+    scored = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(30)],
+        "doc_id long, lang string, mean_logp double",
+    )
+    cut = perplexity_cutoffs(scored, lang_col="lang", accuracy=100000)
+    arr = cut.collect()[0]["cutoffs"]
+    assert len(arr) == 2 and arr[0] > arr[1]
+    out = bucket_by_cutoffs(scored, cut, lang_col="lang")
+    pops = {r["ppl_bucket"]: r["n"] for r in out.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(pops) == {"head", "middle", "tail"}
+    # approx-quantile cut: populations within one element of exact thirds
+    assert all(abs(pops[b] - 10) <= 1 for b in pops)
+    # the corpus side stays scan-local: broadcast join, no corpus Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
