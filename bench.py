@@ -293,6 +293,8 @@ def main() -> None:
         "anchor_profile",
         "quality_lr_score",
         "bpe_word_counts",
+        "perplexity_buckets",
+        "dsir_select",
     ):
 
         def _entry_once(name=name) -> float:
