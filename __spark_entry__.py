@@ -741,6 +741,19 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_keep(emb, threshold=0.25, n_planes=6, dim=64)
 
 
+def _q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained NB language ID: hashed char-trigram multinomial NB
+    trained on the documents labels, scored back over the corpus —
+    broadcast model, floor-folded inner join, micro-int argmax."""
+    from pathik_spark.entry_queries import LANGID_BUCKETS
+    from pathik_spark.operators.langid_ml import langid_nb_predict, train_langid_nb
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    model = train_langid_nb(docs, n_buckets=LANGID_BUCKETS)
+    return langid_nb_predict(docs, model, n_buckets=LANGID_BUCKETS)
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -1158,6 +1171,7 @@ ENGINE_ORACLE_QUERIES = {
     "dsir_weights": _q_dsir_weights,
     "dsir_select": _q_dsir_select,
     "semdedup": _q_semdedup,
+    "langid_nb": _q_langid_nb,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

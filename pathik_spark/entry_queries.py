@@ -2644,6 +2644,69 @@ FROM buckets b LEFT JOIN dropped d USING (vec_id)
 """
 
 
+LANGID_BUCKETS = 4096
+
+
+def duck_langid_nb_sql() -> str:
+    """DuckDB twin of langid_ml.train_langid_nb + langid_nb_predict,
+    trained and scored on documents: hashed char-trigram multinomial NB
+    with integer micro-log10 probs, floor-folded inner join, argmax +
+    runner-up margin. All SUMs cast to BIGINT (HUGEINT guard)."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    h = d["HASH60"]("gram")
+    B = LANGID_BUCKETS
+    return f"""
+WITH normd AS (SELECT doc_id, lang, {norm} AS norm FROM documents),
+grams AS (
+  SELECT doc_id, substr(norm, CAST(i AS INTEGER), 3) AS gram
+  FROM (SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 2)) AS i
+        FROM normd WHERE length(norm) >= 3) t
+),
+feats AS (
+  SELECT doc_id, {h} % {B} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY doc_id, bucket
+),
+labeled AS (SELECT f.doc_id, f.bucket, f.cnt, n.lang FROM feats f JOIN normd n USING (doc_id)),
+counts AS (SELECT lang, bucket, CAST(SUM(cnt) AS BIGINT) AS n FROM labeled GROUP BY lang, bucket),
+totals AS (SELECT lang, CAST(SUM(n) + {B} AS BIGINT) AS mass FROM counts GROUP BY lang),
+model AS (
+  SELECT c.lang, c.bucket,
+    CAST(ROUND(log10((c.n + 1.0) / t.mass) * 1000000) AS BIGINT) AS lp
+  FROM counts c JOIN totals t USING (lang)
+),
+ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+langs AS (
+  SELECT dl.lang,
+    CAST(ROUND(log10(dl.nd / nd.total) * 1000000) AS BIGINT) AS prior,
+    CAST(ROUND(log10(1.0 / t.mass) * 1000000) AS BIGINT) AS floor_l
+  FROM (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS nd FROM documents GROUP BY lang) dl
+  JOIN totals t USING (lang) CROSS JOIN ndocs nd
+),
+doc_totals AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams FROM feats GROUP BY doc_id),
+partial AS (
+  SELECT f.doc_id, m.lang, CAST(SUM(f.cnt * (m.lp - l.floor_l)) AS BIGINT) AS part
+  FROM feats f JOIN model m USING (bucket) JOIN langs l ON m.lang = l.lang
+  GROUP BY f.doc_id, m.lang
+),
+scores AS (
+  SELECT dt.doc_id, l.lang,
+    CAST(l.prior + dt.n_grams * l.floor_l + COALESCE(p.part, 0) AS BIGINT) AS score_micro
+  FROM doc_totals dt CROSS JOIN langs l
+  LEFT JOIN partial p ON p.doc_id = dt.doc_id AND p.lang = l.lang
+),
+ranked AS (
+  SELECT doc_id, lang, score_micro,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rn,
+    LEAD(score_micro) OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS nxt
+  FROM scores
+)
+SELECT doc_id, lang AS pred_lang, score_micro,
+  CAST(COALESCE(score_micro - nxt, 0) AS BIGINT) AS margin_micro
+FROM ranked WHERE rn = 1
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
@@ -2702,6 +2765,7 @@ ENGINE_ORACLE_SQL = {
     "dsir_weights": duck_dsir_weights_sql,
     "dsir_select": duck_dsir_select_sql,
     "semdedup": duck_semdedup_sql,
+    "langid_nb": duck_langid_nb_sql,
 }
 
 
