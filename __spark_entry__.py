@@ -754,6 +754,17 @@ def _q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_nb_predict(docs, model, n_buckets=LANGID_BUCKETS)
 
 
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality profile (FineWeb-style whole-host filtering):
+    one map-side-combined groupBy, micro-int exact means."""
+    from pathik_spark.operators.quality import host_quality_profile
+
+    _register_views(spark, sf_dir)
+    return host_quality_profile(
+        spark.table("documents"), group_col="source", min_docs=3, min_mean_quality=0.7
+    )
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -1172,6 +1183,7 @@ ENGINE_ORACLE_QUERIES = {
     "dsir_select": _q_dsir_select,
     "semdedup": _q_semdedup,
     "langid_nb": _q_langid_nb,
+    "host_quality": _q_host_quality,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

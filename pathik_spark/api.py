@@ -50,8 +50,13 @@ def prepare_training_corpus(
     apply_c4: bool = True,
     lm_reference: DataFrame | None = None,
     min_mean_logp: float | None = None,
+    drop_ppl_buckets: tuple[str, ...] | None = None,
     substring_ngram: int | None = None,
     substring_min_count: int = 2,
+    host_col: str | None = None,
+    min_host_quality: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
@@ -78,8 +83,21 @@ def prepare_training_corpus(
     4. optional CCNet-style LM gate: when ``lm_reference`` (a trusted
        corpus DataFrame) is given, a unigram LM trained on it scores
        every doc; rows below ``min_mean_logp`` are dropped (annotate-
-       only when the threshold is None — the column rides along);
+       only when the threshold is None — the column rides along), and
+       when ``drop_ppl_buckets`` is given (e.g. ``("tail",)`` — the
+       CCNet recipe) the rank-exact head/middle/tail perplexity cut
+       runs per lang_guess and the named buckets are dropped;
     5. deterministic train/val/test ``hash_split`` keyed by doc id.
+
+    Optional stages:
+    - ``host_col`` + ``min_host_quality``: FineWeb-style whole-domain
+      filtering BEFORE the per-doc gates — hosts whose mean quality is
+      below the floor drop wholesale (broadcast anti-join; ``host_col``
+      must be a column of ``docs`` and survives onto the output);
+    - ``dsir_target`` + ``dsir_k``: DSIR importance resampling as the
+      final selection — keep the ``dsir_k`` documents whose hashed
+      n-gram distribution best matches the target corpus (deterministic
+      Gumbel-top-k), applied after all gates, before the split.
 
     Returns ``(corpus, report)``: the kept rows as (doc_id, text,
     lang_guess, quality, split) and the dataset-card rollup grouped by
@@ -97,7 +115,24 @@ def prepare_training_corpus(
     from pathik_spark.operators.report import corpus_report
     from pathik_spark.operators.sampling import hash_split
 
-    staged = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    keep_cols = ["doc_id", "text"] + ([host_col] if host_col else [])
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *([F.col(host_col)] if host_col else []),
+    )
+    if host_col and min_host_quality is not None:
+        from pathik_spark.operators.quality import (
+            filter_low_quality_hosts,
+            host_quality_profile,
+        )
+
+        profile = host_quality_profile(
+            staged, group_col=host_col, min_mean_quality=min_host_quality
+        )
+        staged = filter_low_quality_hosts(staged, profile, group_col=host_col)
+    hosts = staged.select("doc_id", *keep_cols[2:]) if host_col else None
+    staged = staged.select("doc_id", "text")
     if apply_c4:
         staged = c4_clean(staged).filter(F.col("keep")).select("doc_id", "text")
     staged = line_dedup(staged, max_occurrences=line_max_occurrences).select(
@@ -137,6 +172,23 @@ def prepare_training_corpus(
         if min_mean_logp is not None:
             kept = kept.filter(F.col("mean_logp") >= min_mean_logp)
         out_cols.append("mean_logp")
+        if drop_ppl_buckets:
+            from pathik_spark.operators.lm import perplexity_buckets
+
+            kept = perplexity_buckets(kept, lang_col="lang_guess").filter(
+                ~F.col("ppl_bucket").isin(*drop_ppl_buckets)
+            )
+            out_cols.append("ppl_bucket")
+    elif drop_ppl_buckets:
+        raise ValueError("drop_ppl_buckets requires lm_reference")
+    if dsir_target is not None and dsir_k is not None:
+        from pathik_spark.operators.dsir import dsir_select
+
+        chosen = dsir_select(kept, dsir_target, k=dsir_k).select("doc_id")
+        kept = kept.join(F.broadcast(chosen), "doc_id")
+    if hosts is not None:
+        kept = kept.join(hosts, "doc_id")
+        out_cols.insert(2, host_col)
     corpus = hash_split(
         kept.withColumn("_key", F.col("doc_id").cast("string")),
         split_weights or {"train": 0.98, "val": 0.01, "test": 0.01},

@@ -480,7 +480,9 @@ def q_lang_id(d):
     return f"SELECT doc_id, {best} AS lang_guess FROM documents"
 
 
-def q_quality_score(d):
+def _quality_expr(d) -> str:
+    """The quality_score heuristic as one dialect-rendered expression
+    (shared by q_quality_score and duck_host_quality_sql)."""
     from pathik_spark.functions.text_constants import LANG_MARKERS, PUNCT_CLASS
 
     n_chars = "CAST(length(text) AS DOUBLE)"
@@ -496,9 +498,13 @@ def q_quality_score(d):
     stop_score = f"LEAST({n_stop} * 10.0 / ({n_tokens} + 1.0), 1.0)"
     mean_wlen = f"(({n_chars} + 1.0) / ({n_tokens} + 1.0))"
     wlen_score = f"CASE WHEN {mean_wlen} >= 3.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.5 END"
+    return f"ROUND({len_score} * 0.4 + {punct_score} * 0.2 + {stop_score} * 0.2 + {wlen_score} * 0.2, 6)"
+
+
+def q_quality_score(d):
     return f"""
 SELECT doc_id,
-  ROUND({len_score} * 0.4 + {punct_score} * 0.2 + {stop_score} * 0.2 + {wlen_score} * 0.2, 6) AS quality
+  {_quality_expr(d)} AS quality
 FROM documents
 """
 
@@ -2644,6 +2650,25 @@ FROM buckets b LEFT JOIN dropped d USING (vec_id)
 """
 
 
+def duck_host_quality_sql(min_docs: int = 3, min_mean: float = 0.7) -> str:
+    """DuckDB twin of quality.host_quality_profile grouped by source:
+    integer micro-unit quality sums make the per-group mean engine-exact."""
+    q = _quality_expr(DUCK)
+    return f"""
+WITH qd AS (
+  SELECT source, CAST(ROUND({q} * 1000000) AS BIGINT) AS qm FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(qm) AS BIGINT) AS qsum
+  FROM qd GROUP BY source
+)
+SELECT source, n_docs,
+  ROUND(qsum / (n_docs * 1000000.0), 6) AS mean_quality,
+  (n_docs < {min_docs} OR ROUND(qsum / (n_docs * 1000000.0), 6) >= {min_mean}) AS keep_host
+FROM agg
+"""
+
+
 LANGID_BUCKETS = 4096
 
 
@@ -2766,6 +2791,7 @@ ENGINE_ORACLE_SQL = {
     "dsir_select": duck_dsir_select_sql,
     "semdedup": duck_semdedup_sql,
     "langid_nb": duck_langid_nb_sql,
+    "host_quality": duck_host_quality_sql,
 }
 
 

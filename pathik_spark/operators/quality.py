@@ -445,3 +445,48 @@ def clean_corpus(
             ).alias("keep"),
         )
     )
+
+
+def host_quality_profile(
+    docs: DataFrame,
+    group_col: str = "host",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_mean_quality: float = 0.5,
+) -> DataFrame:
+    """Domain-level quality filtering (the FineWeb/RefinedWeb move): a
+    host whose AVERAGE document quality is low is a content farm — drop
+    the whole domain instead of adjudicating its pages one by one.
+
+    One map-side-combined groupBy over the corpus (shuffle carries one
+    row per host). Returns (group_col, n_docs, mean_quality, keep_host):
+    hosts below ``min_docs`` are kept (too little evidence to condemn a
+    domain); otherwise keep iff mean >= ``min_mean_quality``.
+
+    quality_score is already rounded to 6 dp, so summing it in integer
+    MICRO units makes the mean partitioning/engine-exact (the lm.py
+    device) — the DuckDB oracle (`host_quality`) relies on it.
+    """
+    from pathik_spark.functions.text import quality_score
+
+    micro = F.round(quality_score(F.col(text_col)) * 1_000_000).cast("long")
+    agg = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(micro).alias("_qsum"),
+    )
+    mean_q = F.round(F.col("_qsum") / (F.col("n_docs") * F.lit(1_000_000.0)), 6)
+    return agg.select(
+        group_col,
+        "n_docs",
+        mean_q.alias("mean_quality"),
+        (
+            (F.col("n_docs") < min_docs) | (mean_q >= F.lit(min_mean_quality))
+        ).alias("keep_host"),
+    )
+
+
+def filter_low_quality_hosts(docs: DataFrame, profile: DataFrame, group_col: str = "host") -> DataFrame:
+    """Drop every document of a condemned host: BROADCAST anti-join of
+    the (tiny) bad-host list — the corpus never shuffles."""
+    bad = profile.filter(~F.col("keep_host")).select(group_col)
+    return docs.join(F.broadcast(bad), group_col, "left_anti")

@@ -140,3 +140,67 @@ def test_prepare_training_corpus_lm_gate(spark):
     assert 102 not in rows  # OOV-heavy doc scored below the gate
     assert 0 in rows and rows[0]["mean_logp"] > -1.9
     assert len(rows) == 24  # only the gibberish doc was LM-gated
+
+
+def test_prepare_training_corpus_host_filter(spark):
+    # farm host: garbage docs drag its mean quality to the floor; the
+    # whole domain drops, including its one decent page
+    rows = []
+    for i in range(12):
+        rows.append((i, "\n".join(_line(i, j) for j in range(6)), "good.example"))
+    for i in range(100, 106):
+        rows.append((i, "!!!! ???? @@@@ #### $$$$ %%%%", "farm.example"))
+    rows.append((106, "\n".join(_line(2, j) for j in range(6)), "farm.example"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, host string")
+    corpus, _ = pathik_spark.prepare_training_corpus(
+        docs,
+        line_max_occurrences=50,
+        min_quality=0.2,
+        host_col="host",
+        min_host_quality=0.5,
+    )
+    got = {r["doc_id"]: r for r in corpus.collect()}
+    assert set(got) == set(range(12))
+    assert all(r["host"] == "good.example" for r in got.values())
+
+
+def test_prepare_training_corpus_ppl_bucket_drop(spark):
+    docs = _docs(spark)
+    corpus_all, _ = pathik_spark.prepare_training_corpus(
+        docs, line_max_occurrences=5, min_quality=0.2, lm_reference=docs
+    )
+    corpus_cut, _ = pathik_spark.prepare_training_corpus(
+        docs,
+        line_max_occurrences=5,
+        min_quality=0.2,
+        lm_reference=docs,
+        drop_ppl_buckets=("tail",),
+    )
+    n_all = corpus_all.count()
+    n_cut = corpus_cut.count()
+    # the tail third is gone, head+middle survive (rank-exact thirds)
+    assert n_cut == n_all - n_all // 3
+    assert corpus_cut.filter(corpus_cut.ppl_bucket == "tail").count() == 0
+
+
+def test_prepare_training_corpus_dsir_selection(spark):
+    docs = _docs(spark)
+    target = docs.filter(docs.doc_id < 6)
+    corpus, report = pathik_spark.prepare_training_corpus(
+        docs,
+        line_max_occurrences=5,
+        min_quality=0.2,
+        dsir_target=target,
+        dsir_k=10,
+    )
+    assert corpus.count() == 10
+    assert sum(r["n_docs"] for r in report.collect()) == 10
+
+
+def test_drop_ppl_buckets_requires_lm_reference(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pathik_spark.prepare_training_corpus(
+            _docs(spark), drop_ppl_buckets=("tail",)
+        )
