@@ -765,6 +765,27 @@ def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus inverted index (operators/search.py):
+    fixed literal queries, micro-int exact scores, salt-free window at
+    entry scale (production arm takes n_salts>0)."""
+    from pathik_spark.entry_queries import BM25_K, BM25_QUERIES
+    from pathik_spark.operators.search import bm25_topk
+
+    _register_views(spark, sf_dir)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return bm25_topk(spark.table("documents"), queries, k=BM25_K)
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (operators/search.py)."""
+    from pathik_spark.entry_queries import TFIDF_TERMS
+    from pathik_spark.operators.search import tfidf_top_terms
+
+    _register_views(spark, sf_dir)
+    return tfidf_top_terms(spark.table("documents"), n_terms=TFIDF_TERMS)
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -1184,6 +1205,8 @@ ENGINE_ORACLE_QUERIES = {
     "semdedup": _q_semdedup,
     "langid_nb": _q_langid_nb,
     "host_quality": _q_host_quality,
+    "bm25_topk": _q_bm25_topk,
+    "tfidf_top_terms": _q_tfidf_top_terms,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

@@ -295,6 +295,7 @@ def main() -> None:
         "bpe_word_counts",
         "perplexity_buckets",
         "dsir_select",
+        "bm25_topk",
     ):
 
         def _entry_once(name=name) -> float:

@@ -2669,6 +2669,101 @@ FROM agg
 """
 
 
+BM25_QUERIES = [
+    (1, "spark join order"),
+    (2, "customer query fast"),
+    (3, "hash table scan slow"),
+]
+BM25_K = 10
+TFIDF_TERMS = 5
+
+
+def duck_bm25_topk_sql(k: int = BM25_K, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of search.bm25_topk over documents with the fixed
+    BM25_QUERIES: same tokenization (normalized whitespace split), same
+    Robertson idf, and per-(term,doc) weights rounded to integer MICRO
+    units before the per-doc sum so the score is engine-exact."""
+    vals = ", ".join(f"({qid}, {_duck_lit(q)})" for qid, q in BM25_QUERIES)
+    d = DUCK
+    norm = _norm_text(d, "text")
+    qnorm = _norm_text(d, "query")
+    avgdl = "(CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+    denom = f"(t.tf + {repr(float(k1))} * ({repr(1.0 - b)} + {repr(float(b))} * d.dl / {avgdl}))"
+    idf = "ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)"
+    w = f"{idf} * (t.tf * {repr(k1 + 1.0)}) / {denom} * 1000000"
+    return f"""
+WITH docs_n AS (SELECT doc_id, {norm} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+  FROM docs_n WHERE norm <> ''
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+qraw(query_id, query) AS (VALUES {vals}),
+qt AS (
+  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, tok
+  FROM (SELECT query_id, unnest(string_split({qnorm}, ' ')) AS tok FROM qraw)
+  WHERE tok <> ''
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+  WHERE tok IN (SELECT tok FROM qt) GROUP BY tok
+),
+w AS (
+  SELECT q.query_id, t.doc_id, CAST(ROUND({w}) AS BIGINT) AS wm
+  FROM tf t
+  JOIN qt q USING (tok) JOIN dfreq f USING (tok) JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+sc AS (SELECT query_id, doc_id, CAST(SUM(wm) AS BIGINT) AS sm FROM w GROUP BY query_id, doc_id),
+rk AS (
+  SELECT query_id, doc_id, sm,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sm DESC, doc_id) AS rnk
+  FROM sc
+)
+SELECT query_id, doc_id, ROUND(sm / 1000000.0, 6) AS score, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {k}
+"""
+
+
+def duck_tfidf_top_terms_sql(n_terms: int = TFIDF_TERMS) -> str:
+    """DuckDB twin of search.tfidf_top_terms over documents: per-doc
+    top-``n_terms`` terms by (tf/dl) * ln(N/df), micro-int exact."""
+    d = DUCK
+    norm = _norm_text(d, "text")
+    t = ("(CAST(t.tf AS DOUBLE) / CAST(d.dl AS DOUBLE))"
+         " * ln(CAST(s.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)) * 1000000")
+    return f"""
+WITH docs_n AS (SELECT doc_id, {norm} AS norm FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+  FROM docs_n WHERE norm <> ''
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+w AS (
+  SELECT t.doc_id, t.tok, CAST(ROUND({t}) AS BIGINT) AS tm
+  FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (tok) CROSS JOIN stats s
+),
+rk AS (
+  SELECT doc_id, tok, tm,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tm DESC, tok) AS rnk
+  FROM w
+)
+SELECT doc_id, tok, ROUND(tm / 1000000.0, 6) AS tfidf, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {n_terms}
+"""
+
+
 LANGID_BUCKETS = 4096
 
 
@@ -2792,6 +2887,8 @@ ENGINE_ORACLE_SQL = {
     "semdedup": duck_semdedup_sql,
     "langid_nb": duck_langid_nb_sql,
     "host_quality": duck_host_quality_sql,
+    "bm25_topk": duck_bm25_topk_sql,
+    "tfidf_top_terms": duck_tfidf_top_terms_sql,
 }
 
 
