@@ -359,6 +359,19 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_rank(edges)
 
 
+def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the host link graph (the directory-vs-
+    content complement to host_rank): real iterative operator vs the
+    oracle's chained max-normalized integer-micro CTEs — exact, not
+    1e-6-close."""
+    from pathik_spark.entry_queries import HOST_EDGES_CTE
+    from pathik_spark.operators.rank import hits_scores
+
+    _register_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {HOST_EDGES_CTE} SELECT * FROM edges")
+    return hits_scores(edges)
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning decision (lang AND quality AND repetition
     AND near-dup canonical): the real clean_corpus operator over the
@@ -1207,6 +1220,7 @@ ENGINE_ORACLE_QUERIES = {
     "host_quality": _q_host_quality,
     "bm25_topk": _q_bm25_topk,
     "tfidf_top_terms": _q_tfidf_top_terms,
+    "hits_scores": _q_hits_scores,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

@@ -1116,6 +1116,59 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+def duck_hits_scores_sql(n_iters: int = 3) -> str:
+    """DuckDB twin of rank.hits_scores: the same fixed max-normalized
+    integer-micro iterations as chained CTEs (h0/a0 -> sa1/a1/sh1/h1 ->
+    ...). Integer sums of integer products are associative, so the
+    comparison is exact, not merely 1e-6-close."""
+    parts = [
+        HOST_EDGES_CTE.strip().rstrip(),
+        """nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host AS host FROM edges
+)""",
+        "h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS m FROM nodes)",
+    ]
+
+    def half(k: int, prev: str, edge_key: str, out_key: str, out: str) -> None:
+        parts.append(
+            f"""s{out}{k} AS (
+  SELECT e.{out_key} AS host, CAST(SUM(p.m * e.weight) AS BIGINT) AS s
+  FROM edges e JOIN {prev} p ON p.host = e.{edge_key}
+  GROUP BY e.{out_key}
+)"""
+        )
+        parts.append(
+            f"""f{out}{k} AS (
+  SELECT n.host, CAST(COALESCE(s.s, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN s{out}{k} s ON s.host = n.host
+)"""
+        )
+        parts.append(
+            f"m{out}{k} AS (SELECT CAST(GREATEST(MAX(s), 1) AS BIGINT) AS mx FROM f{out}{k})"
+        )
+        parts.append(
+            f"""{out}{k} AS (
+  SELECT host, CAST(ROUND(s / (SELECT mx FROM m{out}{k}) * 1000000.0) AS BIGINT) AS m
+  FROM f{out}{k}
+)"""
+        )
+
+    prev_h = "h0"
+    for k in range(1, n_iters + 1):
+        half(k, prev_h, "src_host", "dst_host", "a")
+        half(k, f"a{k}", "dst_host", "src_host", "h")
+        prev_h = f"h{k}"
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT n.host,
+  ROUND(a.m / 1000000.0, 6) AS authority,
+  ROUND(h.m / 1000000.0, 6) AS hub
+FROM nodes n
+JOIN a{n_iters} a ON a.host = n.host
+JOIN h{n_iters} h ON h.host = n.host
+"""
+
+
 # Deterministic robots.txt corpus synthesized from the orders hosts
 # (same text parses in Spark SQL and DuckDB). Three shapes: a '*'-only
 # group, an exact-UA group followed by a '*' group (exact must win), and
@@ -2889,6 +2942,7 @@ ENGINE_ORACLE_SQL = {
     "host_quality": duck_host_quality_sql,
     "bm25_topk": duck_bm25_topk_sql,
     "tfidf_top_terms": duck_tfidf_top_terms_sql,
+    "hits_scores": duck_hits_scores_sql,
 }
 
 

@@ -108,3 +108,87 @@ def rank_priorities(
         .withColumn("priority", F.coalesce(F.col("_tier"), F.lit(n_tiers - 1)))
         .drop("_tier")
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str = "weight",
+) -> DataFrame:
+    """HITS hubs & authorities over the weighted host graph — the
+    complement to ``host_rank``: PageRank finds globally endorsed hosts,
+    HITS separates *directories* (hubs — link out to many good pages:
+    seed-list candidates) from *content* (authorities — linked from many
+    good hubs: crawl-priority candidates). Kleinberg (1999), public.
+
+    Fixed ``n_iters`` mutual-reinforcement iterations:
+
+        a_{k+1}(v) = sum over in-edges  (u,v) of h_k(u)     * w(u,v)
+        h_{k+1}(u) = sum over out-edges (u,v) of a_{k+1}(v) * w(u,v)
+
+    Exactness device (cross-engine, partitioning-independent): scores
+    live in integer MICRO units. Each half-step normalizes by the MAX
+    (max of integers is exact and order-free, unlike the L1/L2 float
+    sums of textbook HITS — same limit direction, different scale) and
+    re-rounds to micro ints, so every per-node sum is an INTEGER sum of
+    integer products — associative, hence identical in Spark and the
+    DuckDB oracle (`hits_scores`) at any parallelism.
+
+    Same scale shape as host_rank: per-iteration cost is two
+    (join + map-side-combined groupBy) passes over the host-graph edge
+    table, which is tiny relative to the page graph; ``localCheckpoint``
+    keeps the loop's plan flat. Returns (host, authority, hub), both in
+    [0, 1] (max-normalized), rounded to 6 decimals.
+    """
+    micro = 1_000_000
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("host", F.lit(micro).cast("long").alias("m"))
+    a = h
+
+    def _half(scores: DataFrame, edge_key: str, out_key: str) -> DataFrame:
+        """One normalized half-step: pull scores across edges onto
+        ``out_key``'s side, max-normalize, round back to micro ints."""
+        s = (
+            e.join(scores, e[edge_key] == scores["host"])
+            .select(F.col(out_key).alias("host"), (F.col("m") * F.col("w")).alias("p"))
+            .groupBy("host")
+            .agg(F.sum("p").alias("s"))
+        )
+        full = nodes.join(s, "host", "left").select(
+            "host", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+        )
+        mx = full.agg(F.greatest(F.max("s"), F.lit(1)).cast("long").alias("mx"))
+        return (
+            full.crossJoin(F.broadcast(mx))
+            .select(
+                "host",
+                F.round(F.col("s") / F.col("mx") * F.lit(float(micro)))
+                .cast("long")
+                .alias("m"),
+            )
+            .localCheckpoint()
+        )
+
+    for _ in range(n_iters):
+        a = _half(h, "src", "dst")   # authorities gather hub mass in-links
+        h = _half(a, "dst", "src")   # hubs gather authority mass out-links
+    return (
+        nodes.join(a.withColumnRenamed("m", "am"), "host")
+        .join(h.withColumnRenamed("m", "hm"), "host")
+        .select(
+            "host",
+            F.round(F.col("am") / F.lit(float(micro)), 6).alias("authority"),
+            F.round(F.col("hm") / F.lit(float(micro)), 6).alias("hub"),
+        )
+    )

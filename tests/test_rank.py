@@ -65,3 +65,35 @@ def test_rank_priorities_order_hosts_by_tier(spark):
     assert out["unseen"] == 3  # unranked -> last tier
     # the scheduler consumes priority ascending: big before mid before low
     assert out["big"] < out["mid"] < out["low"]
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    # star: 'dir' links out to a/b/c (pure hub); a/b/c have no out-links
+    # (pure authorities); 'stray' links only to 'dir'
+    edges = spark.createDataFrame(
+        [("dir", "a", 2), ("dir", "b", 2), ("dir", "c", 2), ("stray", "dir", 1)],
+        ["src_host", "dst_host", "weight"],
+    )
+    from pathik_spark.operators.rank import hits_scores
+
+    out = {r["host"]: r for r in hits_scores(edges, n_iters=3).collect()}
+    assert out["dir"]["hub"] == 1.0           # the best hub, max-normalized
+    assert out["a"]["authority"] == 1.0       # symmetric best authorities
+    assert out["a"]["authority"] == out["b"]["authority"] == out["c"]["authority"]
+    assert out["a"]["hub"] == 0.0             # no out-links
+    assert out["dir"]["authority"] < 1.0      # only stray endorses it
+    assert out["stray"]["hub"] < 1.0          # its one target is a weak authority
+
+
+def test_hits_partitioning_independent(spark):
+    rows = [
+        (f"h{i % 7}", f"h{(i * 3 + 1) % 7}", (i % 4) + 1)
+        for i in range(40)
+        if i % 7 != (i * 3 + 1) % 7
+    ]
+    edges = spark.createDataFrame(rows, ["src_host", "dst_host", "weight"])
+    from pathik_spark.operators.rank import hits_scores
+
+    one = sorted(map(tuple, hits_scores(edges.coalesce(1), n_iters=3).collect()))
+    many = sorted(map(tuple, hits_scores(edges.repartition(13), n_iters=3).collect()))
+    assert one == many  # integer-micro sums make this exact, not approx
