@@ -359,6 +359,16 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_rank(edges)
 
 
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k word bigrams (operators/ngrams.py): multiset
+    counts via scan-local HOF gram construction, TakeOrdered cut."""
+    from pathik_spark.entry_queries import TOP_NGRAMS_K, TOP_NGRAMS_N
+    from pathik_spark.operators.ngrams import top_ngrams
+
+    _register_views(spark, sf_dir)
+    return top_ngrams(spark.table("documents"), n=TOP_NGRAMS_N, k=TOP_NGRAMS_K)
+
+
 def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the host link graph (the directory-vs-
     content complement to host_rank): real iterative operator vs the
@@ -1221,6 +1231,7 @@ ENGINE_ORACLE_QUERIES = {
     "bm25_topk": _q_bm25_topk,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "hits_scores": _q_hits_scores,
+    "top_ngrams": _q_top_ngrams,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

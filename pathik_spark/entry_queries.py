@@ -1116,6 +1116,34 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+TOP_NGRAMS_N = 2
+TOP_NGRAMS_K = 100
+
+
+def duck_top_ngrams_sql(n: int = TOP_NGRAMS_N, k: int = TOP_NGRAMS_K) -> str:
+    """DuckDB twin of ngrams.top_ngrams over documents: the n-gram
+    MULTISET via an (n-1)-step positional self-join (no DISTINCT —
+    mirrors word_shingles(distinct=False)), count desc / gram asc
+    top-k with a matching rank."""
+    d = DUCK
+    aliases = [chr(ord("a") + i) for i in range(n)]
+    concat = " || ' ' || ".join(f"{x}.tok" for x in aliases)
+    joins = " ".join(
+        f"JOIN tokens {aliases[i]} ON a.doc_id = {aliases[i]}.doc_id "
+        f"AND {aliases[i]}.pos = a.pos + {i}"
+        for i in range(1, n)
+    )
+    return f"""
+WITH {_tokens_cte(d)},
+grams AS (SELECT {concat} AS gram FROM tokens a {joins}),
+counts AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS count FROM grams GROUP BY gram),
+top AS (SELECT gram, count FROM counts ORDER BY count DESC, gram LIMIT {k})
+SELECT gram, count,
+  CAST(ROW_NUMBER() OVER (ORDER BY count DESC, gram) AS INT) AS rnk
+FROM top
+"""
+
+
 def duck_hits_scores_sql(n_iters: int = 3) -> str:
     """DuckDB twin of rank.hits_scores: the same fixed max-normalized
     integer-micro iterations as chained CTEs (h0/a0 -> sa1/a1/sh1/h1 ->
@@ -2943,6 +2971,7 @@ ENGINE_ORACLE_SQL = {
     "bm25_topk": duck_bm25_topk_sql,
     "tfidf_top_terms": duck_tfidf_top_terms_sql,
     "hits_scores": duck_hits_scores_sql,
+    "top_ngrams": duck_top_ngrams_sql,
 }
 
 

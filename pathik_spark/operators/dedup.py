@@ -59,9 +59,13 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams, built with higher-order
-    functions (no Python): split -> transform over a sequence -> explode."""
+def word_shingles(
+    documents: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) — word n-grams, built with higher-order
+    functions (no Python): split -> transform over a sequence -> explode.
+    ``distinct=False`` keeps multiplicity (the n-gram *multiset*, for
+    counting operators like operators/ngrams.py)."""
     toks = documents.select(
         "doc_id", F.split(normalized_text(F.col(text_col)), " ").alias("toks")
     )
@@ -80,7 +84,7 @@ def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> D
             )
         ).alias("shingle"),
     )
-    return shingles.distinct()
+    return shingles.distinct() if distinct else shingles
 
 
 def minhash_signatures(
