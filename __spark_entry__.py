@@ -359,6 +359,20 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_rank(edges)
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalance (mC4/UniMax family): the
+    real two-stage operator (driver rates + broadcast lattice filter)
+    vs the oracle's closed-form POWER rates."""
+    from pathik_spark.entry_queries import TEMP_MIX_ALPHA
+    from pathik_spark.operators.sampling import temperature_mix
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("lang").isNotNull())
+    return temperature_mix(
+        docs, alpha=TEMP_MIX_ALPHA, group_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-k word bigrams (operators/ngrams.py): multiset
     counts via scan-local HOF gram construction, TakeOrdered cut."""
@@ -1232,6 +1246,7 @@ ENGINE_ORACLE_QUERIES = {
     "tfidf_top_terms": _q_tfidf_top_terms,
     "hits_scores": _q_hits_scores,
     "top_ngrams": _q_top_ngrams,
+    "temperature_mix": _q_temperature_mix,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

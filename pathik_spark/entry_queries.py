@@ -1116,6 +1116,33 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+TEMP_MIX_ALPHA = 0.3
+
+
+def duck_temperature_mix_sql(alpha: float = TEMP_MIX_ALPHA) -> str:
+    """DuckDB twin of sampling.temperature_mix over documents grouped by
+    lang: rate_g = ROUND((n_min/n_g)^(1-alpha), 6) (the closed
+    water-filling form of p ∝ n^alpha), then the same salted 60-bit
+    doc_id bucket lattice as every sampling oracle."""
+    d = DUCK
+    bucket = d["HASH60"]("'temp:' || CAST(doc_id AS VARCHAR)") + f" % {SAMPLE_DENOM}"
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+nmin AS (SELECT MIN(n) AS nm FROM counts),
+rates AS (
+  SELECT lang,
+    ROUND(POWER(CAST((SELECT nm FROM nmin) AS DOUBLE) / CAST(n AS DOUBLE), {repr(1.0 - alpha)}), 6) AS rate
+  FROM counts
+)
+SELECT dd.doc_id, dd.lang FROM documents dd
+JOIN rates r ON r.lang = dd.lang
+WHERE ({bucket}) < CAST(ROUND(r.rate * {SAMPLE_DENOM}) AS BIGINT)
+"""
+
+
 TOP_NGRAMS_N = 2
 TOP_NGRAMS_K = 100
 
@@ -2972,6 +2999,7 @@ ENGINE_ORACLE_SQL = {
     "tfidf_top_terms": duck_tfidf_top_terms_sql,
     "hits_scores": duck_hits_scores_sql,
     "top_ngrams": duck_top_ngrams_sql,
+    "temperature_mix": duck_temperature_mix_sql,
 }
 
 

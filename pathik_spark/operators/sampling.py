@@ -167,3 +167,62 @@ def domain_mix(
     deterministic stratified pass over the corpus."""
     rates = domain_mix_rates(df, targets, group_col=group_col).select(group_col, "rate")
     return stratified_sample(df, rates, group_col=group_col, key_col=key_col, salt=salt)
+
+
+def temperature_mix_rates(
+    df: DataFrame, alpha: float = 0.3, group_col: str = "lang"
+) -> DataFrame:
+    """Temperature-scaled group sampling rates (the mC4/mT5 recipe —
+    Raffel et al. / Xue et al.: sample language l with p_l ∝ n_l^alpha
+    to keep head languages from drowning the tail).
+
+    Realized without replacement by strict water-filling: the target
+    proportions p_l ∝ n_l^alpha are achieved at the maximum total size
+    with every rate <= 1, which closes to
+
+        rate_g = (n_min / n_g) ** (1 - alpha)
+
+    (binding group = the smallest; alpha=1 keeps the raw distribution,
+    alpha=0 equalizes every group down to n_min — the UniMax limit).
+    Rates are rounded to the 6-decimal lattice BEFORE thresholding so
+    the selection is reproducible cross-engine.
+
+    One tiny aggregation (#groups rows) + driver arithmetic — the
+    corpus itself is untouched here. Returns (group_col, n_available,
+    rate).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+        if r[group_col] is not None
+    }
+    if not counts:
+        raise ValueError("temperature_mix_rates: no non-null groups")
+    n_min = min(counts.values())
+    rows = [
+        (g, n, round((n_min / n) ** (1.0 - alpha), 6)) for g, n in counts.items()
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, schema=f"{group_col} string, n_available long, rate double"
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Rebalance df toward the temperature-flattened group mix: derive
+    rates, then one deterministic stratified pass over the corpus (the
+    only corpus-sized work — broadcast rates, scan-local filter)."""
+    rates = temperature_mix_rates(df, alpha=alpha, group_col=group_col).select(
+        group_col, "rate"
+    )
+    return stratified_sample(
+        df, rates, group_col=group_col, key_col=key_col, salt=salt
+    )

@@ -317,3 +317,56 @@ def test_trap_signals_no_shuffle(spark):
     df = spark.createDataFrame([(u,) for u, _ in TRAP_CASES], "url string")
     plan = trap_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---- temperature-scaled language mix (mC4/UniMax family) -------------------
+
+
+def test_temperature_mix_rates_closed_form(spark):
+    from pathik_spark.operators.sampling import temperature_mix_rates
+
+    rows = [(i, "en") for i in range(400)] + [(i + 1000, "de") for i in range(100)] + [
+        (i + 2000, "sw") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {r["lang"]: r["rate"] for r in temperature_mix_rates(df, alpha=0.3, group_col="lang").collect()}
+    assert rates["sw"] == 1.0                      # smallest group binds, kept fully
+    assert rates["de"] == round((25 / 100) ** 0.7, 6)
+    assert rates["en"] == round((25 / 400) ** 0.7, 6)
+    assert rates["sw"] > rates["de"] > rates["en"]  # tail upweighted relative to head
+
+
+def test_temperature_mix_alpha_limits(spark):
+    from pathik_spark.operators.sampling import temperature_mix_rates
+
+    rows = [(i, "en") for i in range(300)] + [(i + 1000, "sw") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    raw = {r["lang"]: r["rate"] for r in temperature_mix_rates(df, alpha=1.0).collect()}
+    assert raw == {"en": 1.0, "sw": 1.0}           # alpha=1: raw distribution
+    uni = {r["lang"]: r["rate"] for r in temperature_mix_rates(df, alpha=0.0).collect()}
+    assert uni["sw"] == 1.0 and uni["en"] == 0.1   # alpha=0: equalize to n_min
+
+
+def test_temperature_mix_deterministic_and_flattening(spark):
+    from pathik_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "en") for i in range(800)] + [(i + 10_000, "sw") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    once = temperature_mix(df, alpha=0.3).groupBy("lang").count().collect()
+    twice = temperature_mix(df.repartition(17), alpha=0.3).groupBy("lang").count().collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))  # hash-determined
+    got = {r["lang"]: r["count"] for r in once}
+    # head language flattened toward (but not exactly at) the expected rate
+    expected_en = 800 * (50 / 800) ** 0.7
+    assert abs(got["en"] - expected_en) / expected_en < 0.25
+    assert got["sw"] == 50                          # binding group fully kept
+
+
+def test_temperature_mix_rejects_bad_alpha(spark):
+    import pytest as _pytest
+
+    from pathik_spark.operators.sampling import temperature_mix_rates
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        temperature_mix_rates(df, alpha=1.5)
