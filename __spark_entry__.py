@@ -348,6 +348,18 @@ def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_sitemap_urls(docs)
 
 
+def _q_feed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication-feed seed intake (RSS <link> / Atom href / permalink
+    <guid>): the real extraction operator over a synthesized feed corpus
+    vs the same parse in DuckDB."""
+    from pathik_spark.entry_queries import FEED_DOCS_CTE
+    from pathik_spark.operators.discover import extract_feed_urls
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(f"WITH {FEED_DOCS_CTE} SELECT * FROM feed_docs")
+    return extract_feed_urls(docs)
+
+
 def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (crawl prioritization signal): the real
     iterative operator vs the oracle's chained power-iteration CTEs."""
@@ -1247,6 +1259,7 @@ ENGINE_ORACLE_QUERIES = {
     "hits_scores": _q_hits_scores,
     "top_ngrams": _q_top_ngrams,
     "temperature_mix": _q_temperature_mix,
+    "feed_urls": _q_feed_urls,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

@@ -1332,6 +1332,54 @@ sitemap_docs AS (
 """
 
 
+# Deterministic syndication-feed corpus (RSS 2.0 + Atom rows per host),
+# shared-dialect SQL like SITEMAP_DOCS_CTE: channel+item links, a
+# padded dup, a permalink guid, a non-URL guid and an ftp link as
+# negatives, and Atom href in both self/alternate roles.
+FEED_DOCS_CTE = """
+feed_docs AS (
+  SELECT 'host' || CAST(h AS STRING) AS host,
+    '<rss version="2.0"><channel>'
+    || '<link>https://host' || CAST(h AS STRING) || '.example/</link>'
+    || '<item><link>https://host' || CAST(h AS STRING) || '.example/post1</link></item>'
+    || '<item><link>  https://host' || CAST(h AS STRING) || '.example/post1  </link></item>'
+    || '<item><guid isPermaLink="true">https://host' || CAST(h AS STRING) || '.example/post2</guid></item>'
+    || '<item><guid>tag-not-a-url-' || CAST(h AS STRING) || '</guid></item>'
+    || '<item><link>ftp://bad' || CAST(h AS STRING) || '.example/x</link></item>'
+    || '</channel></rss>' AS feed_xml
+  FROM (SELECT DISTINCT o_orderkey % 40 AS h FROM orders)
+  UNION ALL
+  SELECT 'host' || CAST(h AS STRING) AS host,
+    '<feed>'
+    || '<link rel="self" href="https://host' || CAST(h AS STRING) || '.example/feed.xml"/>'
+    || '<entry><link href="https://host' || CAST(h AS STRING) || '.example/atom1" rel="alternate"/>'
+    || '<id>https://host' || CAST(h AS STRING) || '.example/atom1</id></entry>'
+    || '</feed>' AS feed_xml
+  FROM (SELECT DISTINCT o_orderkey % 40 AS h FROM orders)
+)
+"""
+
+
+def duck_feed_urls_sql() -> str:
+    """DuckDB twin of extract_feed_urls (operators/discover.py): the
+    three extraction patterns (RSS <link>, Atom href, permalink <guid>)
+    list-concatenated then unnested, trim, F1 validity filter, per-host
+    distinct — over the synthesized FEED_DOCS_CTE corpus."""
+    d = DUCK
+    return f"""
+WITH {FEED_DOCS_CTE.strip()},
+locs AS (
+  SELECT host, trim(unnest(
+      regexp_extract_all(feed_xml, '<link>\\s*([^<]+?)\\s*</link>', 1)
+      || regexp_extract_all(feed_xml, '<link[^>]*href="([^"]+)"', 1)
+      || regexp_extract_all(feed_xml, '<guid[^>]*>\\s*(http[^<]*?)\\s*</guid>', 1)
+  )) AS url
+  FROM feed_docs
+)
+SELECT DISTINCT host, url FROM locs WHERE {_valid_pred(d)}
+"""
+
+
 RECRAWL_CUTOFF = "1996-01-01"
 
 
@@ -3000,6 +3048,7 @@ ENGINE_ORACLE_SQL = {
     "hits_scores": duck_hits_scores_sql,
     "top_ngrams": duck_top_ngrams_sql,
     "temperature_mix": duck_temperature_mix_sql,
+    "feed_urls": duck_feed_urls_sql,
 }
 
 

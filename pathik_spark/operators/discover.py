@@ -94,3 +94,60 @@ def extract_sitemap_urls(
         ).alias("url"),
     ).select("host", F.trim(F.col("url")).alias("url"))
     return locs.filter(U.is_valid_url_expr(F.col("url"))).distinct()
+
+
+def extract_feed_urls(
+    feeds: DataFrame,
+    content_col: str = "feed_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """Seed intake from syndication feeds — the other standing URL
+    source a crawler polls besides sitemaps (reference scope: seed
+    intake, SURVEY.md §2.1 S1). Covers both wire formats:
+
+    - RSS 2.0: ``<link>url</link>`` (channel and item level) and
+      permalink ``<guid>``s that carry an http(s) URL;
+    - Atom: ``<link ... href="url" .../>``.
+
+    Same shape as extract_sitemap_urls: pure regexp_extract_all +
+    explode — codegen'd, scan-local parsing, shuffle only for the final
+    per-host distinct. Returns (host, url) distinct, valid-URL-filtered
+    with the frontier's own predicate (F1). Single-quoted Atom href
+    attributes are out of scope (the dominant emitters double-quote).
+    """
+    rss = "regexp_extract_all({c}, '<link>\\\\s*([^<]+?)\\\\s*</link>', 1)"
+    atom = "regexp_extract_all({c}, '<link[^>]*href=\"([^\"]+)\"', 1)"
+    guid = "regexp_extract_all({c}, '<guid[^>]*>\\\\s*(http[^<]*?)\\\\s*</guid>', 1)"
+    locs = feeds.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.expr(f"concat({', '.join(p.format(c=content_col) for p in (rss, atom, guid))})")).alias("url"),
+    ).select("host", F.trim(F.col("url")).alias("url"))
+    return locs.filter(U.is_valid_url_expr(F.col("url"))).distinct()
+
+
+def discover_feed_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+) -> DataFrame:
+    """Feed AUTODISCOVERY from crawled HTML: the standard
+    ``<link rel="alternate" type="application/rss+xml|atom+xml"
+    href=...>`` head tags, both attribute orders (type-then-href and
+    href-then-type). Returns (host, feed_url) distinct — the polling
+    list that extract_feed_urls later consumes. Scan-local regexp work,
+    one distinct shuffle."""
+    p1 = (
+        "regexp_extract_all({c}, "
+        "'<link[^>]*type=\"application/(?:rss|atom)\\\\+xml\"[^>]*href=\"([^\"]+)\"', 1)"
+    )
+    p2 = (
+        "regexp_extract_all({c}, "
+        "'<link[^>]*href=\"([^\"]+)\"[^>]*type=\"application/(?:rss|atom)\\\\+xml\"', 1)"
+    )
+    locs = pages.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.expr(f"concat({p1.format(c=html_col)}, {p2.format(c=html_col)})")
+        ).alias("feed_url"),
+    ).select("host", F.trim(F.col("feed_url")).alias("feed_url"))
+    return locs.filter(U.is_valid_url_expr(F.col("feed_url"))).distinct()
