@@ -348,6 +348,17 @@ def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_sitemap_urls(docs)
 
 
+def _q_host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link-graph degree/reciprocity profile (operators/rank.py) —
+    mutual-link rate is a cheap link-farm signal for the scheduler."""
+    from pathik_spark.entry_queries import HOST_EDGES_CTE
+    from pathik_spark.operators.rank import host_graph_stats
+
+    _register_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {HOST_EDGES_CTE} SELECT * FROM edges")
+    return host_graph_stats(edges)
+
+
 def _q_feed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Syndication-feed seed intake (RSS <link> / Atom href / permalink
     <guid>): the real extraction operator over a synthesized feed corpus
@@ -1260,6 +1271,7 @@ ENGINE_ORACLE_QUERIES = {
     "top_ngrams": _q_top_ngrams,
     "temperature_mix": _q_temperature_mix,
     "feed_urls": _q_feed_urls,
+    "host_graph_stats": _q_host_graph_stats,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

@@ -57,6 +57,7 @@ def prepare_training_corpus(
     min_host_quality: float | None = None,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
+    lang_mix_alpha: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
@@ -97,7 +98,11 @@ def prepare_training_corpus(
     - ``dsir_target`` + ``dsir_k``: DSIR importance resampling as the
       final selection — keep the ``dsir_k`` documents whose hashed
       n-gram distribution best matches the target corpus (deterministic
-      Gumbel-top-k), applied after all gates, before the split.
+      Gumbel-top-k), applied after all gates, before the split;
+    - ``lang_mix_alpha``: temperature-scaled language rebalance (mC4
+      p ∝ n^alpha over ``lang_guess``; alpha=0 is the UniMax limit)
+      after all gates, before the split — deterministic hash-lattice
+      sampling keyed by doc_id.
 
     Returns ``(corpus, report)``: the kept rows as (doc_id, text,
     lang_guess, quality, split) and the dataset-card rollup grouped by
@@ -181,6 +186,12 @@ def prepare_training_corpus(
             out_cols.append("ppl_bucket")
     elif drop_ppl_buckets:
         raise ValueError("drop_ppl_buckets requires lm_reference")
+    if lang_mix_alpha is not None:
+        from pathik_spark.operators.sampling import temperature_mix
+
+        kept = temperature_mix(
+            kept, alpha=lang_mix_alpha, group_col="lang_guess", key_col="doc_id"
+        )
     if dsir_target is not None and dsir_k is not None:
         from pathik_spark.operators.dsir import dsir_select
 

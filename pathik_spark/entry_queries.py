@@ -1116,6 +1116,43 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+def duck_host_graph_stats_sql() -> str:
+    """DuckDB twin of rank.host_graph_stats over the HOST_EDGES_CTE
+    graph: distinct-neighbor degrees, weight sums, and mutual-link
+    reciprocity (pair set joined to its own reverse)."""
+    return f"""
+WITH {HOST_EDGES_CTE.strip()},
+pairs AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges),
+mutual AS (
+  SELECT p.src, CAST(COUNT(*) AS BIGINT) AS n_mutual
+  FROM pairs p JOIN pairs b ON b.src = p.dst AND b.dst = p.src
+  GROUP BY p.src
+),
+outs AS (
+  SELECT src_host AS src, CAST(COUNT(DISTINCT dst_host) AS BIGINT) AS out_deg,
+         CAST(SUM(weight) AS BIGINT) AS out_w
+  FROM edges GROUP BY src_host
+),
+ins AS (
+  SELECT dst_host AS src, CAST(COUNT(DISTINCT src_host) AS BIGINT) AS in_deg,
+         CAST(SUM(weight) AS BIGINT) AS in_w
+  FROM edges GROUP BY dst_host
+),
+nodes AS (SELECT src FROM pairs UNION SELECT dst AS src FROM pairs)
+SELECT n.src AS host,
+  COALESCE(o.out_deg, 0) AS out_deg,
+  COALESCE(i.in_deg, 0) AS in_deg,
+  COALESCE(o.out_w, 0) AS out_w,
+  COALESCE(i.in_w, 0) AS in_w,
+  CASE WHEN COALESCE(o.out_deg, 0) > 0
+    THEN ROUND(COALESCE(m.n_mutual, 0) / o.out_deg, 6) ELSE 0.0 END AS reciprocity
+FROM nodes n
+LEFT JOIN outs o ON o.src = n.src
+LEFT JOIN ins i ON i.src = n.src
+LEFT JOIN mutual m ON m.src = n.src
+"""
+
+
 TEMP_MIX_ALPHA = 0.3
 
 
@@ -3049,6 +3086,7 @@ ENGINE_ORACLE_SQL = {
     "top_ngrams": duck_top_ngrams_sql,
     "temperature_mix": duck_temperature_mix_sql,
     "feed_urls": duck_feed_urls_sql,
+    "host_graph_stats": duck_host_graph_stats_sql,
 }
 
 

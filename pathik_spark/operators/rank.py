@@ -192,3 +192,68 @@ def hits_scores(
             F.round(F.col("hm") / F.lit(float(micro)), 6).alias("hub"),
         )
     )
+
+
+def host_graph_stats(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str = "weight",
+) -> DataFrame:
+    """Per-host link-graph degree profile: (host, out_deg, in_deg,
+    out_w, in_w, reciprocity) — the crawl-analytics companion to
+    host_rank/hits_scores. ``reciprocity`` is the fraction of a host's
+    distinct out-neighbors that link back (mutual-link rate: near-1 for
+    link farms and mirror rings, near-0 for organic content — a cheap
+    spam-neighborhood signal the scheduler can consume like a rank).
+
+    Shape: two map-side-combined groupBys on the edge table's own keys
+    plus one self-equi-join of the DISTINCT pair set against its own
+    reverse — all keyed joins on the (tiny relative to pages) host
+    graph; no corpus contact. Degrees count distinct neighbors; weights
+    sum the edge weight column.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    pairs = e.select("src", "dst").distinct()
+    back = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = (
+        pairs.join(back, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("n_mutual"))
+    )
+    outs = e.groupBy("src").agg(
+        F.count_distinct("dst").cast("long").alias("out_deg"),
+        F.sum("w").alias("out_w"),
+    )
+    ins = (
+        e.groupBy("dst")
+        .agg(
+            F.count_distinct("src").cast("long").alias("in_deg"),
+            F.sum("w").alias("in_w"),
+        )
+        .withColumnRenamed("dst", "src")
+    )
+    nodes = pairs.select("src").union(back.select("src")).distinct()
+    return (
+        nodes.join(outs, "src", "left")
+        .join(ins, "src", "left")
+        .join(mutual, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+            F.when(
+                F.coalesce("out_deg", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_mutual", F.lit(0)) / F.col("out_deg"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("reciprocity"),
+        )
+    )

@@ -97,3 +97,23 @@ def test_hits_partitioning_independent(spark):
     one = sorted(map(tuple, hits_scores(edges.coalesce(1), n_iters=3).collect()))
     many = sorted(map(tuple, hits_scores(edges.repartition(13), n_iters=3).collect()))
     assert one == many  # integer-micro sums make this exact, not approx
+
+
+def test_host_graph_stats_degrees_and_reciprocity(spark):
+    # a<->b mutual; a->c one-way; c->a closes a different pair (c's only
+    # out-neighbor links back); d is a pure sink
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 1), ("a", "c", 2), ("c", "a", 5), ("a", "d", 1)],
+        ["src_host", "dst_host", "weight"],
+    )
+    from pathik_spark.operators.rank import host_graph_stats
+
+    out = {r["host"]: r for r in host_graph_stats(edges).collect()}
+    a = out["a"]
+    assert (a["out_deg"], a["in_deg"], a["out_w"], a["in_w"]) == (3, 2, 6, 6)
+    # a's out-neighbors {b, c, d}: b and c link back -> 2/3
+    assert a["reciprocity"] == round(2 / 3, 6)
+    assert out["b"]["reciprocity"] == 1.0   # its one out-neighbor (a) links back
+    assert out["c"]["reciprocity"] == 1.0
+    assert out["d"]["out_deg"] == 0 and out["d"]["reciprocity"] == 0.0
+    assert out["d"]["in_deg"] == 1 and out["d"]["in_w"] == 1

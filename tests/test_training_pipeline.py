@@ -204,3 +204,20 @@ def test_drop_ppl_buckets_requires_lm_reference(spark):
         pathik_spark.prepare_training_corpus(
             _docs(spark), drop_ppl_buckets=("tail",)
         )
+
+
+def test_prepare_training_corpus_lang_mix(spark):
+    docs = _docs(spark)
+    full, _ = pathik_spark.prepare_training_corpus(
+        docs, line_max_occurrences=5, min_quality=0.2
+    )
+    mixed, _ = pathik_spark.prepare_training_corpus(
+        docs, line_max_occurrences=5, min_quality=0.2, lang_mix_alpha=0.0
+    )
+    n_full, n_mixed = full.count(), mixed.count()
+    assert 0 < n_mixed <= n_full
+    # alpha=1 keeps the raw (post-gate) distribution untouched
+    raw, _ = pathik_spark.prepare_training_corpus(
+        docs, line_max_occurrences=5, min_quality=0.2, lang_mix_alpha=1.0
+    )
+    assert raw.count() == n_full
