@@ -128,3 +128,72 @@ def decontaminate(
         docs, benchmark, n=n, max_collisions=max_collisions, text_col=text_col
     )
     return docs.join(report.filter("keep").select("doc_id"), "doc_id", "left_semi")
+
+
+def retrieval_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 10,
+    min_score: float = 0.0,
+    n_salts: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Retrieval-based contamination audit: the RECALL companion to the
+    n-gram collision check above. Exact n-gram overlap misses reworded
+    or partially quoted benchmark items; BM25 retrieval over the corpus
+    (operators/search.py) surfaces the documents most lexically similar
+    to EACH benchmark item even without an exact 8-gram hit — the
+    "search the training set for the test set" audit that recent
+    contamination studies run.
+
+    Each benchmark item becomes a BM25 query (distinct normalized
+    terms, broadcast); the corpus is the index. Returns
+    (bench_id, doc_id, score, rnk): the top-``k`` corpus docs per item
+    with score >= ``min_score`` — a human-reviewable audit table, or a
+    drop list via ``retrieval_decontaminate``. Inherits bm25_topk's
+    scale shape: the only corpus-wide work is the index build; scoring
+    runs on the term-pruned candidate set. Use ``n_salts`` > 0 when
+    benchmark items contain very common terms.
+    """
+    from pathik_spark.operators.search import bm25_topk
+
+    queries = benchmark.select(
+        F.col(bench_id_col).alias("query_id"), F.col(bench_text_col).alias("query")
+    )
+    hits = bm25_topk(
+        corpus, queries, k=k, n_salts=n_salts, text_col=text_col, id_col=id_col
+    )
+    return hits.filter(F.col("score") >= F.lit(min_score)).select(
+        F.col("query_id").alias("bench_id"), "doc_id", "score", "rnk"
+    )
+
+
+def retrieval_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 10,
+    min_score: float = 0.0,
+    n_salts: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Drop every corpus document flagged by the retrieval audit: the
+    flagged id set is at most |benchmark| * k rows — broadcast
+    anti-join, the corpus never shuffles for the removal."""
+    flagged = retrieval_contamination(
+        corpus,
+        benchmark,
+        k=k,
+        min_score=min_score,
+        n_salts=n_salts,
+        text_col=text_col,
+        id_col=id_col,
+        bench_text_col=bench_text_col,
+        bench_id_col=bench_id_col,
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

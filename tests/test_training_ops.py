@@ -370,3 +370,49 @@ def test_temperature_mix_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with _pytest.raises(ValueError):
         temperature_mix_rates(df, alpha=1.5)
+
+
+# ---- retrieval-based (BM25) contamination audit ----------------------------
+
+
+def test_retrieval_contamination_finds_reworded_copy(spark):
+    from pathik_spark.operators.decontaminate import (
+        retrieval_contamination,
+        retrieval_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the capital of france is paris and it sits on the seine"),
+            (1, "capital of france paris seine river geography"),  # reworded copy
+            (2, "spark shuffles partition data across executors"),
+            (3, "gardening tips for tomato plants in spring"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "What is the capital of France? Paris, on the Seine.")],
+        "bench_id long, text string",
+    )
+    hits = retrieval_contamination(corpus, bench, k=2).collect()
+    assert {r["doc_id"] for r in hits} == {0, 1}   # both variants surface
+    assert all(r["bench_id"] == 100 for r in hits)
+    ranked = sorted(hits, key=lambda r: r["rnk"])
+    assert ranked[0]["score"] >= ranked[1]["score"] > 0
+
+    clean = retrieval_decontaminate(corpus, bench, k=2)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+
+def test_retrieval_contamination_min_score_gate(spark):
+    from pathik_spark.operators.decontaminate import retrieval_contamination
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "alpha beta")], "bench_id long, text string")
+    all_hits = retrieval_contamination(corpus, bench, k=5).collect()
+    assert {r["doc_id"] for r in all_hits} == {0}  # no shared term -> no candidate
+    gated = retrieval_contamination(corpus, bench, k=5, min_score=10_000.0).collect()
+    assert gated == []                              # threshold filters the audit
