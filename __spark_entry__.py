@@ -846,6 +846,22 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(spark.table("documents"), n_terms=TFIDF_TERMS)
 
 
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (Achlioptas sparse matrix): the real
+    one-matmul-per-Arrow-batch operator, posexploded to long form and
+    rounded in the JVM to match the oracle's literal-matrix SUM."""
+    from pathik_spark.entry_queries import RP_DIM, RP_OUT_DIM
+    from pathik_spark.operators.ann import random_projection
+
+    _register_views(spark, sf_dir)
+    reduced = random_projection(
+        spark.table("embeddings"), out_dim=RP_OUT_DIM, dim=RP_DIM
+    )
+    return reduced.select(
+        "vec_id", F.posexplode("embedding").alias("j", "c")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), F.round("c", 6).alias("component"))
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathik_spark.operators.ann import lsh_bucketed_topk
 
@@ -1272,6 +1288,7 @@ ENGINE_ORACLE_QUERIES = {
     "temperature_mix": _q_temperature_mix,
     "feed_urls": _q_feed_urls,
     "host_graph_stats": _q_host_graph_stats,
+    "random_projection": _q_random_projection,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

@@ -1116,6 +1116,36 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+RP_OUT_DIM = 4
+RP_DIM = 64
+
+
+def duck_random_projection_sql(out_dim: int = RP_OUT_DIM, dim: int = RP_DIM) -> str:
+    """DuckDB twin of ann.random_projection in long form (vec_id, j,
+    component): the Achlioptas matrix's NONZERO entries inlined as
+    literals (2/3 sparse -> ~dim*out_dim/3 rows), positional unnest join,
+    ROUND(SUM(v*m), 6) per output component."""
+    from pathik_spark.operators.ann import projection_matrix
+
+    mat = projection_matrix(out_dim, dim)
+    vals = ", ".join(
+        f"({i}, {j}, {mat[i, j]!r})"
+        for i in range(dim)
+        for j in range(out_dim)
+        if mat[i, j] != 0.0
+    )
+    d = DUCK
+    unnest = d["UNNEST_IDX"]("emb", "embedding")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+vals AS ({unnest}),
+proj(i, j, m) AS (VALUES {vals})
+SELECT v.vec_id, CAST(p.j AS INT) AS j, ROUND(SUM(v.v * p.m), 6) AS component
+FROM vals v JOIN proj p ON p.i = v.pos
+GROUP BY v.vec_id, p.j
+"""
+
+
 def duck_host_graph_stats_sql() -> str:
     """DuckDB twin of rank.host_graph_stats over the HOST_EDGES_CTE
     graph: distinct-neighbor degrees, weight sums, and mutual-link
@@ -3087,6 +3117,7 @@ ENGINE_ORACLE_SQL = {
     "temperature_mix": duck_temperature_mix_sql,
     "feed_urls": duck_feed_urls_sql,
     "host_graph_stats": duck_host_graph_stats_sql,
+    "random_projection": duck_random_projection_sql,
 }
 
 

@@ -438,3 +438,53 @@ def semdedup_keep(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+_PROJECTION_SEED = 20260819
+
+
+def projection_matrix(out_dim: int, dim: int, seed: int = _PROJECTION_SEED) -> np.ndarray:
+    """Deterministic Achlioptas sparse JL projection (dim x out_dim):
+    entries sqrt(3/out_dim) * {+1 w.p. 1/6, 0 w.p. 2/3, -1 w.p. 1/6}
+    (Achlioptas 2003 — database-friendly random projections; public).
+    PCG64 with a fixed seed is bit-stable across platforms, so the
+    reduction is replayable with no materialized matrix state, and the
+    2/3 sparsity makes the oracle's literal-matrix restatement small."""
+    rng = np.random.default_rng(seed)
+    u = rng.random((dim, out_dim))
+    signs = np.where(u < 1.0 / 6.0, 1.0, np.where(u < 1.0 / 3.0, -1.0, 0.0))
+    return signs * np.sqrt(3.0 / out_dim)
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = _PROJECTION_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction for embedding
+    columns: (vec_id, embedding[out_dim]) with pairwise distances
+    preserved to within the JL distortion bound. The cheap pre-pass
+    before any distance-heavy stage — brute-force cosine, IVF training,
+    SemDeDup — when the raw width (768-4096) dominates their cost.
+
+    Same execution shape as the SRP bucketing above: ONE
+    (batch x dim) @ (dim x out_dim) numpy matmul per Arrow batch,
+    scan-local, O(1) plan size in both widths. Components are kept at
+    full double precision — round at the consumer if comparing
+    cross-engine (the `random_projection` oracle rounds to 6 dp).
+    """
+    mat = projection_matrix(out_dim, dim, seed)  # (dim, out_dim)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def project(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        batch = np.stack(vec.to_numpy()).astype(np.float64)  # (batch, dim)
+        return pd.Series(list(batch @ mat))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), project(F.col(vec_col)).alias("embedding")
+    )

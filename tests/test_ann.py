@@ -213,3 +213,45 @@ def test_semdedup_centroid_arm_respects_clusters(spark):
     assert rows[0]["keep"] is True and rows[1]["keep"] is False
     assert rows[10]["keep"] is True and rows[11]["keep"] is False
     assert rows[0]["cluster"] != rows[10]["cluster"]
+
+
+# ---- JL random projection ---------------------------------------------------
+
+
+def test_projection_matrix_achlioptas_shape(spark):
+    import numpy as np
+
+    from pathik_spark.operators.ann import projection_matrix
+
+    m = projection_matrix(16, 64)
+    assert m.shape == (64, 16)
+    c = np.sqrt(3.0 / 16)
+    vals = set(np.unique(np.round(np.abs(m), 12)))
+    assert vals <= {0.0, round(c, 12)}          # only 0 and +/- sqrt(3/k)
+    frac_zero = float((m == 0.0).mean())
+    assert 0.5 < frac_zero < 0.8                 # ~2/3 sparse
+    assert (projection_matrix(16, 64) == m).all()  # deterministic
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+
+    from pathik_spark.operators.ann import random_projection
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: np.array(r["embedding"]) for r in
+           random_projection(df, out_dim=32, dim=64).collect()}
+    assert all(len(v) == 32 for v in out.values())
+    # JL: norms preserved in expectation; check a tolerant band pairwise
+    ratios = []
+    for i in range(0, 20, 2):
+        d_orig = np.linalg.norm(vecs[i] - vecs[i + 1])
+        d_proj = np.linalg.norm(out[i] - out[i + 1])
+        ratios.append(d_proj / d_orig)
+    assert 0.6 < min(ratios) and max(ratios) < 1.5
+    assert abs(np.mean(ratios) - 1.0) < 0.2
