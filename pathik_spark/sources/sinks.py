@@ -422,3 +422,62 @@ def read_warc_record(path: str, offset: int, length: int) -> tuple[str, bytes]:
     headers = data[:sep].decode("utf-8")
     payload = data[sep + 4 : -4]
     return headers, payload
+
+
+def write_sharded_jsonl(
+    corpus: DataFrame,
+    out_dir: str,
+    target_shard_bytes: int = 256 << 20,
+    key_col: str = "doc_id",
+    compression: str = "gzip",
+) -> DataFrame:
+    """Size-targeted shard export (the FineWeb-style layout): the corpus
+    lands as ``out_dir/shard=00000/part-*.json[.gz]`` with each shard
+    holding ~``target_shard_bytes`` of UNCOMPRESSED JSONL — the unit
+    data loaders stream and resume on.
+
+    Shard assignment is a deterministic hash of ``key_col`` into
+    n_shards = ceil(total_bytes / target): at real shard sizes
+    (hundreds of MB over millions of docs) the law of large numbers
+    makes per-shard byte spread a fraction of a percent, without the
+    global prefix-sum an exact byte cut would need (which serializes on
+    a single ordered pass). Two corpus passes total: one map-side-
+    combined byte count, one shuffle into shards. All rows of a shard
+    land in one task, so every shard directory holds exactly ONE part
+    file; re-running the export reproduces identical shard membership.
+
+    Returns the shard manifest (shard, n_docs, shard_bytes) — small
+    (#shards rows), computed from the same byte column the sizing used.
+    """
+    import math
+
+    from pathik_spark.operators.dedup import portable_hash64
+
+    cols = [c for c in corpus.columns]
+    row_bytes = (
+        F.octet_length(F.to_json(F.struct(*[F.col(c) for c in cols]))) + F.lit(1)
+    ).cast("long")
+    sized = corpus.withColumn("_bytes", row_bytes)
+    total = sized.agg(F.sum("_bytes").alias("t")).collect()[0]["t"] or 0
+    n_shards = max(1, math.ceil(total / target_shard_bytes))
+    shard = F.lpad(
+        F.pmod(
+            portable_hash64(F.concat(F.lit("shard:"), F.col(key_col).cast("string"))),
+            F.lit(n_shards),
+        ).cast("string"),
+        5,
+        "0",
+    )
+    sharded = sized.withColumn("shard", shard)
+    (
+        sharded.repartition(n_shards, "shard")
+        .drop("_bytes")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("shard")
+        .json(out_dir)
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_bytes").alias("shard_bytes"),
+    )

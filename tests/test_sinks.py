@@ -182,3 +182,40 @@ def test_write_training_jsonl_split_layout(spark, tmp_path):
     # round-trips through spark's own reader with the split restored
     back = spark.read.json(out)
     assert back.count() == 3 and set(back.columns) == {"doc_id", "text", "split"}
+
+
+def test_write_sharded_jsonl_layout_and_balance(spark, tmp_path):
+    import glob
+    import gzip
+    import json
+
+    from pathik_spark.sources.sinks import write_sharded_jsonl
+
+    rows = [(i, "x" * (50 + (i * 37) % 400)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    manifest = write_sharded_jsonl(
+        df, out, target_shard_bytes=20_000, compression="none"
+    )
+    stats = {r["shard"]: r for r in manifest.collect()}
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == len(stats) and len(dirs) > 2
+    # exactly ONE part file per shard, readable round-trip
+    seen = {}
+    for d in dirs:
+        parts = [p for p in glob.glob(f"{d}/part-*") if not p.endswith(".crc")]
+        assert len(parts) == 1
+        for line in open(parts[0]):
+            rec = json.loads(line)
+            seen[rec["doc_id"]] = rec["text"]
+    assert seen == {i: t for i, t in rows}
+    # statistical balance: no shard more than 3x the mean at this tiny scale
+    sizes = [r["shard_bytes"] for r in stats.values()]
+    assert max(sizes) < 3 * (sum(sizes) / len(sizes))
+    # deterministic membership on re-run
+    manifest2 = write_sharded_jsonl(
+        df.repartition(7), out, target_shard_bytes=20_000, compression="none"
+    )
+    assert sorted(map(tuple, manifest2.collect())) == sorted(
+        map(tuple, manifest.collect())
+    )
