@@ -847,15 +847,16 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JL random projection (Achlioptas sparse matrix): the real
-    one-matmul-per-Arrow-batch operator, posexploded to long form and
-    rounded in the JVM to match the oracle's literal-matrix SUM."""
+    """JL random projection (Achlioptas sparse matrix): the operator's
+    micro_exact arm (per-product integer-micro rounding — associative,
+    so the cross-engine comparison is exact), posexploded to long form
+    to match the oracle's literal-matrix SUM."""
     from pathik_spark.entry_queries import RP_DIM, RP_OUT_DIM
     from pathik_spark.operators.ann import random_projection
 
     _register_views(spark, sf_dir)
     reduced = random_projection(
-        spark.table("embeddings"), out_dim=RP_OUT_DIM, dim=RP_DIM
+        spark.table("embeddings"), out_dim=RP_OUT_DIM, dim=RP_DIM, micro_exact=True
     )
     return reduced.select(
         "vec_id", F.posexplode("embedding").alias("j", "c")

@@ -1121,15 +1121,16 @@ RP_DIM = 64
 
 
 def duck_random_projection_sql(out_dim: int = RP_OUT_DIM, dim: int = RP_DIM) -> str:
-    """DuckDB twin of ann.random_projection in long form (vec_id, j,
-    component): the Achlioptas matrix's NONZERO entries inlined as
-    literals (2/3 sparse -> ~dim*out_dim/3 rows), positional unnest join,
-    ROUND(SUM(v*m), 6) per output component."""
+    """DuckDB twin of ann.random_projection(micro_exact=True) in long
+    form (vec_id, j, component): the Achlioptas matrix's NONZERO entries
+    inlined as literals (2/3 sparse -> ~dim*out_dim/3 rows), positional
+    unnest join, and per-PRODUCT micro-int rounding before the sum so
+    the comparison is associative-exact, not merely 1e-6-close."""
     from pathik_spark.operators.ann import projection_matrix
 
     mat = projection_matrix(out_dim, dim)
     vals = ", ".join(
-        f"({i}, {j}, {mat[i, j]!r})"
+        f"({i}, {j}, {float(mat[i, j])!r})"
         for i in range(dim)
         for j in range(out_dim)
         if mat[i, j] != 0.0
@@ -1140,7 +1141,8 @@ def duck_random_projection_sql(out_dim: int = RP_OUT_DIM, dim: int = RP_DIM) -> 
 WITH emb AS (SELECT vec_id, embedding FROM embeddings),
 vals AS ({unnest}),
 proj(i, j, m) AS (VALUES {vals})
-SELECT v.vec_id, CAST(p.j AS INT) AS j, ROUND(SUM(v.v * p.m), 6) AS component
+SELECT v.vec_id, CAST(p.j AS INT) AS j,
+  ROUND(SUM(CAST(ROUND(v.v * p.m * 1000000.0) AS BIGINT)) / 1000000.0, 6) AS component
 FROM vals v JOIN proj p ON p.i = v.pos
 GROUP BY v.vec_id, p.j
 """

@@ -463,6 +463,7 @@ def random_projection(
     seed: int = _PROJECTION_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    micro_exact: bool = False,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction for embedding
     columns: (vec_id, embedding[out_dim]) with pairwise distances
@@ -473,8 +474,17 @@ def random_projection(
     Same execution shape as the SRP bucketing above: ONE
     (batch x dim) @ (dim x out_dim) numpy matmul per Arrow batch,
     scan-local, O(1) plan size in both widths. Components are kept at
-    full double precision — round at the consumer if comparing
-    cross-engine (the `random_projection` oracle rounds to 6 dp).
+    full double precision.
+
+    ``micro_exact=True`` switches to the repo's integer-micro exactness
+    device: each product v_i*m_ij is rounded (half away from zero) to
+    micro units BEFORE the sum, so the component is an associative
+    integer sum — bit-identical cross-engine/partitioning, which the
+    `random_projection` DuckDB oracle relies on (BLAS matmul and SQL
+    SUM associate doubles differently; 6-dp rounding of two sums an
+    ulp apart on a .5 boundary would otherwise disagree). Costs a
+    chunked (rows x dim x out_dim) intermediate — the ORACLE arm;
+    production keeps the pure matmul.
     """
     mat = projection_matrix(out_dim, dim, seed)  # (dim, out_dim)
 
@@ -483,7 +493,15 @@ def random_projection(
         if len(vec) == 0:
             return pd.Series([], dtype=object)
         batch = np.stack(vec.to_numpy()).astype(np.float64)  # (batch, dim)
-        return pd.Series(list(batch @ mat))
+        if not micro_exact:
+            return pd.Series(list(batch @ mat))
+        out = np.empty((batch.shape[0], out_dim))
+        chunk = max(1, (1 << 22) // (dim * out_dim))  # <= ~32 MB intermediate
+        for s in range(0, batch.shape[0], chunk):
+            prods = batch[s : s + chunk, :, None] * mat[None, :, :] * 1e6
+            micro = (np.sign(prods) * np.floor(np.abs(prods) + 0.5)).astype(np.int64)
+            out[s : s + chunk] = micro.sum(axis=1) / 1e6
+        return pd.Series(list(out))
 
     return embeddings.select(
         F.col(id_col).alias("vec_id"), project(F.col(vec_col)).alias("embedding")

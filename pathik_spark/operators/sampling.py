@@ -217,11 +217,28 @@ def temperature_mix(
     key_col: str = "doc_id",
     salt: str = "temp",
 ) -> DataFrame:
-    """Rebalance df toward the temperature-flattened group mix: derive
-    rates, then one deterministic stratified pass over the corpus (the
-    only corpus-sized work — broadcast rates, scan-local filter)."""
-    rates = temperature_mix_rates(df, alpha=alpha, group_col=group_col).select(
-        group_col, "rate"
+    """Rebalance df toward the temperature-flattened group mix.
+
+    The rates are stated IN-PLAN (groupBy counts -> broadcast min ->
+    pow), not via a driver collect: the whole rebalance stays a lazy
+    transformation, so facade pipelines (api.prepare_training_corpus)
+    keep their everything-is-lazy contract and nothing upstream runs at
+    plan-construction time. Same closed form as temperature_mix_rates;
+    the corpus-sized work is one count aggregation plus the scan-local
+    broadcast-rates filter."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    nmin = counts.agg(F.min("_n").alias("_nm"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.round(
+            F.pow(F.col("_nm") / F.col("_n"), F.lit(1.0 - alpha)), 6
+        ).alias("rate"),
     )
     return stratified_sample(
         df, rates, group_col=group_col, key_col=key_col, salt=salt

@@ -151,9 +151,14 @@ def bm25_topk(
 
     order = [F.col("s_micro").desc(), F.col("doc_id").asc()]
     if n_salts > 0:
-        local = Window.partitionBy(
-            "query_id", F.pmod(F.col("doc_id"), F.lit(n_salts))
-        ).orderBy(*order)
+        # hash-based salt: type-agnostic (string url keys must not
+        # degenerate into one NULL salt via an implicit numeric cast)
+        from pathik_spark.operators.dedup import portable_hash64
+
+        salt = F.pmod(
+            portable_hash64(F.col("doc_id").cast("string")), F.lit(n_salts)
+        )
+        local = Window.partitionBy("query_id", salt).orderBy(*order)
         scored = (
             scored.withColumn("_lr", F.row_number().over(local))
             .filter(F.col("_lr") <= k)

@@ -441,10 +441,13 @@ def write_sharded_jsonl(
     (hundreds of MB over millions of docs) the law of large numbers
     makes per-shard byte spread a fraction of a percent, without the
     global prefix-sum an exact byte cut would need (which serializes on
-    a single ordered pass). Two corpus passes total: one map-side-
-    combined byte count, one shuffle into shards. All rows of a shard
-    land in one task, so every shard directory holds exactly ONE part
-    file; re-running the export reproduces identical shard membership.
+    a single ordered pass). The sized rows are persisted
+    (MEMORY_AND_DISK) so the sizing agg, the write, and the manifest
+    all read ONE materialization of the corpus instead of recomputing
+    the upstream lineage three times; the cache is released before
+    returning. All rows of a shard land in one task, so every shard
+    directory holds exactly ONE part file; re-running the export
+    reproduces identical shard membership.
 
     Returns the shard manifest (shard, n_docs, shard_bytes) — small
     (#shards rows), computed from the same byte column the sizing used.
@@ -457,27 +460,44 @@ def write_sharded_jsonl(
     row_bytes = (
         F.octet_length(F.to_json(F.struct(*[F.col(c) for c in cols]))) + F.lit(1)
     ).cast("long")
-    sized = corpus.withColumn("_bytes", row_bytes)
-    total = sized.agg(F.sum("_bytes").alias("t")).collect()[0]["t"] or 0
-    n_shards = max(1, math.ceil(total / target_shard_bytes))
-    shard = F.lpad(
-        F.pmod(
-            portable_hash64(F.concat(F.lit("shard:"), F.col(key_col).cast("string"))),
-            F.lit(n_shards),
-        ).cast("string"),
-        5,
-        "0",
-    )
-    sharded = sized.withColumn("shard", shard)
-    (
-        sharded.repartition(n_shards, "shard")
-        .drop("_bytes")
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .partitionBy("shard")
-        .json(out_dir)
-    )
-    return sharded.groupBy("shard").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("_bytes").alias("shard_bytes"),
+    sized = corpus.withColumn("_bytes", row_bytes).persist()
+    try:
+        total = sized.agg(F.sum("_bytes").alias("t")).collect()[0]["t"] or 0
+        n_shards = max(1, math.ceil(total / target_shard_bytes))
+        # label width grows with n_shards (lpad TRUNCATES over-long
+        # strings — 5 fixed digits would merge shards past 100k)
+        width = max(5, len(str(n_shards - 1)))
+        shard = F.lpad(
+            F.pmod(
+                portable_hash64(
+                    F.concat(F.lit("shard:"), F.col(key_col).cast("string"))
+                ),
+                F.lit(n_shards),
+            ).cast("string"),
+            width,
+            "0",
+        )
+        sharded = sized.withColumn("shard", shard)
+        (
+            sharded.repartition(n_shards, "shard")
+            .drop("_bytes")
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy("shard")
+            .json(out_dir)
+        )
+        # materialize the (tiny) manifest off the SAME persisted rows the
+        # write consumed, then release the cache
+        manifest_rows = (
+            sharded.groupBy("shard")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("_bytes").alias("shard_bytes"),
+            )
+            .collect()
+        )
+    finally:
+        sized.unpersist()
+    return corpus.sparkSession.createDataFrame(
+        manifest_rows, schema="shard string, n_docs long, shard_bytes long"
     )

@@ -37,8 +37,8 @@ def test_top_ngrams_order_and_ties(tiny):
     assert [r["rnk"] for r in rows] == [1, 2, 3]
     assert rows[0]["gram"] == "the cat" and rows[0]["count"] == 3
     assert rows[1]["gram"] == "cat sat" and rows[1]["count"] == 2
-    # count-1 ties break lexicographically
-    assert rows[2]["gram"] == min(g["gram"] for g in rows[2:])
+    # count-1 ties break lexicographically: 'a dog' < 'cat ran' < 'dog ran' < 'sat the'
+    assert rows[2]["gram"] == "a dog" and rows[2]["count"] == 1
 
 
 def test_boilerplate_ngrams_threshold(tiny):
