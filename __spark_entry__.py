@@ -846,6 +846,26 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(spark.table("documents"), n_terms=TFIDF_TERMS)
 
 
+def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JM-interpolated bigram LM scoring (operators/lm.py) — the step
+    from the unigram toward CCNet's KenLM; trained and scored on
+    documents with the same vocab-16 convention as `lm_score`."""
+    from pathik_spark.entry_queries import BIGRAM_LAM
+    from pathik_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    from pathik_spark.entry_queries import LM_VOCAB
+
+    uni = train_unigram_lm(docs, vocab_size=LM_VOCAB)
+    bi = train_bigram_lm(docs, vocab_size=LM_VOCAB, lam=BIGRAM_LAM)
+    return bigram_lm_score(docs, bi, uni, lam=BIGRAM_LAM)
+
+
 def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection (Achlioptas sparse matrix): the operator's
     micro_exact arm (per-product integer-micro rounding — associative,
@@ -1290,6 +1310,7 @@ ENGINE_ORACLE_QUERIES = {
     "feed_urls": _q_feed_urls,
     "host_graph_stats": _q_host_graph_stats,
     "random_projection": _q_random_projection,
+    "bigram_lm_score": _q_bigram_lm_score,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

@@ -1116,6 +1116,77 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+BIGRAM_LAM = 0.8
+
+
+def duck_bigram_lm_score_sql(lam: float = BIGRAM_LAM) -> str:
+    """DuckDB twin of train_bigram_lm(vocab=16, lam) + bigram_lm_score
+    over documents (operators/lm.py): same top-16 vocab/mass convention
+    as `lm_score`, JM-interpolated in-vocab bigrams as micro-log10 ints,
+    unseen pairs = uni_micro + round(log10(1-lam)*1e6) BY CONVENTION,
+    first tokens pure unigram, OOV at the 1/mass floor."""
+    import math
+
+    shift = int(round(math.log10(1.0 - lam) * 1000000))
+    d = DUCK
+    norm = _norm_text(d, "text")
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, generate_subscripts(string_split({norm}, ' '), 1) - 1 AS pos,
+         unnest(string_split({norm}, ' ')) AS tok
+  FROM documents
+),
+toks AS (SELECT doc_id, pos, tok FROM toks0 WHERE tok <> ''),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {LM_VOCAB}),
+mass AS (SELECT CAST(SUM(n) + COUNT(*) + 1 AS BIGINT) AS m FROM top),
+lm AS (
+  SELECT tok, CAST(ROUND(log10((n + 1.0) / m) * 1000000) AS BIGINT) AS lp
+  FROM top, mass
+),
+flo AS (SELECT CAST(ROUND(log10(1.0 / m) * 1000000) AS BIGINT) AS flp FROM mass),
+pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+firsts AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, tok AS w2 FROM toks WHERE pos = 0
+),
+c12 AS (
+  SELECT p.w1, p.w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM pairs p
+  JOIN top t1 ON t1.tok = p.w1 JOIN top t2 ON t2.tok = p.w2
+  GROUP BY p.w1, p.w2
+),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+blm AS (
+  SELECT c12.w1, c12.w2,
+    CAST(ROUND(log10({lam!r} * (c12.c12 / c1.c1) + {1.0 - lam!r} * ((t2.n + 1.0) / mass.m)) * 1000000) AS BIGINT) AS lp
+  FROM c12 JOIN c1 USING (w1) JOIN top t2 ON t2.tok = c12.w2, mass
+),
+allrows AS (SELECT * FROM firsts UNION ALL SELECT * FROM pairs),
+scored AS (
+  SELECT s.doc_id,
+    CASE WHEN b.lp IS NOT NULL THEN b.lp
+         WHEN s.w1 IS NULL THEN COALESCE(l.lp, f.flp)
+         ELSE COALESCE(l.lp, f.flp) + ({shift}) END AS lp
+  FROM allrows s
+  LEFT JOIN blm b ON b.w1 = s.w1 AND b.w2 = s.w2
+  LEFT JOIN lm l ON l.tok = s.w2
+  CROSS JOIN flo f
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         ROUND(SUM(lp) / (COUNT(*) * 1000000.0), 6) AS mean_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT dd.doc_id,
+  COALESCE(a.n_tok, 0) AS n_tok,
+  COALESCE(a.mean_logp, 0.0) AS mean_logp
+FROM documents dd LEFT JOIN agg a USING (doc_id)
+"""
+
+
 RP_OUT_DIM = 4
 RP_DIM = 64
 
@@ -3120,6 +3191,7 @@ ENGINE_ORACLE_SQL = {
     "feed_urls": duck_feed_urls_sql,
     "host_graph_stats": duck_host_graph_stats_sql,
     "random_projection": duck_random_projection_sql,
+    "bigram_lm_score": duck_bigram_lm_score_sql,
 }
 
 

@@ -205,3 +205,177 @@ def bucket_by_cutoffs(
         expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
     expr = expr.otherwise(F.lit(labels[-1]))
     return joined.withColumn("ppl_bucket", expr).drop("cutoffs")
+
+
+def _token_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, w1, w2): consecutive-token pairs of the normalized text
+    plus one (doc_id, NULL, first_token) row per non-empty doc — the
+    bigram scorer's unit of work (one row per TOKEN: the first token is
+    conditioned on nothing, every later token on its predecessor).
+    Built scan-locally with higher-order functions; empty docs emit
+    nothing."""
+    norm = normalized_text(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("toks")
+    ).filter(F.element_at("toks", 1) != "")
+    n = F.size("toks")
+    pair_idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        pair_idx,
+        lambda i: F.struct(
+            F.element_at("toks", (i + 1).cast("int")).alias("w1"),
+            F.element_at("toks", (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    first = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("w1"),
+            F.element_at("toks", 1).alias("w2"),
+        )
+    )
+    return toks.select("doc_id", F.explode(F.concat(first, pairs)).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def train_bigram_lm(
+    reference: DataFrame,
+    vocab_size: int = DEFAULT_VOCAB,
+    lam: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM over the truncated vocab —
+    one smoothing step closer to CCNet's KenLM scorer than the unigram
+    above:
+
+        p(w2|w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * p_uni(w2)
+
+    with p_uni the add-one unigram over the same vocab/mass convention
+    as train_unigram_lm. Only pairs with BOTH tokens in vocab are
+    materialized (<= observed in-vocab pairs, broadcastable for the
+    vocab sizes LM gating uses); everything else decomposes onto the
+    unigram at scoring time. Returns (w1, w2, logp_micro) as integer
+    micro-log10 — the associative-exact convention the DuckDB oracle
+    (`bigram_lm_score`) restates.
+
+    Shape: token counts and pair counts are each ONE map-side-combined
+    groupBy over the reference corpus; c(w1 ·) reduces the (small) pair
+    count table, never the corpus.
+    """
+    counts = corpus_tokens(reference, text_col, id_col).groupBy("tok").agg(
+        F.count("*").alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(vocab_size)
+    total = top.agg(F.sum("n").alias("_t"), F.count("*").alias("_v")).select(
+        (F.col("_t") + F.col("_v") + 1).cast("long").alias("total_mass")
+    )
+    pairs = _token_pairs(reference, text_col, id_col).filter(F.col("w1").isNotNull())
+    v1 = top.select(F.col("tok").alias("w1"))
+    v2 = top.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    c12 = (
+        pairs.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2.select("w2")), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    return (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log10(
+                    F.lit(lam) * (F.col("c12") / F.col("c1"))
+                    + F.lit(1.0 - lam)
+                    * ((F.col("n2") + 1) / F.col("total_mass"))
+                )
+                * _MICRO
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    bigram_lm: DataFrame,
+    unigram_lm: DataFrame,
+    lam: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tok, mean_logp): interpolated-bigram score per doc.
+
+    Per token: a seen in-vocab bigram takes the trained JM log-prob; an
+    unseen pair backs off to log10((1-lam) * p_uni(w2)) — which in
+    integer micro units is EXACTLY uni_logp_micro + round(log10(1-lam)
+    * 1e6) by convention (the convention is the spec; the oracle states
+    the same sum) — and the first token of a doc scores pure unigram.
+    OOV w2 takes the unigram floor 1/total_mass in the same positions.
+
+    Scale shape mirrors lm_score: pair construction is scan-local, both
+    model joins are broadcasts, the one shuffle re-aggregates on the
+    table's own doc key, and the integer micro-sum makes the mean
+    partitioning/engine-exact.
+    """
+    import math
+
+    shift = int(round(math.log10(1.0 - lam) * _MICRO))
+    floor = unigram_lm.select(
+        F.max(
+            F.round(F.log10(1.0 / F.col("total_mass")) * _MICRO).cast("long")
+        ).alias("floor_micro")
+    )
+    rows = _token_pairs(docs, text_col, id_col)
+    scored = (
+        rows.join(
+            F.broadcast(
+                bigram_lm.select("w1", "w2", F.col("logp_micro").alias("_bg"))
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                unigram_lm.select(
+                    F.col("tok").alias("w2"), F.col("logp_micro").alias("_uni")
+                )
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(floor))
+        .select(
+            "doc_id",
+            F.when(F.col("_bg").isNotNull(), F.col("_bg"))
+            .when(
+                F.col("w1").isNull(),
+                F.coalesce(F.col("_uni"), F.col("floor_micro")),
+            )
+            .otherwise(
+                F.coalesce(F.col("_uni"), F.col("floor_micro")) + F.lit(shift)
+            )
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.round(F.sum("lp") / (F.count("*") * F.lit(float(_MICRO))), 6).alias(
+            "mean_logp"
+        ),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+        F.coalesce(F.col("mean_logp"), F.lit(0.0)).alias("mean_logp"),
+    )

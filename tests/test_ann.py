@@ -255,3 +255,34 @@ def test_random_projection_preserves_distances(spark):
         ratios.append(d_proj / d_orig)
     assert 0.6 < min(ratios) and max(ratios) < 1.5
     assert abs(np.mean(ratios) - 1.0) < 0.2
+
+
+def test_random_projection_ann_recall_composition(spark):
+    """The intended composition: project 64 -> 24 dims, run brute-force
+    cosine top-k in the reduced space, compare against full-space
+    ground truth — JL distortion should keep recall high."""
+    import numpy as np
+
+    from pathik_spark.operators.ann import brute_force_topk, random_projection
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((8, 64))
+    vecs = []
+    for i in range(80):
+        v = base[i % 8] + 0.15 * rng.standard_normal(64)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 4").selectExpr("vec_id AS query_id", "embedding")
+
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    reduced = random_projection(df, out_dim=24, dim=64)
+    red_q = reduced.filter("vec_id < 4").selectExpr("vec_id AS query_id", "embedding")
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(reduced, red_q, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, recall

@@ -110,3 +110,72 @@ def test_perplexity_cutoffs_and_bucket_by_cutoffs(spark):
     # the corpus side stays scan-local: broadcast join, no corpus Exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---- interpolated bigram LM --------------------------------------------------
+
+
+def test_token_pairs_shape(spark):
+    from pathik_spark.operators.lm import _token_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "x"), (2, "")], "doc_id long, text string"
+    )
+    rows = {(r["doc_id"], r["w1"], r["w2"]) for r in _token_pairs(docs).collect()}
+    assert rows == {(0, None, "a"), (0, "a", "b"), (0, "b", "c"), (1, None, "x")}
+
+
+def test_train_bigram_lm_hand_probabilities(spark):
+    import math
+
+    from pathik_spark.operators.lm import train_bigram_lm
+
+    # corpus: "a b a b a" -> unigram counts a=3 b=2; pairs: ab, ba, ab, ba
+    docs = spark.createDataFrame([(0, "a b a b a")], "doc_id long, text string")
+    lam = 0.8
+    model = {
+        (r["w1"], r["w2"]): r["logp_micro"]
+        for r in train_bigram_lm(docs, vocab_size=16, lam=lam).collect()
+    }
+    m = 3 + 2 + 2 + 1  # sum(n) + vocab + 1
+    exp_ab = round(math.log10(lam * (2 / 2) + (1 - lam) * ((2 + 1) / m)) * 1e6)
+    exp_ba = round(math.log10(lam * (2 / 2) + (1 - lam) * ((3 + 1) / m)) * 1e6)
+    assert model == {("a", "b"): exp_ab, ("b", "a"): exp_ba}
+
+
+def test_bigram_lm_score_prefers_seen_order(spark):
+    from pathik_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)],
+        "doc_id long, text string",
+    )
+    uni = train_unigram_lm(ref, vocab_size=16)
+    bi = train_bigram_lm(ref, vocab_size=16, lam=0.8)
+    probe = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "mat the on sat cat the"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(probe, bi, uni, lam=0.8).collect()}
+    assert got[0]["mean_logp"] > got[1]["mean_logp"]  # order matters now
+    assert got[0]["n_tok"] == got[1]["n_tok"] == 6
+    assert got[2] and got[2]["n_tok"] == 0 and got[2]["mean_logp"] == 0.0
+
+
+def test_bigram_lm_score_partitioning_independent(spark):
+    from pathik_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    uni = train_unigram_lm(docs, vocab_size=16)
+    bi = train_bigram_lm(docs, vocab_size=16)
+    one = sorted(map(tuple, bigram_lm_score(docs.coalesce(1), bi, uni).collect()))
+    many = sorted(map(tuple, bigram_lm_score(docs.repartition(13), bi, uni).collect()))
+    assert one == many
