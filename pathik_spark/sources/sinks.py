@@ -501,3 +501,51 @@ def write_sharded_jsonl(
     return corpus.sparkSession.createDataFrame(
         manifest_rows, schema="shard string, n_docs long, shard_bytes long"
     )
+
+
+def wet_record_rows(artifacts: DataFrame, text_col: str = "text") -> DataFrame:
+    """WET ``conversion`` records — Common Crawl's extracted-plain-text
+    sidecar to the WARC archives (the file format most LLM-corpus
+    pipelines actually ingest). Same JVM-expression-only assembly as
+    warc_record_rows: (url, warc_date, record_id, refers_to, record,
+    record_len).
+
+    Header semantics per ISO 28500 / Common Crawl practice:
+    WARC-Type: conversion, Content-Type: text/plain, and
+    WARC-Refers-To pointing at the deterministic record id the SOURCE
+    html record gets from warc_record_rows — so a (WARC, WET) pair
+    written from the same artifacts cross-references exactly. Feed the
+    output to write_warc_files (the writer is record-agnostic) with a
+    ``.wet`` prefix for the standard layout."""
+    fetched = artifacts.filter(F.col("status") == "fetched")
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
+    n = F.length(payload)
+    date = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    src_rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.col("url")))
+    rid = F.concat(
+        F.lit("urn:uuid:"), _warc_uuid(F.concat(F.lit("wet:"), F.col("url")))
+    )
+    header = F.concat_ws(
+        "\r\n",
+        F.lit("WARC/1.0"),
+        F.lit("WARC-Type: conversion"),
+        F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+        F.concat(F.lit("WARC-Date: "), date),
+        F.concat(F.lit("WARC-Record-ID: <"), rid, F.lit(">")),
+        F.concat(F.lit("WARC-Refers-To: <"), src_rid, F.lit(">")),
+        F.lit("Content-Type: text/plain"),
+        F.concat(F.lit("Content-Length: "), n.cast("string")),
+    )
+    record = F.concat(
+        F.encode(F.concat(header, F.lit("\r\n\r\n")), "utf-8"),
+        payload,
+        F.encode(F.lit("\r\n\r\n"), "utf-8"),
+    )
+    return fetched.select(
+        "url",
+        date.alias("warc_date"),
+        rid.alias("record_id"),
+        src_rid.alias("refers_to"),
+        record.alias("record"),
+        F.length(record).alias("record_len"),
+    )

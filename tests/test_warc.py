@@ -114,3 +114,62 @@ def test_warc_writer_is_idempotent_per_file(spark, tmp_path):
     with open(a[0]["path"], "rb") as f:
         data = f.read()
     assert len(data) == a[0]["n_bytes"]
+
+
+def _artifacts_with_text(spark):
+    rows = [
+        ("https://a.example/x", datetime.datetime(2013, 5, 1, 12, 30, 0),
+         b"<html>alpha</html>", "alpha text été", "fetched"),
+        ("https://b.example/y", datetime.datetime(2014, 6, 2, 1, 2, 3),
+         b"<html>beta</html>", None, "fetched"),
+        ("https://c.example/z", datetime.datetime(2014, 6, 2, 1, 2, 3),
+         b"nope", "dropped", "missing"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, status string"
+    )
+
+
+def test_wet_records_roundtrip_and_refers_to(spark, tmp_path):
+    from pathik_spark.sources.sinks import wet_record_rows
+
+    arts = _artifacts_with_text(spark)
+    wet = wet_record_rows(arts).collect()
+    warc = {r["url"]: r["record_id"] for r in warc_record_rows(arts).collect()}
+    assert len(wet) == 2  # missing row excluded
+    by_url = {r["url"]: r for r in wet}
+    # cross-reference: WET refers_to == the html record's id, own id differs
+    for url, r in by_url.items():
+        assert r["refers_to"] == warc[url]
+        assert r["record_id"] != warc[url]
+    # byte-level parse of the record blob
+    rec = bytes(by_url["https://a.example/x"]["record"])
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    headers = head.decode("utf-8")
+    assert "WARC-Type: conversion" in headers
+    assert "Content-Type: text/plain" in headers
+    assert "WARC-Refers-To: <" + warc["https://a.example/x"] + ">" in headers
+    length = int(re.search(r"Content-Length: (\d+)", headers).group(1))
+    payload = rest[:length]
+    assert payload.decode("utf-8") == "alpha text été"
+    assert rest[length : length + 4] == b"\r\n\r\n"
+    # null text -> empty payload, still a valid record
+    rec_b = bytes(by_url["https://b.example/y"]["record"])
+    hb = rec_b.split(b"\r\n\r\n")[0].decode()
+    assert "Content-Length: 0" in hb
+
+
+def test_wet_files_written_by_generic_writer(spark, tmp_path):
+    from pathik_spark.sources.sinks import wet_record_rows, write_warc_files
+
+    arts = _artifacts_with_text(spark)
+    paths = write_warc_files(
+        wet_record_rows(arts).repartition(1), str(tmp_path), prefix="test.wet"
+    )
+    files = [p["path"] for p in paths if p["path"].endswith(".warc")]
+    assert files
+    parsed = read_warc(files[0])
+    assert {h.split("WARC-Target-URI: ")[1].split("\r\n")[0] for h, _ in parsed} == {
+        "https://a.example/x", "https://b.example/y"
+    }
+    assert all("WARC-Type: conversion" in h for h, _ in parsed)
