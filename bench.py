@@ -296,6 +296,8 @@ def main() -> None:
         "perplexity_buckets",
         "dsir_select",
         "bm25_topk",
+        "top_ngrams",
+        "bigram_lm_score",
     ):
 
         def _entry_once(name=name) -> float:
