@@ -846,6 +846,26 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(spark.table("documents"), n_terms=TFIDF_TERMS)
 
 
+def _q_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain best-k curation (operators/sampling.best_per_group):
+    documents capped at the k highest-quality per source."""
+    from pathik_spark.entry_queries import BEST_PER_GROUP_K
+    from pathik_spark.functions.text import quality_score
+    from pathik_spark.operators.sampling import best_per_group
+
+    _register_views(spark, sf_dir)
+    annotated = spark.table("documents").select(
+        "source", "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    return best_per_group(
+        annotated,
+        k=BEST_PER_GROUP_K,
+        group_col="source",
+        order_col="quality",
+        key_col="doc_id",
+    ).select("source", "doc_id", "quality", "rnk")
+
+
 def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JM-interpolated bigram LM scoring (operators/lm.py) — the step
     from the unigram toward CCNet's KenLM; trained and scored on
@@ -1311,6 +1331,7 @@ ENGINE_ORACLE_QUERIES = {
     "host_graph_stats": _q_host_graph_stats,
     "random_projection": _q_random_projection,
     "bigram_lm_score": _q_bigram_lm_score,
+    "best_per_group": _q_best_per_group,
     "lsh_ann_topk": _q_lsh_ann,
     "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     "ivf_ann_exact_probe": _q_ivf_exact,

@@ -36,7 +36,13 @@ from pathik_spark.operators.fetch import extract_artifacts, fetch_join
 from pathik_spark.operators.frontier import prepare_frontier
 from pathik_spark.sources import sinks
 
-__all__ = ["crawl", "crawl_to_r2", "stream_to_kafka", "prepare_training_corpus"]
+__all__ = [
+    "crawl",
+    "crawl_to_r2",
+    "stream_to_kafka",
+    "prepare_training_corpus",
+    "search_corpus",
+]
 
 
 def prepare_training_corpus(
@@ -207,6 +213,38 @@ def prepare_training_corpus(
     ).select(*out_cols)
     report = corpus_report(corpus, group_cols=("lang_guess", "split"))
     return corpus, report
+
+
+def search_corpus(
+    docs: DataFrame,
+    queries: str | list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 0,
+) -> DataFrame:
+    """BM25 search over a document table with plain-string queries —
+    the one-liner for "show me what we crawled about X".
+
+    Returns (query, doc_id, score, rnk), top-``k`` per query. Wraps
+    operators/search.bm25_topk (query terms broadcast and pruned before
+    any index-wide work); pass ``n_salts > 0`` when queries contain very
+    common terms at corpus scale."""
+    from pathik_spark.operators.search import bm25_topk
+
+    qlist = [queries] if isinstance(queries, str) else list(queries)
+    if not qlist:
+        raise ValueError("search_corpus: no queries given")
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(i + 1, q) for i, q in enumerate(qlist)], "query_id long, query string"
+    )
+    hits = bm25_topk(
+        docs, qdf, k=k, n_salts=n_salts, text_col=text_col, id_col=id_col
+    )
+    return hits.join(F.broadcast(qdf), "query_id").select(
+        "query", "doc_id", "score", "rnk"
+    )
 
 
 def _as_list(urls: str | list[str]) -> list[str]:

@@ -1116,6 +1116,25 @@ def duck_host_rank_sql(damping: float = 0.85, n_iters: int = 3) -> str:
     return f"WITH {body}\nSELECT host, ROUND(rank, 6) AS rank FROM r{n_iters}\n"
 
 
+BEST_PER_GROUP_K = 5
+
+
+def duck_best_per_group_sql(k: int = BEST_PER_GROUP_K) -> str:
+    """DuckDB twin of sampling.best_per_group over documents grouped by
+    source, ordered by the shared quality heuristic (desc) with doc_id
+    tie-break."""
+    q = _quality_expr(DUCK)
+    return f"""
+WITH qd AS (SELECT source, doc_id, {q} AS quality FROM documents),
+rk AS (
+  SELECT source, doc_id, quality,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+  FROM qd
+)
+SELECT source, doc_id, quality, CAST(rnk AS INT) AS rnk FROM rk WHERE rnk <= {k}
+"""
+
+
 BIGRAM_LAM = 0.8
 
 
@@ -3192,6 +3211,7 @@ ENGINE_ORACLE_SQL = {
     "host_graph_stats": duck_host_graph_stats_sql,
     "random_projection": duck_random_projection_sql,
     "bigram_lm_score": duck_bigram_lm_score_sql,
+    "best_per_group": duck_best_per_group_sql,
 }
 
 

@@ -24,7 +24,7 @@ scan + filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pathik_spark.operators.dedup import portable_hash64
@@ -242,4 +242,44 @@ def temperature_mix(
     )
     return stratified_sample(
         df, rates, group_col=group_col, key_col=key_col, salt=salt
+    )
+
+
+def best_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "host",
+    order_col: str = "quality",
+    key_col: str = "doc_id",
+    n_salts: int = 0,
+) -> DataFrame:
+    """Keep the ``k`` best rows of every group — the "cap every domain
+    at its k best pages" curation move (the per-host twin of the
+    politeness scheduler's per-host budget, applied to the corpus
+    instead of the frontier).
+
+    Ordering is (order_col DESC, key_col ASC): the tie-break on the key
+    makes the selection deterministic, so re-runs and the DuckDB oracle
+    (`best_per_group`) agree exactly. ``n_salts > 0`` switches to the
+    scheduler's two-phase salted window (phase 1 keeps <= k per
+    (group, salt-of-key); phase 2 ranks the <= n_salts*k survivors) —
+    use at scale, where one domain can put millions of rows under one
+    window partition. Output keeps all input columns plus ``rnk``.
+    """
+    order = [F.col(order_col).desc(), F.col(key_col).asc()]
+    out = df
+    if n_salts > 0:
+        salt = F.pmod(
+            portable_hash64(F.col(key_col).cast("string")), F.lit(n_salts)
+        )
+        local = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+        out = (
+            out.withColumn("_lr", F.row_number().over(local))
+            .filter(F.col("_lr") <= k)
+            .drop("_lr")
+        )
+    win = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        out.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= k)
     )

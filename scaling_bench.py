@@ -8,7 +8,8 @@ separate JVMs, reports URLs/s at both and
 
     efficiency = (throughput@32 / throughput@8) / 4
 
-Writes the table into BENCH.md. Usage: python scaling_bench.py
+Writes the table into BENCH_SCALING_LATEST.md (BENCH.md is
+hand-curated — fold results in manually). Usage: python scaling_bench.py
 (optionally PATHIK_BENCH_PAGES / PATHIK_BENCH_SEEDS env).
 """
 
@@ -235,7 +236,10 @@ def main() -> None:
         summary["efficiency_vs_hw_ceiling"] = round((thr32 / thr8) / hw_speedup, 3)
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is hand-curated (multi-round records + variance notes) —
+    # a raw re-run must NOT clobber it; results land in a sidecar for
+    # manual folding into the right BENCH.md section
+    with open(os.path.join(REPO, "BENCH_SCALING_LATEST.md"), "w") as f:
         f.write(
             f"""# BENCH — engine measurements
 
@@ -287,7 +291,7 @@ Reference architectural ceiling for the same work: 0.13-0.64 URL/s
 politeness budget is per-host, so throughput scales with cores.
 """
         )
-    print("wrote BENCH.md")
+    print("wrote BENCH_SCALING_LATEST.md")
 
 
 if __name__ == "__main__":

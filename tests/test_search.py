@@ -105,3 +105,21 @@ def test_bm25_plan_has_broadcasts_and_no_cartesian(docs, spark):
     plan = bm25_topk(docs, q, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_search_corpus_facade(spark, docs):
+    import pathik_spark
+
+    out = pathik_spark.search_corpus(docs, ["spark join order", "customer"], k=5)
+    rows = out.collect()
+    assert set(out.columns) == {"query", "doc_id", "score", "rnk"}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query"], []).append(r)
+    assert set(by_q) == {"spark join order", "customer"}
+    assert all(len(v) == 5 for v in by_q.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pathik_spark.search_corpus(docs, [])

@@ -416,3 +416,47 @@ def test_retrieval_contamination_min_score_gate(spark):
     assert {r["doc_id"] for r in all_hits} == {0}  # no shared term -> no candidate
     gated = retrieval_contamination(corpus, bench, k=5, min_score=10_000.0).collect()
     assert gated == []                              # threshold filters the audit
+
+
+# ---- per-group best-k curation ---------------------------------------------
+
+
+def test_best_per_group_selects_and_ties(spark):
+    from pathik_spark.operators.sampling import best_per_group
+
+    rows = [
+        (0, "a", 0.9), (1, "a", 0.8), (2, "a", 0.8), (3, "a", 0.1),
+        (4, "b", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, quality double")
+    out = best_per_group(df, k=2, group_col="host", order_col="quality").collect()
+    got = {(r["host"], r["rnk"]): r["doc_id"] for r in out}
+    assert got == {("a", 1): 0, ("a", 2): 1, ("b", 1): 4}  # tie -> lower doc_id
+
+
+def test_best_per_group_salted_equals_unsalted(spark):
+    from pathik_spark.operators.sampling import best_per_group
+
+    rows = [(i, f"h{i % 5}", float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, quality double")
+    plain = sorted(map(tuple, best_per_group(df, k=7, group_col="host").collect()))
+    salted = sorted(
+        map(tuple, best_per_group(df, k=7, group_col="host", n_salts=4).collect())
+    )
+    assert plain == salted and len(plain) == 5 * 7
+
+
+def test_temperature_mix_plan_broadcasts_rates(spark):
+    from pathik_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plan = (
+        temperature_mix(df, alpha=0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the tiny rates side broadcasts; the corpus is filtered in-scan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
