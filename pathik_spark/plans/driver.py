@@ -86,6 +86,7 @@ class CrawlRun:
         state_dir: str,
         config: CrawlConfig | None = None,
         blocklist: DataFrame | None = None,
+        host_ranks: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages
@@ -93,6 +94,13 @@ class CrawlRun:
         # every round's frontier via broadcast suffix joins — see
         # operators/blocklist.host_blocklist_filter
         self.blocklist = blocklist
+        # optional host-rank prioritization (host, rank — from
+        # operators/rank.host_rank or hits_scores): when given, every
+        # round's frontier priority is REPLACED by the rank tier
+        # (operators/rank.rank_priorities; lower tier = scheduled
+        # sooner, unranked hosts last; seed order survives as the seq
+        # tie-break). Broadcast-joined — no frontier-sized cost.
+        self.host_ranks = host_ranks
         if robots is not None and "robots_txt" in robots.columns:
             # raw robots.txt bodies: parse them into the rules table once
             # (relational parse, operators/robots.parse_robots_txt); the
@@ -270,6 +278,10 @@ class CrawlRun:
             from pathik_spark.operators.blocklist import host_blocklist_filter
 
             fr = host_blocklist_filter(fr, self.blocklist)
+        if self.host_ranks is not None:
+            from pathik_spark.operators.rank import rank_priorities
+
+            fr = rank_priorities(fr, self.host_ranks, host_col="host")
         fr = fr.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")), "host_hash"
         )

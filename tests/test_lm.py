@@ -179,3 +179,25 @@ def test_bigram_lm_score_partitioning_independent(spark):
     one = sorted(map(tuple, bigram_lm_score(docs.coalesce(1), bi, uni).collect()))
     many = sorted(map(tuple, bigram_lm_score(docs.repartition(13), bi, uni).collect()))
     assert one == many
+
+
+def test_bigram_lm_score_plan_broadcasts_models(spark):
+    from pathik_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    uni = train_unigram_lm(docs, vocab_size=16)
+    bi = train_bigram_lm(docs, vocab_size=16)
+    plan = (
+        bigram_lm_score(docs, bi, uni)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both model joins broadcast; no cartesian; python stays out of scoring
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

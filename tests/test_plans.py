@@ -198,3 +198,36 @@ def test_repetition_signals_no_shuffle(spark, corpus):
     plan = _plan(repetition_signals(docs))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_host_ranks_drive_frontier_priority(spark, corpus, tmp_path):
+    """CrawlRun(host_ranks=...) replaces frontier priority with the
+    rank tier: ranked hosts schedule ahead of unranked ones."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    hosts = [r["host"] for r in
+             corpus["seeds"].selectExpr("parse_url(url, 'HOST') AS host")
+             .distinct().limit(3).collect()]
+    fav = hosts[0]
+    ranks = spark.createDataFrame([(fav, 0.9)], ["host", "rank"])
+    run = CrawlRun(
+        spark,
+        pages=corpus["pages"],
+        robots=corpus["robots"],
+        links=corpus["links"],
+        state_dir=str(tmp_path),
+        config=CrawlConfig(run_id="ranked"),
+        host_ranks=ranks,
+    )
+    run.run(corpus["seeds"], n_rounds=1)
+    arts = spark.read.parquet(str(tmp_path / "ranked" / "round=0" / "artifacts.parquet"))
+    pri = {r["host"]: r["priority"] for r in arts.select("host", "priority").distinct().collect()}
+    assert pri.get(fav) == 0                      # the ranked host leads
+    others = [p for h, p in pri.items() if h != fav]
+    assert others and all(p == 3 for p in others)  # unranked -> last tier
+    # and ranked rows actually scheduled before unranked ones
+    orders = arts.groupBy("priority").agg(F.min("crawl_order").alias("mn")).collect()
+    by_p = {r["priority"]: r["mn"] for r in orders}
+    if 0 in by_p and 3 in by_p:
+        assert by_p[0] < by_p[3]
