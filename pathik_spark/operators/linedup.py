@@ -249,9 +249,12 @@ def c4_clean(
     min_lines: int = C4_MIN_LINES,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4 cleaning: per-line filter + document-level gates, entirely
     scan-local expressions (filter/transform over the split array).
+    ``passthrough`` columns ride along unchanged (e.g. a stream's
+    event-time column).
 
     Returns (doc_id, text, n_lines_kept, keep) where text is the
     cleaned document and keep is the document-level verdict: at least
@@ -277,4 +280,5 @@ def c4_clean(
         (
             (F.size(kept_lines) >= F.lit(min_lines)) & ~doc_blocked
         ).alias("keep"),
+        *[F.col(c) for c in passthrough],
     )
