@@ -877,12 +877,15 @@ def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_unigram_lm,
     )
 
+    from pathik_spark.operators.lm import token_counts
+
     _register_views(spark, sf_dir)
     docs = spark.table("documents")
     from pathik_spark.entry_queries import LM_VOCAB
 
-    uni = train_unigram_lm(docs, vocab_size=LM_VOCAB)
-    bi = train_bigram_lm(docs, vocab_size=LM_VOCAB, lam=BIGRAM_LAM)
+    cnts = token_counts(docs)  # shared: the corpus is tokenized once
+    uni = train_unigram_lm(docs, vocab_size=LM_VOCAB, counts=cnts)
+    bi = train_bigram_lm(docs, vocab_size=LM_VOCAB, lam=BIGRAM_LAM, counts=cnts)
     return bigram_lm_score(docs, bi, uni, lam=BIGRAM_LAM)
 
 

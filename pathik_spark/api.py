@@ -226,15 +226,19 @@ def search_corpus(
     """BM25 search over a document table with plain-string queries —
     the one-liner for "show me what we crawled about X".
 
-    Returns (query, doc_id, score, rnk), top-``k`` per query. Wraps
-    operators/search.bm25_topk (query terms broadcast and pruned before
-    any index-wide work); pass ``n_salts > 0`` when queries contain very
-    common terms at corpus scale."""
+    Returns (query_id, query, doc_id, score, rnk), top-``k`` per query
+    — query_id is positional (1-based), so duplicate query strings stay
+    distinguishable. Wraps operators/search.bm25_topk (query terms
+    broadcast and pruned before any index-wide work); pass
+    ``n_salts > 0`` when queries contain very common terms at corpus
+    scale."""
     from pathik_spark.operators.search import bm25_topk
 
     qlist = [queries] if isinstance(queries, str) else list(queries)
-    if not qlist:
-        raise ValueError("search_corpus: no queries given")
+    if not qlist or any(not q.strip() for q in qlist):
+        raise ValueError(
+            "search_corpus: queries must be non-empty strings"
+        )
     spark = docs.sparkSession
     qdf = spark.createDataFrame(
         [(i + 1, q) for i, q in enumerate(qlist)], "query_id long, query string"
@@ -243,7 +247,7 @@ def search_corpus(
         docs, qdf, k=k, n_salts=n_salts, text_col=text_col, id_col=id_col
     )
     return hits.join(F.broadcast(qdf), "query_id").select(
-        "query", "doc_id", "score", "rnk"
+        "query_id", "query", "doc_id", "score", "rnk"
     )
 
 

@@ -48,20 +48,44 @@ def corpus_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(tok, n): corpus token frequencies — ONE map-side-combined
+    groupBy, shareable between train_unigram_lm and train_bigram_lm so
+    a joint training pair scans the reference corpus once."""
+    return corpus_tokens(docs, text_col, id_col).groupBy("tok").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _floor_micro(lm: DataFrame) -> DataFrame:
+    """The OOV floor log10(1/total_mass) in micro units — the single
+    definition both the unigram and bigram scorers coalesce onto."""
+    return lm.select(
+        F.max(
+            F.round(F.log10(1.0 / F.col("total_mass")) * _MICRO).cast("long")
+        ).alias("floor_micro")
+    )
+
+
 def train_unigram_lm(
     reference: DataFrame,
     vocab_size: int = DEFAULT_VOCAB,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(tok, logp_micro, total_mass): the ``vocab_size`` most frequent
     tokens with add-one smoothing p(tok) = (count+1) / (total+vocab+1),
     logp_micro = round(log10(p) * 1e6) as BIGINT. ``total_mass`` (the
     shared denominator) rides every row so scorers can recover the OOV
-    floor probability 1/total_mass without a side channel."""
-    counts = corpus_tokens(reference, text_col, id_col).groupBy("tok").agg(
-        F.count("*").alias("n")
-    )
+    floor probability 1/total_mass without a side channel.
+
+    ``counts``: optionally pass a precomputed ``token_counts`` table so
+    a unigram+bigram training pair scans the reference corpus ONCE."""
+    if counts is None:
+        counts = token_counts(reference, text_col, id_col)
     top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(vocab_size)
     total = top.agg(F.sum("n").alias("_t"), F.count("*").alias("_v")).select(
         (F.col("_t") + F.col("_v") + 1).cast("long").alias("total_mass")
@@ -88,11 +112,7 @@ def lm_score(
     under any partitioning). Docs with no tokens score (0, 1.0, 0.0) —
     callers gate on n_tok.
     """
-    floor = lm.select(
-        F.max(
-            F.round(F.log10(1.0 / F.col("total_mass")) * _MICRO).cast("long")
-        ).alias("floor_micro")
-    )
+    floor = _floor_micro(lm)
     toks = corpus_tokens(docs, text_col, id_col)
     scored = toks.join(
         F.broadcast(lm.select("tok", "logp_micro")), "tok", "left"
@@ -248,6 +268,7 @@ def train_bigram_lm(
     lam: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Jelinek-Mercer interpolated bigram LM over the truncated vocab —
     one smoothing step closer to CCNet's KenLM scorer than the unigram
@@ -265,11 +286,12 @@ def train_bigram_lm(
 
     Shape: token counts and pair counts are each ONE map-side-combined
     groupBy over the reference corpus; c(w1 ·) reduces the (small) pair
-    count table, never the corpus.
+    count table, never the corpus. ``counts``: pass the shared
+    ``token_counts`` table to avoid re-tokenizing the reference when a
+    unigram model is trained alongside.
     """
-    counts = corpus_tokens(reference, text_col, id_col).groupBy("tok").agg(
-        F.count("*").alias("n")
-    )
+    if counts is None:
+        counts = token_counts(reference, text_col, id_col)
     top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(vocab_size)
     total = top.agg(F.sum("n").alias("_t"), F.count("*").alias("_v")).select(
         (F.col("_t") + F.col("_v") + 1).cast("long").alias("total_mass")
@@ -330,11 +352,7 @@ def bigram_lm_score(
     import math
 
     shift = int(round(math.log10(1.0 - lam) * _MICRO))
-    floor = unigram_lm.select(
-        F.max(
-            F.round(F.log10(1.0 / F.col("total_mass")) * _MICRO).cast("long")
-        ).alias("floor_micro")
-    )
+    floor = _floor_micro(unigram_lm)
     rows = _token_pairs(docs, text_col, id_col)
     scored = (
         rows.join(

@@ -95,9 +95,17 @@ def rank_priorities(
     The rank table is one row per host — the global ntile sort and the
     broadcast against the frontier both touch only the small side, so
     this adds no frontier-sized shuffle to the schedule stage.
+
+    Duplicate hosts in ``ranks`` (e.g. a union of PageRank and HITS
+    outputs) are collapsed to their MAX rank first — a plain join would
+    fan the frontier out and schedule the same URL twice. Unranked
+    hosts take tier ``n_tiers`` — strictly AFTER every ranked host,
+    including the worst-ranked quartile (a host we have rank evidence
+    for beats one we have never seen in the link graph).
     """
+    deduped = ranks.groupBy("host").agg(F.max("rank").alias("rank"))
     w = Window.orderBy(F.desc("rank"), F.asc("host"))
-    tiers = ranks.select(
+    tiers = deduped.select(
         F.col("host"), (F.ntile(n_tiers).over(w) - 1).alias("_tier")
     )
     return (
@@ -105,7 +113,7 @@ def rank_priorities(
             F.broadcast(tiers), frontier[host_col] == tiers["host"], "left"
         )
         .drop(tiers["host"])
-        .withColumn("priority", F.coalesce(F.col("_tier"), F.lit(n_tiers - 1)))
+        .withColumn("priority", F.coalesce(F.col("_tier"), F.lit(n_tiers)))
         .drop("_tier")
     )
 

@@ -293,24 +293,10 @@ def warc_record_rows(artifacts: DataFrame) -> DataFrame:
     WARC-Record-ID, Content-Type and the payload byte Content-Length.
     Records end with the mandatory CRLF CRLF block delimiter."""
     fetched = artifacts.filter(F.col("status") == "fetched")
-    payload = F.col("html")
-    n = F.length(payload)
     date = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.col("url")))
-    header = F.concat_ws(
-        "\r\n",
-        F.lit("WARC/1.0"),
-        F.lit("WARC-Type: resource"),
-        F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
-        F.concat(F.lit("WARC-Date: "), date),
-        F.concat(F.lit("WARC-Record-ID: <"), rid, F.lit(">")),
-        F.lit("Content-Type: text/html"),
-        F.concat(F.lit("Content-Length: "), n.cast("string")),
-    )
-    record = F.concat(
-        F.encode(F.concat(header, F.lit("\r\n\r\n")), "utf-8"),
-        payload,
-        F.encode(F.lit("\r\n\r\n"), "utf-8"),
+    record = _assemble_warc_record(
+        F.col("url"), date, rid, "resource", "text/html", F.col("html")
     )
     return fetched.select(
         "url",
@@ -318,6 +304,35 @@ def warc_record_rows(artifacts: DataFrame) -> DataFrame:
         rid.alias("record_id"),
         record.alias("record"),
         F.length(record).alias("record_len"),
+    )
+
+
+def _assemble_warc_record(
+    url_col, date_col, rid_col, warc_type: str, content_type: str,
+    payload_col, extra_headers: list | None = None,
+):
+    """ISO 28500 record framing shared by the WARC (resource) and WET
+    (conversion) sinks: header block + CRLFCRLF + payload + CRLFCRLF.
+    ``extra_headers``: list of (name, value Column) inserted after
+    WARC-Record-ID. One definition so a framing fix cannot drift
+    between the two record types."""
+    n = F.length(payload_col)
+    lines = [
+        F.lit("WARC/1.0"),
+        F.lit(f"WARC-Type: {warc_type}"),
+        F.concat(F.lit("WARC-Target-URI: "), url_col),
+        F.concat(F.lit("WARC-Date: "), date_col),
+        F.concat(F.lit("WARC-Record-ID: <"), rid_col, F.lit(">")),
+    ]
+    for name, value in extra_headers or []:
+        lines.append(F.concat(F.lit(f"{name}: "), value))
+    lines.append(F.lit(f"Content-Type: {content_type}"))
+    lines.append(F.concat(F.lit("Content-Length: "), n.cast("string")))
+    header = F.concat_ws("\r\n", *lines)
+    return F.concat(
+        F.encode(F.concat(header, F.lit("\r\n\r\n")), "utf-8"),
+        payload_col,
+        F.encode(F.lit("\r\n\r\n"), "utf-8"),
     )
 
 
@@ -519,27 +534,16 @@ def wet_record_rows(artifacts: DataFrame, text_col: str = "text") -> DataFrame:
     ``.wet`` prefix for the standard layout."""
     fetched = artifacts.filter(F.col("status") == "fetched")
     payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
-    n = F.length(payload)
     date = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     src_rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.col("url")))
     rid = F.concat(
         F.lit("urn:uuid:"), _warc_uuid(F.concat(F.lit("wet:"), F.col("url")))
     )
-    header = F.concat_ws(
-        "\r\n",
-        F.lit("WARC/1.0"),
-        F.lit("WARC-Type: conversion"),
-        F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
-        F.concat(F.lit("WARC-Date: "), date),
-        F.concat(F.lit("WARC-Record-ID: <"), rid, F.lit(">")),
-        F.concat(F.lit("WARC-Refers-To: <"), src_rid, F.lit(">")),
-        F.lit("Content-Type: text/plain"),
-        F.concat(F.lit("Content-Length: "), n.cast("string")),
-    )
-    record = F.concat(
-        F.encode(F.concat(header, F.lit("\r\n\r\n")), "utf-8"),
-        payload,
-        F.encode(F.lit("\r\n\r\n"), "utf-8"),
+    record = _assemble_warc_record(
+        F.col("url"), date, rid, "conversion", "text/plain", payload,
+        extra_headers=[
+            ("WARC-Refers-To", F.concat(F.lit("<"), src_rid, F.lit(">")))
+        ],
     )
     return fetched.select(
         "url",

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pathik_spark.functions.text import lang_id, quality_score
+from pathik_spark.operators.dedup import normalized_text
 from pathik_spark.operators.linedup import c4_clean
 
 DOC_STREAM_SCHEMA = "doc_id string, text string, event_ts timestamp"
@@ -66,7 +67,16 @@ def clean_documents_stream(
             F.col("lang_guess").isin(*langs)
             & (F.col("quality") >= F.lit(min_quality))
         )
-        .withColumn("content_hash", F.sha2(F.col("text"), 256))
+        # the SAME normalized-content hash batch exact_dedup keys on
+        # (operators/dedup.py) — case/whitespace variants collapse in
+        # both arms, keeping batch<->stream corpora interchangeable
+        .withColumn("content_hash", F.md5(normalized_text(F.col("text"))))
+        # fixed output schema regardless of apply_c4 (extra input
+        # columns must not leak through one arm and not the other)
+        .select(
+            "doc_id", "text", "lang_guess", "quality", "content_hash",
+            event_ts_col,
+        )
     )
     if dedup_within is not None:
         return gated.withWatermark(event_ts_col, dedup_within) \

@@ -225,9 +225,9 @@ def test_host_ranks_drive_frontier_priority(spark, corpus, tmp_path):
     pri = {r["host"]: r["priority"] for r in arts.select("host", "priority").distinct().collect()}
     assert pri.get(fav) == 0                      # the ranked host leads
     others = [p for h, p in pri.items() if h != fav]
-    assert others and all(p == 3 for p in others)  # unranked -> last tier
+    assert others and all(p == 4 for p in others)  # unranked -> after ALL ranked
     # and ranked rows actually scheduled before unranked ones
     orders = arts.groupBy("priority").agg(F.min("crawl_order").alias("mn")).collect()
     by_p = {r["priority"]: r["mn"] for r in orders}
-    if 0 in by_p and 3 in by_p:
-        assert by_p[0] < by_p[3]
+    if 0 in by_p and 4 in by_p:
+        assert by_p[0] < by_p[4]

@@ -62,9 +62,24 @@ def test_rank_priorities_order_hosts_by_tier(spark):
     out = {r["host"]: r["priority"] for r in rank_priorities(frontier, ranks).collect()}
     assert out["big"] == 0 and out["mid"] == 1 and out["low"] == 2
     assert out["tiny"] == 3
-    assert out["unseen"] == 3  # unranked -> last tier
+    assert out["unseen"] == 4  # unranked -> strictly after EVERY ranked host
     # the scheduler consumes priority ascending: big before mid before low
-    assert out["big"] < out["mid"] < out["low"]
+    assert out["big"] < out["mid"] < out["low"] < out["tiny"] < out["unseen"]
+
+
+def test_rank_priorities_dedupes_rank_table(spark):
+    from pathik_spark.operators.rank import rank_priorities
+
+    ranks = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.9), ("b", 0.2)], ["host", "rank"]
+    )
+    frontier = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["url_hash", "host"]
+    )
+    out = rank_priorities(frontier, ranks).collect()
+    assert len(out) == 3  # duplicate 'a' rank rows must NOT fan the frontier out
+    pri = {r["url_hash"]: r["priority"] for r in out}
+    assert pri[1] == pri[2] < pri[3]  # max-rank wins for 'a'
 
 
 def test_hits_hub_vs_authority_separation(spark):

@@ -112,14 +112,19 @@ def test_search_corpus_facade(spark, docs):
 
     out = pathik_spark.search_corpus(docs, ["spark join order", "customer"], k=5)
     rows = out.collect()
-    assert set(out.columns) == {"query", "doc_id", "score", "rnk"}
+    assert set(out.columns) == {"query_id", "query", "doc_id", "score", "rnk"}
     by_q = {}
     for r in rows:
-        by_q.setdefault(r["query"], []).append(r)
-    assert set(by_q) == {"spark join order", "customer"}
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2}
     assert all(len(v) == 5 for v in by_q.values())
+    # duplicate query strings stay distinguishable via query_id
+    dup = pathik_spark.search_corpus(docs, ["customer", "customer"], k=3)
+    assert dup.select("query_id").distinct().count() == 2
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         pathik_spark.search_corpus(docs, [])
+    with _pytest.raises(ValueError):
+        pathik_spark.search_corpus(docs, ["ok", "  "])
