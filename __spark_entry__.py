@@ -297,6 +297,20 @@ def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directive extraction from robots.txt (the primary
+    sitemap-discovery channel): the real operator over a synthesized
+    robots corpus vs the same line parse restated in DuckDB."""
+    from pathik_spark.entry_queries import ROBOTS_SITEMAP_DOCS_CTE
+    from pathik_spark.operators.robots import robots_sitemap_urls
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {ROBOTS_SITEMAP_DOCS_CTE} SELECT * FROM robots_sitemap_docs"
+    )
+    return robots_sitemap_urls(docs)
+
+
 def _q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC sink header kernel: the real warc_record_rows expressions
     over a synthesized payload (id %% 50 'x' bytes) vs the SQL twin —
@@ -1291,6 +1305,7 @@ ENGINE_ORACLE_QUERIES = {
     "clean_corpus": _q_clean_corpus,
     "host_rank": _q_host_rank,
     "robots_parse": _q_robots_parse,
+    "robots_sitemaps": _q_robots_sitemaps,
     "sitemap_urls": _q_sitemap_urls,
     "url_recrawl_ttl": _q_url_recrawl,
     "warc_headers": _q_warc_headers,

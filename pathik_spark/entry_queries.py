@@ -1411,6 +1411,50 @@ robots_docs AS (
 """
 
 
+# Robots corpus with Sitemap: directives (group-independent "other
+# records"): a plain directive, an UPPERCASE field with a trailing
+# comment, an invalid-scheme URL (F1-filtered) and an exact duplicate
+# (collapsed by the distinct). Separate CTE from ROBOTS_DOCS_CTE so the
+# long-green robots_parse input stays byte-identical.
+ROBOTS_SITEMAP_DOCS_CTE = """
+robots_sitemap_docs AS (
+  SELECT 'host' || CAST(h AS STRING) AS host,
+    'User-agent: *' || chr(10)
+    || 'Disallow: /private' || chr(10)
+    || 'Sitemap: https://host' || CAST(h AS STRING) || '.example/sitemap.xml' || chr(10)
+    || 'SITEMAP:   https://host' || CAST(h AS STRING) || '.example/sitemap-news.xml   # news index' || chr(10)
+    || 'Sitemap: ftp://bad' || CAST(h AS STRING) || '.example/sm.xml' || chr(10)
+    || 'Sitemap: https://host' || CAST(h AS STRING) || '.example/sitemap.xml' AS robots_txt
+  FROM (SELECT DISTINCT o_orderkey % 40 AS h FROM orders)
+)
+"""
+
+
+def duck_robots_sitemaps_sql() -> str:
+    """DuckDB twin of robots_sitemap_urls (operators/robots.py): line
+    explode, comment strip, case-insensitive ``sitemap`` field match,
+    F1 validity filter, per-host distinct — over the synthesized
+    ROBOTS_SITEMAP_DOCS_CTE corpus."""
+    d = DUCK
+    return f"""
+WITH {ROBOTS_SITEMAP_DOCS_CTE.strip()},
+lines AS (
+  SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw
+  FROM robots_sitemap_docs
+),
+cleaned AS (
+  SELECT host, trim(regexp_replace(raw, '#.*$', '', 'g')) AS line FROM lines
+),
+locs AS (
+  SELECT host,
+         lower(trim(split_part(line, ':', 1))) AS field,
+         trim(substr(line, instr(line, ':') + 1, length(line))) AS url
+  FROM cleaned WHERE instr(line, ':') > 0
+)
+SELECT DISTINCT host, url FROM locs WHERE field = 'sitemap' AND {_valid_pred(d)}
+"""
+
+
 def duck_robots_parse_sql(user_agent: str = "pathik") -> str:
     """DuckDB twin of parse_robots_txt (operators/robots.py): the same
     relational parse — line explode, comment strip, directive filter,
@@ -3168,6 +3212,7 @@ ENGINE_ORACLE_SQL = {
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,
     "robots_parse": duck_robots_parse_sql,
+    "robots_sitemaps": duck_robots_sitemaps_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
     "url_recrawl_ttl": duck_url_recrawl_sql,
     "warc_headers": duck_warc_headers_sql,

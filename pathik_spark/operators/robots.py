@@ -182,3 +182,44 @@ def parse_robots_txt(
             "allow_prefixes"
         ),
     )
+
+
+def robots_sitemap_urls(
+    robots_docs: DataFrame,
+    host_col: str = "host",
+    content_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directive extraction from robots.txt — the primary
+    sitemap-discovery channel real crawlers use (sitemaps.org protocol;
+    RFC 9309 treats these as "other records", independent of any
+    User-agent group, so they apply file-wide and are collected without
+    group selection).
+
+    Same relational shape as ``parse_robots_txt``'s line stage and
+    ``discover.extract_sitemap_urls``: line explode, comment strip,
+    case-insensitive field match, F1 validity filter, per-host distinct
+    — pure codegen'd expressions, scan-local parsing, shuffle only for
+    the final distinct. The output (host, url) feeds the sitemap fetch
+    list whose bodies ``extract_sitemap_urls`` then parses, closing the
+    robots.txt -> sitemap -> seed-URL discovery loop.
+    """
+    lines = robots_docs.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(content_col), "\n")).alias("raw"),
+    )
+    cleaned = lines.select(
+        "host", F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line")
+    ).filter(F.col("line").contains(":"))
+    directives = cleaned.select(
+        "host",
+        F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))).alias("field"),
+        F.trim(
+            F.expr("substring(line, instr(line, ':') + 1, length(line))")
+        ).alias("url"),
+    )
+    return (
+        directives.filter(F.col("field") == "sitemap")
+        .filter(U.is_valid_url_expr(F.col("url")))
+        .select("host", "url")
+        .distinct()
+    )

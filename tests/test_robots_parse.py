@@ -106,3 +106,32 @@ def test_allow_overrides_disallow_by_longest_match(spark):
         "https://h1/x",
         "https://h1/free",
     }
+
+
+def test_robots_sitemap_urls(spark):
+    from pathik_spark.operators.robots import robots_sitemap_urls
+
+    rows = [
+        # plain directive + uppercase field + trailing comment + dup
+        (
+            "h1",
+            "User-agent: *\nDisallow: /p\n"
+            "Sitemap: https://h1.example/sitemap.xml\n"
+            "SITEMAP:   https://h1.example/news.xml   # news index\n"
+            "Sitemap: https://h1.example/sitemap.xml",
+        ),
+        # invalid scheme filtered; localhost filtered
+        (
+            "h2",
+            "Sitemap: ftp://h2.example/sm.xml\n"
+            "Sitemap: https://localhost/sm.xml",
+        ),
+        # no sitemap directives at all
+        ("h3", "User-agent: *\nDisallow: /"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "robots_txt"])
+    out = {(r["host"], r["url"]) for r in robots_sitemap_urls(df).collect()}
+    assert out == {
+        ("h1", "https://h1.example/sitemap.xml"),
+        ("h1", "https://h1.example/news.xml"),
+    }
