@@ -311,6 +311,32 @@ def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_sitemap_urls(docs)
 
 
+def _q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD error-aware per-host budgets (operators/metrics.
+    backoff_budgets): the real operator over synthesized per-host fetch
+    stats + previous budgets vs the same integer AIMD law in DuckDB.
+    Hosts 45..57 step 3 exist only in prev -> carried unchanged."""
+    from pathik_spark.operators.metrics import backoff_budgets
+
+    _register_views(spark, sf_dir)
+    stats = spark.sql(
+        "SELECT 'host' || CAST(o_orderkey % 45 AS STRING) AS host, "
+        "CAST(COUNT(*) AS LONG) AS n_urls, "
+        "CAST(SUM(CASE WHEN o_custkey % 10 < (o_orderkey % 45) % 10 "
+        "THEN 1 ELSE 0 END) AS LONG) AS n_errors "
+        "FROM orders GROUP BY o_orderkey % 45"
+    )
+    prev = spark.sql(
+        "SELECT 'host' || CAST(h AS STRING) AS host, "
+        "CAST(h * 7 % 90 + 10 AS LONG) AS max_per_round "
+        "FROM (SELECT DISTINCT o_orderkey % 60 AS h FROM orders) WHERE h % 3 = 0"
+    )
+    return backoff_budgets(
+        stats, prev, base_budget=64, min_budget=2, max_budget=100,
+        increase_step=5, err_threshold_bp=3000,
+    )
+
+
 def _q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC sink header kernel: the real warc_record_rows expressions
     over a synthesized payload (id %% 50 'x' bytes) vs the SQL twin —
@@ -1306,6 +1332,7 @@ ENGINE_ORACLE_QUERIES = {
     "host_rank": _q_host_rank,
     "robots_parse": _q_robots_parse,
     "robots_sitemaps": _q_robots_sitemaps,
+    "host_backoff": _q_host_backoff,
     "sitemap_urls": _q_sitemap_urls,
     "url_recrawl_ttl": _q_url_recrawl,
     "warc_headers": _q_warc_headers,

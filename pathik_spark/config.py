@@ -78,6 +78,21 @@ class CrawlConfig:
     # round's manifest before the next round starts (expensive rounds /
     # spot-instance clusters).
     eager_commit: bool = False
+    # Error-aware per-host backoff (operators/metrics.backoff_budgets):
+    # when on, each round's non-fetched rate per host drives an AIMD
+    # update of that host's max_per_round budget for the NEXT round —
+    # halved at >= backoff_threshold_bp basis points of errors (floor
+    # backoff_min_budget), +backoff_step when healthy (cap
+    # backoff_max_budget). Budgets overlay the robots table via a
+    # broadcast-sized join (robots.apply_budget_overrides); after a
+    # resume they restart from the last committed round's host_metrics
+    # (one round of evidence, not the full in-session AIMD history).
+    adaptive_backoff: bool = False
+    backoff_base_budget: int = 1000
+    backoff_min_budget: int = 1
+    backoff_max_budget: int | None = None
+    backoff_step: int = 1
+    backoff_threshold_bp: int = 2000
     n_rounds: int = 1
     # round-state backend: "auto" picks Iceberg when runtime jars + a
     # configured V2 catalog are in the session (the 10^10 deployment,
@@ -114,4 +129,9 @@ class CrawlConfig:
             raise ValueError(
                 f"state_backend must be auto|parquet|iceberg, got {self.state_backend}"
             )
+        if self.adaptive_backoff:
+            if self.backoff_min_budget < 1 or self.backoff_base_budget < 1:
+                raise ValueError("backoff budgets must be >= 1")
+            if not (0 <= self.backoff_threshold_bp <= 10_000):
+                raise ValueError("backoff_threshold_bp out of 0..10000 range")
         return self

@@ -1455,6 +1455,38 @@ SELECT DISTINCT host, url FROM locs WHERE field = 'sitemap' AND {_valid_pred(d)}
 """
 
 
+def duck_host_backoff_sql() -> str:
+    """DuckDB twin of backoff_budgets (operators/metrics.py): the same
+    integer AIMD law — err basis points >= threshold halves (floor 2),
+    healthy +5 (cap 100), stats-absent hosts carry their previous
+    budget, prev-absent hosts start at base 64 — over synthesized
+    per-host stats (error rate ~ (host%10)/10) and prev budgets."""
+    return """
+WITH stats AS (
+  SELECT 'host' || CAST(o_orderkey % 45 AS VARCHAR) AS host,
+         COUNT(*) AS n_urls,
+         SUM(CASE WHEN o_custkey % 10 < (o_orderkey % 45) % 10 THEN 1 ELSE 0 END) AS n_errors
+  FROM orders GROUP BY o_orderkey % 45
+),
+prev AS (
+  SELECT 'host' || CAST(h AS VARCHAR) AS host, h * 7 % 90 + 10 AS prev_budget
+  FROM (SELECT DISTINCT o_orderkey % 60 AS h FROM orders) WHERE h % 3 = 0
+),
+j AS (
+  SELECT COALESCE(s.host, p.host) AS host, s.n_urls, s.n_errors, p.prev_budget
+  FROM stats s FULL OUTER JOIN prev p ON s.host = p.host
+)
+SELECT host,
+  CAST(CASE
+    WHEN n_urls IS NULL THEN COALESCE(prev_budget, 64)
+    WHEN floor(n_errors * 10000 / n_urls) >= 3000
+      THEN greatest(2, floor(COALESCE(prev_budget, 64) / 2))
+    ELSE least(100, COALESCE(prev_budget, 64) + 5)
+  END AS BIGINT) AS max_per_round
+FROM j
+"""
+
+
 def duck_robots_parse_sql(user_agent: str = "pathik") -> str:
     """DuckDB twin of parse_robots_txt (operators/robots.py): the same
     relational parse — line explode, comment strip, directive filter,
@@ -3213,6 +3245,7 @@ ENGINE_ORACLE_SQL = {
     "host_rank": duck_host_rank_sql,
     "robots_parse": duck_robots_parse_sql,
     "robots_sitemaps": duck_robots_sitemaps_sql,
+    "host_backoff": duck_host_backoff_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
     "url_recrawl_ttl": duck_url_recrawl_sql,
     "warc_headers": duck_warc_headers_sql,

@@ -43,3 +43,59 @@ def partition_lineage(artifacts: DataFrame, run_id: str, round_no: int) -> DataF
         .withColumn("run_id", F.lit(run_id))
         .withColumn("round", F.lit(round_no))
     )
+
+
+def backoff_budgets(
+    host_stats: DataFrame,
+    prev_budgets: DataFrame | None = None,
+    *,
+    base_budget: int,
+    min_budget: int = 1,
+    max_budget: int | None = None,
+    increase_step: int = 1,
+    err_threshold_bp: int = 2000,
+) -> DataFrame:
+    """AIMD per-host fetch budgets from observed error rates — the
+    server-health feedback loop a polite crawler runs next to robots
+    crawl-delay (new-build; the reference's only pressure valve is the
+    global 1 rps limiter, crawler.go:26).
+
+    Classic additive-increase / multiplicative-decrease on the per-host
+    ``max_per_round`` budget: a host whose error rate (non-``fetched``
+    statuses: timeouts, 5xx, 429s) meets ``err_threshold_bp`` basis
+    points this round has its budget HALVED (never below
+    ``min_budget``); a healthy host creeps back up by
+    ``increase_step`` (never above ``max_budget``). All arithmetic is
+    integer (basis points, floor halving), so the law is deterministic
+    and engine-exact — DuckDB-oracled as ``host_backoff``.
+
+    ``host_stats``: one row per host with ``n_urls``/``n_errors``
+    (the ``host_metrics`` shape). ``prev_budgets``: (host,
+    max_per_round) from the previous round; hosts absent there start at
+    ``base_budget``; hosts present there but absent from this round's
+    stats carry their budget unchanged (no new evidence). Both sides
+    are host-count-sized — the output broadcasts onto the robots table
+    via ``robots.apply_budget_overrides``; the frontier never shuffles.
+    """
+    stats = host_stats.groupBy("host").agg(
+        F.sum("n_urls").alias("n_urls"), F.sum("n_errors").alias("n_errors")
+    )
+    if prev_budgets is None:
+        prev = stats.select("host", F.lit(None).cast("long").alias("_prev"))
+    else:
+        prev = prev_budgets.select(
+            "host", F.col("max_per_round").cast("long").alias("_prev")
+        )
+    joined = stats.join(prev, "host", "full_outer")
+    current = F.coalesce(F.col("_prev"), F.lit(int(base_budget)))
+    err_bp = F.floor(F.col("n_errors") * 10000 / F.col("n_urls"))
+    decreased = F.greatest(F.lit(int(min_budget)), F.floor(current / 2))
+    increased = current + F.lit(int(increase_step))
+    if max_budget is not None:
+        increased = F.least(F.lit(int(max_budget)), increased)
+    nxt = (
+        F.when(F.col("n_urls").isNull(), current)  # carried: no evidence
+        .when(err_bp >= F.lit(int(err_threshold_bp)), decreased)
+        .otherwise(increased)
+    )
+    return joined.select("host", nxt.cast("long").alias("max_per_round"))

@@ -184,6 +184,30 @@ def parse_robots_txt(
     )
 
 
+def apply_budget_overrides(robots: DataFrame, budgets: DataFrame) -> DataFrame:
+    """Overlay adaptive per-host budgets (metrics.backoff_budgets
+    output: host, max_per_round) onto the robots rules table before
+    ``attach_robots``. Full-outer on host so a backed-off host with no
+    robots row is still limited; the override wins over any robots-side
+    ``max_per_round``. Both tables are host-count-sized — this never
+    touches the frontier."""
+    ovr = budgets.select(
+        "host", F.col("max_per_round").cast("int").alias("_budget_override")
+    )
+    base = robots
+    if "max_per_round" not in base.columns:
+        base = base.withColumn("max_per_round", F.lit(None).cast("int"))
+    merged = base.join(ovr, "host", "full_outer")
+    # stable column order: host first, then robots columns, then budget
+    cols = ["host"] + [c for c in base.columns if c not in ("host", "max_per_round")]
+    return merged.select(
+        *[F.col(c) for c in cols],
+        F.coalesce(F.col("_budget_override"), F.col("max_per_round")).alias(
+            "max_per_round"
+        ),
+    )
+
+
 def robots_sitemap_urls(
     robots_docs: DataFrame,
     host_col: str = "host",

@@ -122,6 +122,11 @@ class CrawlRun:
         # be a serial job on the critical path before any scheduling
         self._bloom_future = None
         self._bloom_for_round: int | None = None
+        # adaptive per-host AIMD budgets (config.adaptive_backoff):
+        # updated each round from the committed artifacts, overlaid on
+        # the robots table next round; reseeded from the last committed
+        # host_metrics on resume
+        self._backoff_budgets: DataFrame | None = None
 
     def _table_name(self, suffix: str) -> str:
         import re
@@ -285,7 +290,12 @@ class CrawlRun:
         fr = fr.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")), "host_hash"
         )
-        candidates = filter_disallowed(attach_robots(fr, self.robots))
+        robots_eff = self.robots
+        if self._backoff_budgets is not None:
+            from pathik_spark.operators.robots import apply_budget_overrides
+
+            robots_eff = apply_budget_overrides(robots_eff, self._backoff_budgets)
+        candidates = filter_disallowed(attach_robots(fr, robots_eff))
 
         bloom_bc = None
         if cfg.use_bloom and seen is not None and seen_size_hint >= cfg.bloom_min_seen:
@@ -344,6 +354,28 @@ class CrawlRun:
         arts = self.store.write_table(round_no, "artifacts", artifacts_plan.drop("html"))
         _tick("artifacts_write")
         lineage = partition_lineage(arts, self.config.run_id, round_no)
+
+        if cfg.adaptive_backoff:
+            # AIMD budget update for NEXT round's scheduler (config
+            # docstring / operators/metrics.backoff_budgets). The stats
+            # input scans the just-committed artifacts parquet; eager
+            # localCheckpoint keeps the cross-round budget chain's plan
+            # flat (host-count-sized table — a tiny job per round).
+            from pathik_spark.operators.metrics import backoff_budgets
+
+            host_stats = arts.groupBy("host").agg(
+                F.count("*").alias("n_urls"),
+                F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
+            )
+            self._backoff_budgets = backoff_budgets(
+                host_stats,
+                self._backoff_budgets,
+                base_budget=cfg.backoff_base_budget,
+                min_budget=cfg.backoff_min_budget,
+                max_budget=cfg.backoff_max_budget,
+                increase_step=cfg.backoff_step,
+                err_threshold_bp=cfg.backoff_threshold_bp,
+            ).localCheckpoint()
 
         # W3 retry semantics (crawler.go:173-224): missing rows re-enter
         # with attempt+1 until max_attempts; exhausted rows become seen.
@@ -555,6 +587,23 @@ class CrawlRun:
                 start = last + 1
                 frontier = self.store.read_table(last, "next_frontier")
                 seen = self._read_seen_upto(last)
+                if self.config.adaptive_backoff:
+                    # one round of evidence, not the in-session AIMD
+                    # history (config docstring) — budgets restart from
+                    # the last committed round's host_metrics
+                    from pathik_spark.operators.metrics import backoff_budgets
+
+                    cfg = self.config
+                    hm = self.store.read_table(last, "host_metrics")
+                    self._backoff_budgets = backoff_budgets(
+                        hm.select("host", "n_urls", "n_errors"),
+                        None,
+                        base_budget=cfg.backoff_base_budget,
+                        min_budget=cfg.backoff_min_budget,
+                        max_budget=cfg.backoff_max_budget,
+                        increase_step=cfg.backoff_step,
+                        err_threshold_bp=cfg.backoff_threshold_bp,
+                    ).localCheckpoint()
         if resume and start > 0:
             prev = self.store.read_manifest(start - 1)
             seen_hint = int((prev or {}).get("stats", {}).get("seen_total", 0))

@@ -1,0 +1,113 @@
+"""AIMD error-aware per-host backoff (operators/metrics.backoff_budgets
++ robots.apply_budget_overrides + the CrawlRun wiring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pathik_spark.operators.metrics import backoff_budgets
+from pathik_spark.operators.robots import apply_budget_overrides
+
+
+def _stats(spark, rows):
+    return spark.createDataFrame(rows, "host string, n_urls long, n_errors long")
+
+
+def _budgets(spark, rows):
+    return spark.createDataFrame(rows, "host string, max_per_round long")
+
+
+def test_backoff_halves_on_errors_and_creeps_back(spark):
+    stats = _stats(spark, [("bad", 10, 5), ("good", 10, 0)])
+    prev = _budgets(spark, [("bad", 40), ("good", 40)])
+    out = {
+        r["host"]: r["max_per_round"]
+        for r in backoff_budgets(
+            stats, prev, base_budget=64, increase_step=3, err_threshold_bp=2000
+        ).collect()
+    }
+    assert out == {"bad": 20, "good": 43}
+
+
+def test_backoff_base_min_max_and_carry(spark):
+    # new host starts at base; floor at min; cap at max; host with no
+    # stats this round carries its budget unchanged
+    stats = _stats(spark, [("new", 4, 4), ("floor", 8, 8), ("cap", 8, 0)])
+    prev = _budgets(spark, [("floor", 3), ("cap", 99), ("carried", 7)])
+    out = {
+        r["host"]: r["max_per_round"]
+        for r in backoff_budgets(
+            stats, prev, base_budget=64, min_budget=2, max_budget=100,
+            increase_step=5, err_threshold_bp=5000,
+        ).collect()
+    }
+    # new: 100% errors -> floor(64/2) = 32; floor: floor(3/2)=1 -> min 2
+    assert out == {"new": 32, "floor": 2, "cap": 100, "carried": 7}
+
+
+def test_backoff_exact_threshold_triggers(spark):
+    # err_bp == threshold counts as unhealthy (>=)
+    stats = _stats(spark, [("edge", 5, 1)])  # 2000 bp exactly
+    out = backoff_budgets(
+        stats, None, base_budget=10, err_threshold_bp=2000
+    ).collect()
+    assert out[0]["max_per_round"] == 5
+
+
+def test_apply_budget_overrides(spark):
+    robots = spark.createDataFrame(
+        [("h1", 100, ["/p"], 50), ("h2", 0, [], None)],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>, max_per_round int",
+    )
+    budgets = _budgets(spark, [("h1", 7), ("h3", 9)])
+    out = {r["host"]: r for r in apply_budget_overrides(robots, budgets).collect()}
+    assert out["h1"]["max_per_round"] == 7          # override wins
+    assert out["h2"]["max_per_round"] is None       # untouched robots row
+    assert out["h3"]["max_per_round"] == 9          # budget-only host
+    assert out["h1"]["disallow_prefixes"] == ["/p"]  # rules ride along
+
+
+def test_crawl_run_backoff_limits_flaky_host(spark, tmp_path):
+    """A host whose pages are all missing gets its budget AIMD-halved:
+    round 2 schedules fewer of its URLs than round 1."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    n = 40
+    seeds = spark.createDataFrame(
+        [(f"https://flaky.example/p{i}", i, 0) for i in range(n)]
+        + [(f"https://solid.example/p{i}", n + i, 0) for i in range(n)],
+        ["url", "seq", "priority"],
+    )
+    # pages exist only for solid.example -> flaky is 100% "missing"
+    from pathik_spark.operators.frontier import prepare_frontier
+
+    pages = prepare_frontier(
+        seeds.filter(F.col("url").contains("solid")), num_shards=64
+    ).select(
+        F.col("url"),
+        F.lit("<html><body>ok</body></html>").cast("binary").alias("html"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit("ok").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    robots = spark.createDataFrame(
+        [], "host string, crawl_delay_ms long, disallow_prefixes array<string>"
+    )
+    cfg = CrawlConfig(
+        run_id="backoff-t", n_rounds=2, adaptive_backoff=True,
+        backoff_base_budget=8, backoff_min_budget=1, backoff_step=2,
+        backoff_threshold_bp=5000, max_attempts=10, use_bloom=False,
+        pages_buckets=4, num_shards=64,
+    )
+    run = CrawlRun(spark, pages, robots, None, str(tmp_path), cfg)
+    run.run(seeds, n_rounds=2, resume=False)
+    arts0 = run.store.read_table(0, "artifacts")
+    arts1 = run.store.read_table(1, "artifacts")
+    flaky0 = arts0.filter(F.col("host") == "flaky.example").count()
+    flaky1 = arts1.filter(F.col("host") == "flaky.example").count()
+    solid0 = arts0.filter(F.col("host") == "solid.example").count()
+    # round 0 has no evidence yet -> no budget applied
+    assert flaky0 == 40 and solid0 == 40
+    # after 100% errors: budget = floor(base 8 / 2) = 4 of the 40 retries
+    assert flaky1 == 4
