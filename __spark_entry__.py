@@ -399,6 +399,33 @@ def _q_host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph_stats(edges)
 
 
+def _q_bucket_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-diversity curation (operators/sampling.
+    bucket_balanced_sample): deterministic SRP coarse clusters + per-
+    cluster cap — the real Arrow-matmul bucket UDF + window vs the
+    hyperplanes inlined as SQL literals (the lsh_ann_topk device)."""
+    from pathik_spark.operators.sampling import bucket_balanced_sample
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    out = bucket_balanced_sample(emb, k=3, n_planes=4, dim=64)
+    return out.select(
+        "vec_id", F.col("bucket").cast("long").alias("bucket"), "rnk"
+    )
+
+
+def _q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/link-farm host families (operators/rank.host_components):
+    connected components over mutual weight>=2 host pairs — the real
+    large-star/small-star loop vs a recursive min-propagation CTE."""
+    from pathik_spark.entry_queries import HOST_EDGES_CTE
+    from pathik_spark.operators.rank import host_components
+
+    _register_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {HOST_EDGES_CTE} SELECT * FROM edges")
+    return host_components(edges, min_weight=2)
+
+
 def _q_feed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Syndication-feed seed intake (RSS <link> / Atom href / permalink
     <guid>): the real extraction operator over a synthesized feed corpus
@@ -1374,6 +1401,8 @@ ENGINE_ORACLE_QUERIES = {
     "temperature_mix": _q_temperature_mix,
     "feed_urls": _q_feed_urls,
     "host_graph_stats": _q_host_graph_stats,
+    "host_components": _q_host_components,
+    "bucket_balanced": _q_bucket_balanced,
     "random_projection": _q_random_projection,
     "bigram_lm_score": _q_bigram_lm_score,
     "best_per_group": _q_best_per_group,

@@ -1455,6 +1455,56 @@ SELECT DISTINCT host, url FROM locs WHERE field = 'sitemap' AND {_valid_pred(d)}
 """
 
 
+def duck_bucket_balanced_sql(n_planes: int = 4, dim: int = 64, k: int = 3) -> str:
+    """DuckDB twin of bucket_balanced_sample (operators/sampling.py):
+    SRP buckets via _lsh_bucket_ctes (hyperplanes as literals), then
+    ROW_NUMBER() per bucket ordered by vec_id, capped at k."""
+    return f"""
+WITH {_lsh_bucket_ctes(n_planes, dim, "WHERE vec_id < 200")},
+ranked AS (
+  SELECT vec_id, CAST(bucket AS BIGINT) AS bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS INT) AS rnk
+  FROM buckets
+)
+SELECT vec_id, bucket, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def duck_host_components_sql(min_weight: int = 2) -> str:
+    """DuckDB twin of host_components (operators/rank.py): mutual
+    weight-filtered host pairs -> connected components via recursive
+    min-label propagation (the engine's large-star/small-star loop
+    computes the same component-min labeling) over HOST_EDGES_CTE."""
+    return f"""
+WITH RECURSIVE {HOST_EDGES_CTE.strip()},
+fil AS (SELECT src_host, dst_host FROM edges WHERE weight >= {min_weight}),
+mut AS (
+  SELECT e.src_host, e.dst_host FROM fil e
+  JOIN (SELECT DISTINCT src_host, dst_host FROM fil) r
+    ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+),
+nodes AS (
+  SELECT src_host AS host FROM mut UNION SELECT dst_host FROM mut
+),
+sym AS (
+  SELECT src_host AS u, dst_host AS v FROM mut
+  UNION
+  SELECT dst_host AS u, src_host AS v FROM mut
+),
+reach AS (
+  SELECT host AS u, host AS label FROM nodes
+  UNION
+  SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.u
+),
+labels AS (SELECT u AS host, MIN(label) AS component_id FROM reach GROUP BY u),
+csize AS (
+  SELECT component_id, COUNT(*) AS component_size FROM labels GROUP BY component_id
+)
+SELECT l.host, l.component_id, c.component_size
+FROM labels l JOIN csize c ON c.component_id = l.component_id
+"""
+
+
 def duck_host_backoff_sql() -> str:
     """DuckDB twin of backoff_budgets (operators/metrics.py): the same
     integer AIMD law — err basis points >= threshold halves (floor 2),
@@ -3246,6 +3296,8 @@ ENGINE_ORACLE_SQL = {
     "robots_parse": duck_robots_parse_sql,
     "robots_sitemaps": duck_robots_sitemaps_sql,
     "host_backoff": duck_host_backoff_sql,
+    "host_components": duck_host_components_sql,
+    "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
     "url_recrawl_ttl": duck_url_recrawl_sql,
     "warc_headers": duck_warc_headers_sql,

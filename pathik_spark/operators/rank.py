@@ -265,3 +265,48 @@ def host_graph_stats(
             .alias("reciprocity"),
         )
     )
+
+
+def host_components(
+    edges: DataFrame,
+    min_weight: int = 1,
+    mutual_only: bool = True,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Mirror-site / link-farm host families: connected components over
+    the MUTUAL-link host pairs. Components over the raw directed host
+    graph would collapse most of the web into one blob (it is largely
+    connected); restricting to reciprocal edges of weight >=
+    ``min_weight`` keeps each component a densely interlinked family —
+    mirrors, syndication rings, farms — the unit a crawl dedups,
+    throttles or blocklists wholesale (the component feeds
+    blocklist.host_blocklist_filter / backoff overrides directly).
+
+    Reuses dedup.connected_components (alternating large-star /
+    small-star, O(log^2 n) rounds, host-count-sized edge shuffles —
+    never corpus-sized). Hosts without a qualifying mutual link are
+    singletons by definition and are omitted. Returns
+    (host, component_id, component_size); component_id is the
+    lexicographic-min host of the family (deterministic).
+    """
+    from pathik_spark.operators.dedup import connected_components
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col(weight_col) >= F.lit(int(min_weight)))
+    if mutual_only:
+        rev = e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).distinct()
+        e = e.join(rev, ["src", "dst"], "left_semi")
+    labels = connected_components(e, id_a="src", id_b="dst")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("component_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("host"),
+        F.col("cluster_id").alias("component_id"),
+        F.col("component_size"),
+    )

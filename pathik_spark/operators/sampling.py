@@ -283,3 +283,43 @@ def best_per_group(
         out.withColumn("rnk", F.row_number().over(win).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def bucket_balanced_sample(
+    df: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Embedding-diversity subset: cap every region of embedding space
+    at its ``k`` best rows. Coarse clusters are data-independent SRP
+    buckets (ann.make_lsh_bucket_udf — deterministic fixed-seed
+    hyperplane signs, one matmul per Arrow batch), so unlike k-means
+    cluster-balancing there is no trained state: the sample is
+    reproducible across runs/partitionings and SQL-oracle-exact
+    (`bucket_balanced`). SemDeDup removes near-duplicates WITHIN a
+    cluster; this caps how much any one topic region contributes to the
+    corpus at all — the cluster-balanced curation complement.
+
+    Selection per bucket is (order_col DESC when given, id ASC)
+    row_number <= k — the best_per_group discipline. 2^n_planes buckets:
+    raise n_planes at scale so per-bucket window partitions stay small
+    (16 planes = 65k buckets; the window shuffles on the bucket key
+    only). Output keeps all input columns plus ``bucket`` and ``rnk``.
+    """
+    from pathik_spark.operators.ann import make_lsh_bucket_udf
+
+    bucketed = df.withColumn(
+        "bucket", make_lsh_bucket_udf(n_planes, dim)(F.col(vec_col))
+    )
+    order = ([F.col(order_col).desc()] if order_col else []) + [
+        F.col(id_col).asc()
+    ]
+    win = Window.partitionBy("bucket").orderBy(*order)
+    return (
+        bucketed.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -132,3 +132,32 @@ def test_host_graph_stats_degrees_and_reciprocity(spark):
     assert out["c"]["reciprocity"] == 1.0
     assert out["d"]["out_deg"] == 0 and out["d"]["reciprocity"] == 0.0
     assert out["d"]["in_deg"] == 1 and out["d"]["in_w"] == 1
+
+
+def test_host_components_mutual_chain(spark):
+    from pathik_spark.operators.rank import host_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5), ("b", "a", 5),      # mutual pair
+            ("b", "c", 2), ("c", "b", 9),      # chains the component
+            ("d", "e", 9),                      # one-way: excluded
+            ("f", "g", 1), ("g", "f", 1),      # below min_weight
+        ],
+        ["src_host", "dst_host", "weight"],
+    )
+    out = {
+        r["host"]: (r["component_id"], r["component_size"])
+        for r in host_components(edges, min_weight=2).collect()
+    }
+    assert out == {"a": ("a", 3), "b": ("a", 3), "c": ("a", 3)}
+
+
+def test_host_components_weight_gate_is_per_direction(spark):
+    from pathik_spark.operators.rank import host_components
+
+    # mutual but one direction below the gate -> not a qualifying pair
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "a", 1)], ["src_host", "dst_host", "weight"]
+    )
+    assert host_components(edges, min_weight=2).count() == 0

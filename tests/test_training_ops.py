@@ -460,3 +460,44 @@ def test_temperature_mix_plan_broadcasts_rates(spark):
     # the tiny rates side broadcasts; the corpus is filtered in-scan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucket_balanced_sample_caps_and_determinism(spark):
+    from pathik_spark.operators.sampling import bucket_balanced_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 150"
+    )
+    out = bucket_balanced_sample(emb, k=3, n_planes=4, dim=64)
+    rows = out.select("vec_id", "bucket", "rnk").collect()
+    per_bucket = {}
+    for r in rows:
+        per_bucket.setdefault(r["bucket"], []).append(r["vec_id"])
+    assert all(len(v) <= 3 for v in per_bucket.values())
+    # deterministic: lowest ids per bucket, independent of partitioning
+    again = bucket_balanced_sample(
+        emb.repartition(7), k=3, n_planes=4, dim=64
+    ).select("vec_id", "bucket", "rnk").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bucket_balanced_sample_order_col(spark):
+    from pathik_spark.operators.sampling import bucket_balanced_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 150"
+    ).withColumn("quality", (F.col("vec_id") % 7).cast("double"))
+    out = bucket_balanced_sample(
+        emb, k=1, n_planes=2, dim=64, order_col="quality"
+    ).collect()
+    # the kept row per bucket has the max quality in its bucket
+    allb = bucket_balanced_sample(emb, k=10**6, n_planes=2, dim=64).collect()
+    best = {}
+    for r in allb:
+        q = r["vec_id"] % 7
+        cur = best.get(r["bucket"])
+        if cur is None or q > cur[0] or (q == cur[0] and r["vec_id"] < cur[1]):
+            best[r["bucket"]] = (q, r["vec_id"])
+    assert {(r["bucket"], r["vec_id"]) for r in out} == {
+        (b, v) for b, (q, v) in best.items()
+    }
