@@ -388,6 +388,26 @@ def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_sitemap_urls(docs)
 
 
+def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap intake with <lastmod> freshness (operators/discover.
+    extract_sitemap_entries) — the per-URL recrawl signal — vs the same
+    block-scoped parse in DuckDB."""
+    from pathik_spark.entry_queries import SITEMAP_LASTMOD_DOCS_CTE
+    from pathik_spark.operators.discover import extract_sitemap_entries
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {SITEMAP_LASTMOD_DOCS_CTE} SELECT * FROM sitemap_lastmod_docs"
+    )
+    # ISO string with '' for null: nullable DATE columns sort/hash
+    # differently across harnesses
+    return extract_sitemap_entries(docs).select(
+        "host",
+        "url",
+        F.coalesce(F.col("lastmod").cast("string"), F.lit("")).alias("lastmod"),
+    )
+
+
 def _q_host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host link-graph degree/reciprocity profile (operators/rank.py) —
     mutual-link rate is a cheap link-farm signal for the scheduler."""
@@ -1361,6 +1381,7 @@ ENGINE_ORACLE_QUERIES = {
     "robots_sitemaps": _q_robots_sitemaps,
     "host_backoff": _q_host_backoff,
     "sitemap_urls": _q_sitemap_urls,
+    "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
     "warc_headers": _q_warc_headers,
     "contamination_report": _q_contamination,

@@ -1617,6 +1617,48 @@ sitemap_docs AS (
 """
 
 
+# Sitemap corpus with <lastmod> freshness (W3C datetime): a dated loc,
+# a loc with no lastmod (null), a padded loc with a full datetime (date
+# prefix kept), an invalid-scheme loc (filtered) and a duplicate loc
+# with an OLDER lastmod (max wins).
+SITEMAP_LASTMOD_DOCS_CTE = """
+sitemap_lastmod_docs AS (
+  SELECT 'host' || CAST(h AS STRING) AS host,
+    '<?xml version="1.0"?><urlset>'
+    || '<url><loc>https://host' || CAST(h AS STRING) || '.example/fresh</loc><lastmod>2025-06-' || lpad(CAST(h % 28 + 1 AS STRING), 2, '0') || '</lastmod></url>'
+    || '<url><loc>https://host' || CAST(h AS STRING) || '.example/nolastmod</loc></url>'
+    || '<url><loc>  https://host' || CAST(h AS STRING) || '.example/padded  </loc><lastmod>2025-01-15T08:30:00+00:00</lastmod></url>'
+    || '<url><loc>ftp://bad' || CAST(h AS STRING) || '.example/x</loc><lastmod>2025-02-02</lastmod></url>'
+    || '<url><loc>https://host' || CAST(h AS STRING) || '.example/fresh</loc><lastmod>2024-01-01</lastmod></url>'
+    || '</urlset>' AS sitemap_xml
+  FROM (SELECT DISTINCT o_orderkey % 40 AS h FROM orders)
+)
+"""
+
+
+def duck_sitemap_entries_sql() -> str:
+    """DuckDB twin of extract_sitemap_entries (operators/discover.py):
+    <url>-block extraction, per-block loc/lastmod, date-prefix cast, F1
+    validity filter, newest-lastmod dedup — over the synthesized
+    SITEMAP_LASTMOD_DOCS_CTE corpus."""
+    d = DUCK
+    return f"""
+WITH {SITEMAP_LASTMOD_DOCS_CTE.strip()},
+blocks AS (
+  SELECT host, unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS block
+  FROM sitemap_lastmod_docs
+),
+parsed AS (
+  SELECT host,
+    trim(regexp_extract(block, '<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS url,
+    TRY_CAST(substr(trim(regexp_extract(block, '<lastmod>\\s*([^<]+?)\\s*</lastmod>', 1)), 1, 10) AS DATE) AS lastmod
+  FROM blocks
+)
+SELECT host, url, COALESCE(CAST(MAX(lastmod) AS VARCHAR), '') AS lastmod
+FROM parsed WHERE {_valid_pred(d)} GROUP BY host, url
+"""
+
+
 # Deterministic syndication-feed corpus (RSS 2.0 + Atom rows per host),
 # shared-dialect SQL like SITEMAP_DOCS_CTE: channel+item links, a
 # padded dup, a permalink guid, a non-URL guid and an ftp link as
@@ -3299,6 +3341,7 @@ ENGINE_ORACLE_SQL = {
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
+    "sitemap_entries": duck_sitemap_entries_sql,
     "url_recrawl_ttl": duck_url_recrawl_sql,
     "warc_headers": duck_warc_headers_sql,
     "contamination_report": duck_contamination_sql,

@@ -94,6 +94,20 @@ def canonicalize_url(url: str | None) -> str | None:
     host = (parts.hostname or "").lower().rstrip(".")
     if not scheme or not host:
         return None
+    if not host.isascii():
+        # IDNA/punycode (RFC 3490): 'münchen.example' and its
+        # 'xn--mnchen-3ya.example' wire form are the SAME host — without
+        # this they would hash to two url_hash identities and the seen
+        # set would fetch international sites twice. Per-label encoding
+        # (empty labels kept so 'a..b' round-trips); labels the codec
+        # rejects stay as-is (total over garbage).
+        try:
+            host = ".".join(
+                lab.encode("idna").decode("ascii") if lab and not lab.isascii() else lab
+                for lab in host.split(".")
+            )
+        except UnicodeError:
+            pass
     port = parts.port
     netloc = host
     if port is not None and str(port) != DEFAULT_PORTS.get(scheme, ""):

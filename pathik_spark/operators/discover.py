@@ -96,6 +96,60 @@ def extract_sitemap_urls(
     return locs.filter(U.is_valid_url_expr(F.col("url"))).distinct()
 
 
+def extract_sitemap_entries(
+    sitemaps: DataFrame,
+    content_col: str = "sitemap_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """Sitemap seed intake WITH freshness: each ``<url>`` block's
+    ``<loc>`` paired with its ``<lastmod>`` (sitemaps.org W3C datetime;
+    the date prefix is kept — hour precision is advisory). The lastmod
+    feeds the adaptive-recrawl machinery directly: a frontier joined on
+    this table can skip URLs whose lastmod predates the seen timestamp
+    (delta.recrawl_filter_adaptive's TTL law gets a per-URL signal
+    instead of a per-host one).
+
+    Same scan-local shape as extract_sitemap_urls, block-scoped so a
+    lastmod can never attach to a neighboring loc: regexp_extract_all
+    over ``<url>`` blocks, per-block loc/lastmod extraction, F1
+    validity filter; duplicate locs keep the NEWEST lastmod (max, nulls
+    lose). Returns (host, url, lastmod date-or-null).
+    """
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({content_col}, '<url>(.*?)</url>', 1)"
+            )
+        ).alias("block"),
+    )
+    parsed = blocks.select(
+        "host",
+        F.trim(
+            F.regexp_extract(F.col("block"), r"<loc>\s*([^<]+?)\s*</loc>", 1)
+        ).alias("url"),
+        F.to_date(
+            F.nullif(
+                F.substring(
+                    F.trim(
+                        F.regexp_extract(
+                            F.col("block"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                F.lit(""),
+            )
+        ).alias("lastmod"),
+    )
+    return (
+        parsed.filter(U.is_valid_url_expr(F.col("url")))
+        .groupBy("host", "url")
+        .agg(F.max("lastmod").alias("lastmod"))
+    )
+
+
 def extract_feed_urls(
     feeds: DataFrame,
     content_col: str = "feed_xml",

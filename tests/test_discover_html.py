@@ -125,3 +125,27 @@ def test_text_links_path_skips_markdown_matches_full(spark, corpus):
     b = {r["url"]: (r["text"], tuple(r["outlinks"] or ()))
          for r in lite.select("url", "text", "outlinks").collect()}
     assert a == b
+
+
+def test_extract_sitemap_entries_lastmod(spark):
+    from datetime import date
+
+    from pathik_spark.operators.discover import extract_sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h.example/a</loc><lastmod>2025-06-01</lastmod></url>"
+        "<url><loc>https://h.example/b</loc></url>"
+        "<url><loc>  https://h.example/c  </loc>"
+        "<lastmod>2025-01-15T08:30:00+00:00</lastmod></url>"
+        "<url><loc>ftp://bad.example/x</loc><lastmod>2025-02-02</lastmod></url>"
+        "<url><loc>https://h.example/a</loc><lastmod>2024-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], ["host", "sitemap_xml"])
+    out = {r["url"]: r["lastmod"] for r in extract_sitemap_entries(df).collect()}
+    assert out == {
+        "https://h.example/a": date(2025, 6, 1),   # newest of the dup wins
+        "https://h.example/b": None,               # no lastmod
+        "https://h.example/c": date(2025, 1, 15),  # datetime date-prefix
+    }

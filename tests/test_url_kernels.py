@@ -169,3 +169,19 @@ def test_canonical_col_fast_path_has_no_udf_for_simple(spark):
 
     plan = df.select(canonical_col(F.col("url")).alias("c"))._jdf.queryExecution().optimizedPlan().toString()
     assert "sort_array" in plan  # the expression branch is present
+
+
+def test_canonicalize_idn_host_punycode():
+    from pathik_spark.kernels.canonical import canonicalize_url
+
+    # unicode host and its punycode wire form share one canonical id
+    assert canonicalize_url("https://münchen.example/") == canonicalize_url(
+        "https://xn--mnchen-3ya.example/"
+    )
+    assert (
+        canonicalize_url("https://BÜCHER.de:443/x")
+        == "https://xn--bcher-kva.de/x"
+    )
+    # ascii hosts untouched; garbage hosts stay total
+    assert canonicalize_url("https://ascii.example/p") == "https://ascii.example/p"
+    assert canonicalize_url("https://é\ud800bad../") is not None
