@@ -337,6 +337,32 @@ def _q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_delay_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential crawl-delay backoff (operators/metrics.
+    backoff_delays): the politeness twin of host_backoff — doubling on
+    unhealthy hosts (first penalty >= 1 s), cap, halve-to-base
+    recovery — vs the same integer law in DuckDB."""
+    from pathik_spark.operators.metrics import backoff_delays
+
+    _register_views(spark, sf_dir)
+    stats = spark.sql(
+        "SELECT 'host' || CAST(o_orderkey % 45 AS STRING) AS host, "
+        "CAST(COUNT(*) AS LONG) AS n_urls, "
+        "CAST(SUM(CASE WHEN o_custkey % 10 < (o_orderkey % 45) % 10 "
+        "THEN 1 ELSE 0 END) AS LONG) AS n_errors "
+        "FROM orders GROUP BY o_orderkey % 45"
+    )
+    prev = spark.sql(
+        "SELECT 'host' || CAST(h AS STRING) AS host, "
+        "CAST(h * 137 % 50000 AS LONG) AS crawl_delay_ms "
+        "FROM (SELECT DISTINCT o_orderkey % 60 AS h FROM orders) WHERE h % 3 = 0"
+    )
+    return backoff_delays(
+        stats, prev, base_delay_ms=500, max_delay_ms=60_000,
+        err_threshold_bp=3000,
+    )
+
+
 def _q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC sink header kernel: the real warc_record_rows expressions
     over a synthesized payload (id %% 50 'x' bytes) vs the SQL twin —
@@ -1380,6 +1406,7 @@ ENGINE_ORACLE_QUERIES = {
     "robots_parse": _q_robots_parse,
     "robots_sitemaps": _q_robots_sitemaps,
     "host_backoff": _q_host_backoff,
+    "host_delay_backoff": _q_host_delay_backoff,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

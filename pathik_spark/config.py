@@ -93,6 +93,12 @@ class CrawlConfig:
     backoff_max_budget: int | None = None
     backoff_step: int = 1
     backoff_threshold_bp: int = 2000
+    # exponential crawl-delay twin (metrics.backoff_delays): unhealthy
+    # hosts double their delay (cap backoff_max_delay_ms), healthy ones
+    # halve back toward backoff_base_delay_ms; MAX-merged with the
+    # robots Crawl-delay (politeness is a floor, never lowered)
+    backoff_base_delay_ms: int = 0
+    backoff_max_delay_ms: int = 60_000
     n_rounds: int = 1
     # round-state backend: "auto" picks Iceberg when runtime jars + a
     # configured V2 catalog are in the session (the 10^10 deployment,

@@ -1537,6 +1537,37 @@ FROM j
 """
 
 
+def duck_host_delay_backoff_sql() -> str:
+    """DuckDB twin of backoff_delays (operators/metrics.py): the same
+    integer exponential law — unhealthy doubles from max(prev, base,
+    1000) capped at 60000, healthy halves back to the 500 base,
+    stats-absent hosts carry — over the host_backoff dataset shapes."""
+    return """
+WITH stats AS (
+  SELECT 'host' || CAST(o_orderkey % 45 AS VARCHAR) AS host,
+         COUNT(*) AS n_urls,
+         SUM(CASE WHEN o_custkey % 10 < (o_orderkey % 45) % 10 THEN 1 ELSE 0 END) AS n_errors
+  FROM orders GROUP BY o_orderkey % 45
+),
+prev AS (
+  SELECT 'host' || CAST(h AS VARCHAR) AS host, h * 137 % 50000 AS prev_delay
+  FROM (SELECT DISTINCT o_orderkey % 60 AS h FROM orders) WHERE h % 3 = 0
+),
+j AS (
+  SELECT COALESCE(s.host, p.host) AS host, s.n_urls, s.n_errors, p.prev_delay
+  FROM stats s FULL OUTER JOIN prev p ON s.host = p.host
+)
+SELECT host,
+  CAST(CASE
+    WHEN n_urls IS NULL THEN COALESCE(prev_delay, 500)
+    WHEN floor(n_errors * 10000 / n_urls) >= 3000
+      THEN least(60000, greatest(COALESCE(prev_delay, 500), 500, 1000) * 2)
+    ELSE greatest(500, floor(COALESCE(prev_delay, 500) / 2))
+  END AS BIGINT) AS crawl_delay_ms
+FROM j
+"""
+
+
 def duck_robots_parse_sql(user_agent: str = "pathik") -> str:
     """DuckDB twin of parse_robots_txt (operators/robots.py): the same
     relational parse — line explode, comment strip, directive filter,
@@ -3338,6 +3369,7 @@ ENGINE_ORACLE_SQL = {
     "robots_parse": duck_robots_parse_sql,
     "robots_sitemaps": duck_robots_sitemaps_sql,
     "host_backoff": duck_host_backoff_sql,
+    "host_delay_backoff": duck_host_delay_backoff_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

@@ -99,3 +99,50 @@ def backoff_budgets(
         .otherwise(increased)
     )
     return joined.select("host", nxt.cast("long").alias("max_per_round"))
+
+
+def backoff_delays(
+    host_stats: DataFrame,
+    prev_delays: DataFrame | None = None,
+    *,
+    base_delay_ms: int = 0,
+    max_delay_ms: int = 60_000,
+    err_threshold_bp: int = 2000,
+) -> DataFrame:
+    """Exponential crawl-delay backoff — the politeness twin of
+    ``backoff_budgets``: where the AIMD budget bounds HOW MANY URLs a
+    round schedules per host, this bounds HOW FAST they are spaced
+    (scheduler desired_ms = rank * crawl_delay_ms).
+
+    Classic doubling with recovery, integer-exact: an unhealthy host
+    (error basis points >= threshold) doubles its delay — from
+    ``max(prev, base, 1000)`` so the first penalty is a real second,
+    never 2*0 — capped at ``max_delay_ms``; a healthy host halves back
+    down (floor ``base_delay_ms``). Stats-absent hosts carry unchanged;
+    prev-absent hosts start from ``base_delay_ms``. Same host-sized
+    shapes as backoff_budgets; the output overlays robots
+    ``crawl_delay_ms`` via ``robots.apply_delay_overrides``.
+    """
+    stats = host_stats.groupBy("host").agg(
+        F.sum("n_urls").alias("n_urls"), F.sum("n_errors").alias("n_errors")
+    )
+    if prev_delays is None:
+        prev = stats.select("host", F.lit(None).cast("long").alias("_prev"))
+    else:
+        prev = prev_delays.select(
+            "host", F.col("crawl_delay_ms").cast("long").alias("_prev")
+        )
+    joined = stats.join(prev, "host", "full_outer")
+    current = F.coalesce(F.col("_prev"), F.lit(int(base_delay_ms)))
+    err_bp = F.floor(F.col("n_errors") * 10000 / F.col("n_urls"))
+    punished = F.least(
+        F.lit(int(max_delay_ms)),
+        F.greatest(current, F.lit(int(base_delay_ms)), F.lit(1000)) * 2,
+    )
+    recovered = F.greatest(F.lit(int(base_delay_ms)), F.floor(current / 2))
+    nxt = (
+        F.when(F.col("n_urls").isNull(), current)
+        .when(err_bp >= F.lit(int(err_threshold_bp)), punished)
+        .otherwise(recovered)
+    )
+    return joined.select("host", nxt.cast("long").alias("crawl_delay_ms"))

@@ -247,3 +247,27 @@ def robots_sitemap_urls(
         .select("host", "url")
         .distinct()
     )
+
+
+def apply_delay_overrides(robots: DataFrame, delays: DataFrame) -> DataFrame:
+    """Overlay adaptive per-host crawl delays (metrics.backoff_delays
+    output: host, crawl_delay_ms) onto the robots rules table. The
+    override is MAX-merged with the robots-side delay — adaptive
+    backoff may slow a host beyond its declared Crawl-delay, never
+    below it (RFC politeness is a floor, not a ceiling). Full-outer on
+    host like apply_budget_overrides; host-sized, frontier untouched."""
+    ovr = delays.select(
+        "host", F.col("crawl_delay_ms").cast("long").alias("_delay_override")
+    )
+    base = robots
+    if "crawl_delay_ms" not in base.columns:
+        base = base.withColumn("crawl_delay_ms", F.lit(None).cast("long"))
+    merged = base.join(ovr, "host", "full_outer")
+    cols = ["host"] + [c for c in base.columns if c not in ("host", "crawl_delay_ms")]
+    return merged.select(
+        *[F.col(c) for c in cols],
+        F.greatest(
+            F.coalesce(F.col("_delay_override"), F.lit(0)),
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
+        ).alias("crawl_delay_ms"),
+    )

@@ -122,11 +122,12 @@ class CrawlRun:
         # be a serial job on the critical path before any scheduling
         self._bloom_future = None
         self._bloom_for_round: int | None = None
-        # adaptive per-host AIMD budgets (config.adaptive_backoff):
-        # updated each round from the committed artifacts, overlaid on
-        # the robots table next round; reseeded from the last committed
-        # host_metrics on resume
+        # adaptive per-host AIMD budgets + exponential delays
+        # (config.adaptive_backoff): updated each round from the
+        # committed artifacts, overlaid on the robots table next round;
+        # reseeded from the last committed host_metrics on resume
         self._backoff_budgets: DataFrame | None = None
+        self._backoff_delays: DataFrame | None = None
 
     def _table_name(self, suffix: str) -> str:
         import re
@@ -295,6 +296,10 @@ class CrawlRun:
             from pathik_spark.operators.robots import apply_budget_overrides
 
             robots_eff = apply_budget_overrides(robots_eff, self._backoff_budgets)
+        if self._backoff_delays is not None:
+            from pathik_spark.operators.robots import apply_delay_overrides
+
+            robots_eff = apply_delay_overrides(robots_eff, self._backoff_delays)
         candidates = filter_disallowed(attach_robots(fr, robots_eff))
 
         bloom_bc = None
@@ -363,10 +368,11 @@ class CrawlRun:
             # flat (host-count-sized table — a tiny job per round).
             from pathik_spark.operators.metrics import backoff_budgets
 
+            # one artifacts scan feeds both the budget and delay updates
             host_stats = arts.groupBy("host").agg(
                 F.count("*").alias("n_urls"),
                 F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
-            )
+            ).localCheckpoint()
             self._backoff_budgets = backoff_budgets(
                 host_stats,
                 self._backoff_budgets,
@@ -374,6 +380,15 @@ class CrawlRun:
                 min_budget=cfg.backoff_min_budget,
                 max_budget=cfg.backoff_max_budget,
                 increase_step=cfg.backoff_step,
+                err_threshold_bp=cfg.backoff_threshold_bp,
+            ).localCheckpoint()
+            from pathik_spark.operators.metrics import backoff_delays
+
+            self._backoff_delays = backoff_delays(
+                host_stats,
+                self._backoff_delays,
+                base_delay_ms=cfg.backoff_base_delay_ms,
+                max_delay_ms=cfg.backoff_max_delay_ms,
                 err_threshold_bp=cfg.backoff_threshold_bp,
             ).localCheckpoint()
 
@@ -602,6 +617,15 @@ class CrawlRun:
                         min_budget=cfg.backoff_min_budget,
                         max_budget=cfg.backoff_max_budget,
                         increase_step=cfg.backoff_step,
+                        err_threshold_bp=cfg.backoff_threshold_bp,
+                    ).localCheckpoint()
+                    from pathik_spark.operators.metrics import backoff_delays
+
+                    self._backoff_delays = backoff_delays(
+                        hm.select("host", "n_urls", "n_errors"),
+                        None,
+                        base_delay_ms=cfg.backoff_base_delay_ms,
+                        max_delay_ms=cfg.backoff_max_delay_ms,
                         err_threshold_bp=cfg.backoff_threshold_bp,
                     ).localCheckpoint()
         if resume and start > 0:

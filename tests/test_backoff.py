@@ -111,3 +111,46 @@ def test_crawl_run_backoff_limits_flaky_host(spark, tmp_path):
     assert flaky0 == 40 and solid0 == 40
     # after 100% errors: budget = floor(base 8 / 2) = 4 of the 40 retries
     assert flaky1 == 4
+
+
+def test_backoff_delays_double_cap_recover_carry(spark):
+    from pathik_spark.operators.metrics import backoff_delays
+
+    stats = _stats(
+        spark,
+        [("bad_cold", 4, 4), ("bad_hot", 4, 4), ("bad_capped", 2, 2), ("ok", 4, 0)],
+    )
+    prev = spark.createDataFrame(
+        [("bad_hot", 4000), ("bad_capped", 50_000), ("ok", 3000), ("idle", 700)],
+        "host string, crawl_delay_ms long",
+    )
+    out = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in backoff_delays(
+            stats, prev, base_delay_ms=0, max_delay_ms=60_000,
+            err_threshold_bp=5000,
+        ).collect()
+    }
+    assert out == {
+        "bad_cold": 2000,    # first penalty is a real second: max(0,0,1000)*2
+        "bad_hot": 8000,     # doubles
+        "bad_capped": 60_000,  # cap
+        "ok": 1500,          # halves back
+        "idle": 700,         # no stats -> carried
+    }
+
+
+def test_apply_delay_overrides_max_merge(spark):
+    from pathik_spark.operators.robots import apply_delay_overrides
+
+    robots = spark.createDataFrame(
+        [("h1", 5000, ["/p"]), ("h2", 100, [])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    delays = spark.createDataFrame(
+        [("h1", 2000), ("h2", 9000), ("h3", 400)],
+        "host string, crawl_delay_ms long",
+    )
+    out = {r["host"]: r["crawl_delay_ms"] for r in apply_delay_overrides(robots, delays).collect()}
+    # robots Crawl-delay is a floor: override never lowers it
+    assert out == {"h1": 5000, "h2": 9000, "h3": 400}
