@@ -337,6 +337,20 @@ def _q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/quality.soft404_signals): pages
+    served 200 whose content is an error page — head-window marker
+    match over a synthesized banner/buried/tiny corpus vs DuckDB."""
+    from pathik_spark.entry_queries import SOFT404_DOCS_CTE
+    from pathik_spark.operators.quality import soft404_signals
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(f"WITH {SOFT404_DOCS_CTE} SELECT * FROM soft404_docs")
+    return soft404_signals(docs).select(
+        "doc_id", "has_marker", "tiny", "is_soft404"
+    )
+
+
 def _q_host_delay_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential crawl-delay backoff (operators/metrics.
     backoff_delays): the politeness twin of host_backoff — doubling on
@@ -1407,6 +1421,7 @@ ENGINE_ORACLE_QUERIES = {
     "robots_sitemaps": _q_robots_sitemaps,
     "host_backoff": _q_host_backoff,
     "host_delay_backoff": _q_host_delay_backoff,
+    "soft404_signals": _q_soft404,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

@@ -1537,6 +1537,46 @@ FROM j
 """
 
 
+# Soft-404 corpus (shared dialect: runs in Spark SQL and DuckDB): an
+# up-front error banner (flagged), a marker buried past the head window
+# (not flagged), a tiny page without markers, and untouched docs.
+SOFT404_DOCS_CTE = """
+soft404_docs AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 7 = 0 THEN 'Error 404 - Page Not Found. ' || substr(text, 1, 200)
+      WHEN doc_id % 7 = 1 THEN substr(text, 1, 600) || ' (page not found)'
+      WHEN doc_id % 7 = 2 THEN substr(text, 1, 120)
+      ELSE text
+    END AS text
+  FROM documents WHERE doc_id < 400
+)
+"""
+
+
+def duck_soft404_sql() -> str:
+    """DuckDB twin of soft404_signals (operators/quality.py): the same
+    head-window marker match + tiny-length flag over SOFT404_DOCS_CTE."""
+    from pathik_spark.operators.quality import (
+        SOFT404_HEAD_CHARS,
+        SOFT404_MARKERS,
+        SOFT404_TINY_CHARS,
+    )
+
+    marker = " OR ".join(
+        f"instr(lower(substr(text, 1, {SOFT404_HEAD_CHARS})), '{m}') > 0"
+        for m in SOFT404_MARKERS
+    )
+    return f"""
+WITH {SOFT404_DOCS_CTE.strip()}
+SELECT doc_id,
+  CAST(({marker}) AS INT) AS has_marker,
+  CAST(length(text) < {SOFT404_TINY_CHARS} AS INT) AS tiny,
+  CAST(({marker}) AS INT) AS is_soft404
+FROM soft404_docs
+"""
+
+
 def duck_host_delay_backoff_sql() -> str:
     """DuckDB twin of backoff_delays (operators/metrics.py): the same
     integer exponential law — unhealthy doubles from max(prev, base,
@@ -3370,6 +3410,7 @@ ENGINE_ORACLE_SQL = {
     "robots_sitemaps": duck_robots_sitemaps_sql,
     "host_backoff": duck_host_backoff_sql,
     "host_delay_backoff": duck_host_delay_backoff_sql,
+    "soft404_signals": duck_soft404_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

@@ -490,3 +490,57 @@ def filter_low_quality_hosts(docs: DataFrame, profile: DataFrame, group_col: str
     the (tiny) bad-host list — the corpus never shuffles."""
     bad = profile.filter(~F.col("keep_host")).select(group_col)
     return docs.join(F.broadcast(bad), group_col, "left_anti")
+
+
+# Soft-404 phrase markers (lowercase). A real error page states its
+# failure up front, so matching is restricted to the HEAD of the
+# extracted text — a long article that merely mentions "page not found"
+# is not flagged.
+SOFT404_MARKERS = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "page cannot be found",
+    "page does not exist",
+    "no longer available",
+)
+SOFT404_HEAD_CHARS = 400
+SOFT404_TINY_CHARS = 500
+
+
+def soft404_signals(
+    pages: DataFrame,
+    text_col: str = "text",
+    head_chars: int = SOFT404_HEAD_CHARS,
+    tiny_chars: int = SOFT404_TINY_CHARS,
+) -> DataFrame:
+    """Soft-404 detection: pages served with HTTP 200 whose CONTENT is
+    an error page — a well-known crawl-corpus pollutant (the classic
+    treatment is Bar-Yossef et al., "Sic Transit Gloria Telae", WWW'04;
+    this is the static content-heuristic arm, no probe fetches).
+
+    Scan-local expressions only: ``has_marker`` = any error phrase in
+    the first ``head_chars`` of the text (lowercased), ``tiny`` = text
+    shorter than ``tiny_chars``, ``is_soft404`` = marker-in-head (the
+    head restriction is the false-positive guard; tiny rides along as
+    an analyst signal, not a gate). Adds the three columns; no shuffle.
+    """
+    head = F.lower(F.substring(F.col(text_col), 1, head_chars))
+    marker = None
+    for m in SOFT404_MARKERS:
+        cond = head.contains(m)
+        marker = cond if marker is None else (marker | cond)
+    return pages.select(
+        "*",
+        marker.cast("int").alias("has_marker"),
+        (F.length(F.col(text_col)) < tiny_chars).cast("int").alias("tiny"),
+        marker.cast("int").alias("is_soft404"),
+    )
+
+
+def filter_soft404s(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop soft-404 pages (scan-local filter, no shuffle)."""
+    out = soft404_signals(pages, text_col=text_col)
+    return out.filter(F.col("is_soft404") == 0).drop(
+        "has_marker", "tiny", "is_soft404"
+    )

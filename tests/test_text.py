@@ -357,3 +357,22 @@ def test_normalize_unicode_forms_and_controls(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_soft404_signals_and_filter(spark):
+    from pathik_spark.operators.quality import filter_soft404s, soft404_signals
+
+    filler = "lorem " * 200  # ~1200 chars of padding
+    rows = [
+        (1, "Error 404 - Page Not Found. Sorry."),          # banner -> flagged
+        (2, filler + " page not found"),                     # buried -> clean
+        (3, "short page"),                                   # tiny but clean
+        (4, "The page does not exist anymore, sorry." + filler),  # head marker
+        (5, filler),                                         # clean long
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in soft404_signals(df).collect()}
+    assert {d: out[d]["is_soft404"] for d in out} == {1: 1, 2: 0, 3: 0, 4: 1, 5: 0}
+    assert out[1]["tiny"] == 1 and out[5]["tiny"] == 0
+    kept = {r["doc_id"] for r in filter_soft404s(df).collect()}
+    assert kept == {2, 3, 5}
