@@ -97,6 +97,43 @@ class SnapshotStore:
         manifest = self.read_manifest(round_no)
         return manifest is not None and name in manifest["tables"]
 
+    def gc(self, keep_rounds: int = 4) -> list[int]:
+        """Retention for long crawls: delete old round directories that
+        resume no longer needs. A 10^10 crawl accumulates per-round
+        artifacts/seen/metrics forever without this.
+
+        Resume-safety invariant (driver._read_seen_upto): the seen set
+        is the newest ``seen_compact`` at-or-before the latest round
+        plus every delta after it — so a round is deletable only if it
+        is BOTH older than the retention window (latest - keep_rounds)
+        AND strictly older than that newest compacted snapshot (its
+        seen delta is folded into the compact). With no compact yet,
+        nothing is deletable regardless of the window: every delta is
+        still load-bearing. Returns the deleted round numbers.
+        """
+        import shutil
+
+        latest = self.latest_complete_round()
+        if latest is None:
+            return []
+        newest_compact = None
+        for k in range(latest, -1, -1):
+            if self.has_table(k, "seen_compact"):
+                newest_compact = k
+                break
+        if newest_compact is None:
+            return []
+        cutoff = min(latest - max(int(keep_rounds), 0) + 1, newest_compact)
+        deleted = []
+        for entry in sorted(os.listdir(self.root)):
+            if not entry.startswith("round="):
+                continue
+            k = int(entry.split("=", 1)[1])
+            if k < cutoff:
+                shutil.rmtree(os.path.join(self.root, entry))
+                deleted.append(k)
+        return deleted
+
 
 # -- Iceberg arm (north-rule state backend) ---------------------------------
 #
@@ -326,6 +363,45 @@ class IcebergSnapshotStore:
     def has_table(self, round_no: int, name: str) -> bool:
         manifest = self.read_manifest(round_no)
         return manifest is not None and name in manifest["tables"]
+
+    def gc(self, keep_rounds: int = 4) -> list[int]:
+        """Same retention law as SnapshotStore.gc, expressed as
+        partition deletes: DELETE each retired round's ``_round=k``
+        slice from its tables, then its manifest row. Iceberg's own
+        snapshot expiry (``expire_snapshots`` — a catalog maintenance
+        job, out of scope here) reclaims the underlying data files.
+        Requires a DELETE-capable V2 catalog (the live Iceberg arm;
+        the jar-free test catalog cannot run row-level deletes)."""
+        fq_man = self._fq("_manifest")
+        if not self._table_exists(fq_man):
+            return []
+        latest = self.latest_complete_round()
+        if latest is None:
+            return []
+        rounds = sorted(
+            int(r["round"])
+            for r in self.spark.table(fq_man).select("round").collect()
+        )
+        newest_compact = None
+        for k in sorted((r for r in rounds if r <= latest), reverse=True):
+            if self.has_table(k, "seen_compact"):
+                newest_compact = k
+                break
+        if newest_compact is None:
+            return []
+        cutoff = min(latest - max(int(keep_rounds), 0) + 1, newest_compact)
+        deleted = []
+        for k in rounds:
+            if k >= cutoff:
+                continue
+            man = self.read_manifest(k)
+            for fq in man["tables"].values():
+                self.spark.sql(
+                    f"DELETE FROM {fq} WHERE {self.ROUND_COL} = {int(k)}"
+                )
+            self.spark.sql(f"DELETE FROM {fq_man} WHERE round = {int(k)}")
+            deleted.append(k)
+        return deleted
 
 
 def make_store(

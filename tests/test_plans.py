@@ -231,3 +231,49 @@ def test_host_ranks_drive_frontier_priority(spark, corpus, tmp_path):
     by_p = {r["priority"]: r["mn"] for r in orders}
     if 0 in by_p and 4 in by_p:
         assert by_p[0] < by_p[4]
+
+
+def test_store_gc_preserves_resume(spark, corpus, tmp_path):
+    """gc deletes rounds older than BOTH the retention window and the
+    newest seen compact; resume after gc continues identically."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    def mk(path, run_id):
+        cfg = CrawlConfig(run_id=run_id, n_rounds=5, seen_compact_every=2,
+                          use_bloom=False)
+        return CrawlRun(spark, corpus["pages"], corpus["robots"],
+                        corpus["links"], str(path), cfg)
+
+    run = mk(tmp_path, "gc1")
+    run.run(corpus["seeds"], n_rounds=4, resume=False)
+    # compacts at rounds 1 and 3 (every 2); latest = 3
+    assert run.store.has_table(3, "seen_compact")
+    deleted = run.store.gc(keep_rounds=1)
+    # cutoff = min(3-1+1, 3) = 3 -> rounds 0..2 deleted
+    assert deleted == [0, 1, 2]
+    import os
+    assert not os.path.isdir(os.path.join(run.store.root, "round=0"))
+    assert run.store.read_manifest(3) is not None
+
+    # an identical un-gc'd twin: round 4 after gc == round 4 without gc
+    run2 = mk(tmp_path, "gc2")
+    run2.run(corpus["seeds"], n_rounds=4, resume=False)
+    s1 = mk(tmp_path, "gc1").run(corpus["seeds"], n_rounds=5, resume=True)
+    s2 = mk(tmp_path, "gc2").run(corpus["seeds"], n_rounds=5, resume=True)
+    assert len(s1) == len(s2) == 1
+    a, b = s1[0], s2[0]
+    assert (a.scheduled, a.fetched, a.seen_total) == (b.scheduled, b.fetched, b.seen_total)
+
+
+def test_store_gc_noop_without_compact(spark, corpus, tmp_path):
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    cfg = CrawlConfig(run_id="gc3", n_rounds=3, seen_compact_every=0,
+                      use_bloom=False)
+    run = CrawlRun(spark, corpus["pages"], corpus["robots"], corpus["links"],
+                   str(tmp_path), cfg)
+    run.run(corpus["seeds"], n_rounds=3, resume=False)
+    # every delta is load-bearing: nothing deletable at any window
+    assert run.store.gc(keep_rounds=0) == []
