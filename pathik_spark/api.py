@@ -54,6 +54,7 @@ def prepare_training_corpus(
     neardup_threshold: float = 0.8,
     split_weights: dict[str, float] | None = None,
     apply_c4: bool = True,
+    drop_soft404: bool = True,
     lm_reference: DataFrame | None = None,
     min_mean_logp: float | None = None,
     drop_ppl_buckets: tuple[str, ...] | None = None,
@@ -72,6 +73,9 @@ def prepare_training_corpus(
     Chains the engine's cleaning operators in the order a production
     webtext pipeline runs them:
 
+    0. soft-404 gate (``drop_soft404``): pages served 200 whose content
+       is an error page (head-window phrase match, quality.
+       soft404_signals) drop before anything else — scan-local;
     1. C4 line/document heuristics (``apply_c4=False`` to skip for
        pre-cleaned text) — rewrites text, drops gated docs;
     2. CCNet line-level boilerplate removal corpus-wide
@@ -144,6 +148,10 @@ def prepare_training_corpus(
         staged = filter_low_quality_hosts(staged, profile, group_col=host_col)
     hosts = staged.select("doc_id", *keep_cols[2:]) if host_col else None
     staged = staged.select("doc_id", "text")
+    if drop_soft404:
+        from pathik_spark.operators.quality import filter_soft404s
+
+        staged = filter_soft404s(staged)
     if apply_c4:
         staged = c4_clean(staged).filter(F.col("keep")).select("doc_id", "text")
     staged = line_dedup(staged, max_occurrences=line_max_occurrences).select(

@@ -221,3 +221,23 @@ def test_prepare_training_corpus_lang_mix(spark):
         docs, line_max_occurrences=5, min_quality=0.2, lang_mix_alpha=1.0
     )
     assert raw.count() == n_full
+
+
+def test_prepare_training_corpus_soft404_gate(spark):
+    docs = _docs(spark)
+    err = spark.createDataFrame(
+        [(102, "Error 404 - Page Not Found.\n" + _line(2, 2))],
+        "doc_id long, text string",
+    )
+    corpus, _ = pathik_spark.prepare_training_corpus(
+        docs.union(err), line_max_occurrences=5, min_quality=0.2
+    )
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert 102 not in kept          # soft-404 dropped before the gates
+    assert 3 in kept                # clean docs unaffected
+    corpus2, _ = pathik_spark.prepare_training_corpus(
+        docs.union(err), line_max_occurrences=5, min_quality=0.2,
+        drop_soft404=False,
+    )
+    # with the gate off the page reaches the normal quality gates
+    assert corpus2.count() >= corpus.count()
