@@ -337,6 +337,29 @@ def _q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.cdc_chunk_hashes):
+    rolling-gram boundary selection + span hashing, portable md5-60bit
+    hash — vs the same list pipeline in DuckDB."""
+    from pathik_spark.operators.dedup import cdc_chunk_hashes
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 80)
+    return cdc_chunk_hashes(docs, window=3, avg_chunk=4)
+
+
+def _q_cdc_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC fuzzy near-dup pairs (operators/dedup.cdc_near_pairs):
+    shared-chunk equi-join with the max_df boilerplate cap vs the same
+    relational pipeline in DuckDB."""
+    from pathik_spark.operators.dedup import cdc_chunk_hashes, cdc_near_pairs
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 80)
+    chunks = cdc_chunk_hashes(docs, window=3, avg_chunk=4)
+    return cdc_near_pairs(chunks, threshold=0.5, max_df=20)
+
+
 def _q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-404 detection (operators/quality.soft404_signals): pages
     served 200 whose content is an error page — head-window marker
@@ -1422,6 +1445,8 @@ ENGINE_ORACLE_QUERIES = {
     "host_backoff": _q_host_backoff,
     "host_delay_backoff": _q_host_delay_backoff,
     "soft404_signals": _q_soft404,
+    "cdc_chunks": _q_cdc_chunks,
+    "cdc_near_pairs": _q_cdc_near_pairs,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

@@ -1577,6 +1577,83 @@ FROM soft404_docs
 """
 
 
+def duck_cdc_chunks_sql(window: int = 3, avg_chunk: int = 4, n_docs: int = 80) -> str:
+    """DuckDB twin of cdc_chunk_hashes (operators/dedup.py): the same
+    content-defined boundaries (portable md5-60bit gram hash % avg ==
+    0), span hashing and explode, via list functions."""
+    ph = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    gram = ph.format(
+        x=f"array_to_string(list_slice(toks, e - {window} + 1, e), ' ')"
+    )
+    chunk = ph.format(
+        x="array_to_string(list_slice(toks, starts[i], ends[i]), ' ')"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < {n_docs}
+),
+base AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks, len(string_split(norm, ' ')) AS n
+  FROM docs WHERE norm <> ''
+),
+cutted AS (
+  SELECT doc_id, toks, n,
+    CASE WHEN n > {window}
+      THEN list_filter(range({window}, n), e -> {gram} % {avg_chunk} = 0)
+      ELSE [] END AS cuts
+  FROM base
+),
+spanned AS (
+  SELECT doc_id, toks,
+    [1] || list_transform(cuts, c -> c + 1) AS starts,
+    cuts || [n] AS ends
+  FROM cutted
+),
+chunked AS (
+  SELECT doc_id,
+    list_transform(range(1, len(starts) + 1), i -> {chunk}) AS chunks
+  FROM spanned
+)
+SELECT doc_id,
+  generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+  unnest(chunks) AS chunk_hash,
+  len(chunks) AS n_chunks
+FROM chunked
+"""
+
+
+def duck_cdc_near_pairs_sql(
+    window: int = 3,
+    avg_chunk: int = 4,
+    n_docs: int = 80,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> str:
+    """DuckDB twin of cdc_near_pairs over cdc_chunk_hashes: distinct
+    per-doc chunk sets, max_df boilerplate-chunk drop, shared-chunk
+    equi-join, containment = shared / min(n_chunks)."""
+    chunks = duck_cdc_chunks_sql(window, avg_chunk, n_docs)
+    return f"""
+WITH chunks AS ({chunks}),
+sets AS (SELECT DISTINCT doc_id, chunk_hash, n_chunks FROM chunks),
+ok AS (
+  SELECT chunk_hash FROM sets GROUP BY chunk_hash HAVING COUNT(*) <= {max_df}
+),
+filtered AS (SELECT s.* FROM sets s JOIN ok USING (chunk_hash)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared,
+         MIN(LEAST(a.n_chunks, b.n_chunks)) AS min_n
+  FROM filtered a JOIN filtered b
+    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, ROUND(shared / min_n, 6) AS containment
+FROM pairs WHERE shared >= min_n * {threshold}
+"""
+
+
 def duck_host_delay_backoff_sql() -> str:
     """DuckDB twin of backoff_delays (operators/metrics.py): the same
     integer exponential law — unhealthy doubles from max(prev, base,
@@ -3411,6 +3488,8 @@ ENGINE_ORACLE_SQL = {
     "host_backoff": duck_host_backoff_sql,
     "host_delay_backoff": duck_host_delay_backoff_sql,
     "soft404_signals": duck_soft404_sql,
+    "cdc_chunks": duck_cdc_chunks_sql,
+    "cdc_near_pairs": duck_cdc_near_pairs_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

@@ -355,3 +355,113 @@ def dedup_clusters(
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# portable hash as a SQL-expression fragment usable inside higher-order
+# lambdas (the column-level portable_hash64 cannot be referenced there)
+def _ph_sql(e: str) -> str:
+    return f"CAST(conv(substr(md5({e}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def cdc_chunk_hashes(
+    documents: DataFrame,
+    window: int = 4,
+    avg_chunk: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync boundary device, token
+    granularity): a chunk boundary falls AFTER token position e
+    whenever the hash of the ``window``-gram ending at e is divisible
+    by ``avg_chunk`` — boundaries move WITH the content, so inserting
+    one sentence re-chunks only its neighborhood, where fixed-stride
+    shingles shift every downstream window. That makes shared-chunk
+    counting a fuzzy dedup signal robust to local edits.
+
+    Fully scan-local array expressions (sequence -> filter -> zip_with
+    span hashing, portable md5-60bit hash shared with DuckDB) until the
+    single posexplode; no shuffle. Returns (doc_id, chunk_idx,
+    chunk_hash, n_chunks); empty/whitespace docs produce no rows.
+    """
+    w, m = int(window), int(avg_chunk)
+    gram = _ph_sql(f"array_join(slice(_toks, e - {w} + 1, {w}), ' ')")
+    chunk = _ph_sql("array_join(slice(_toks, s, e - s + 1), ' ')")
+    prepared = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            normalized_text(F.col(text_col)).alias("_norm"),
+        )
+        .filter(F.col("_norm") != "")
+        .withColumn("_toks", F.split(F.col("_norm"), " "))
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_cuts",
+            F.expr(
+                f"CASE WHEN _n > {w} THEN "
+                f"filter(sequence({w}, _n - 1), e -> {gram} % {m} = 0) "
+                f"ELSE CAST(array() AS array<int>) END"
+            ),
+        )
+        .withColumn(
+            "_starts",
+            F.expr("concat(array(1), transform(_cuts, c -> c + 1))"),
+        )
+        .withColumn("_ends", F.expr("concat(_cuts, array(_n))"))
+        .withColumn(
+            "_chunks",
+            F.expr(f"zip_with(_starts, _ends, (s, e) -> {chunk})"),
+        )
+    )
+    return prepared.select(
+        "doc_id",
+        F.posexplode("_chunks").alias("chunk_idx", "chunk_hash"),
+        F.size("_chunks").alias("n_chunks"),
+    ).select("doc_id", "chunk_idx", "chunk_hash", "n_chunks")
+
+
+def cdc_near_pairs(
+    chunks: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Fuzzy near-dup pairs from CDC chunks: candidates share a chunk
+    hash (equi-join — never all-pairs, the banding discipline), scored
+    by containment = shared distinct chunks / min(n_chunks). ``max_df``
+    drops chunk hashes occurring in more than that many documents
+    before the join (boilerplate chunks are the skew hazard, exactly
+    like hot LSH bands); the dropped mass only lowers recall for
+    template text that line/host dedup already targets. Returns
+    (doc_a, doc_b, shared, containment) with doc_a < doc_b.
+    """
+    sets = chunks.select("doc_id", "chunk_hash", "n_chunks").distinct()
+    if max_df is not None:
+        hot = (
+            sets.groupBy("chunk_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > int(max_df))
+            .select("chunk_hash")
+        )
+        sets = sets.join(F.broadcast(hot), "chunk_hash", "left_anti")
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        "chunk_hash",
+        F.col("n_chunks").alias("n_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        "chunk_hash",
+        F.col("n_chunks").alias("n_b"),
+    )
+    joined = a.join(b, "chunk_hash").filter(F.col("doc_a") < F.col("doc_b"))
+    scored = joined.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("shared"),
+        F.min(F.least("n_a", "n_b")).alias("_min_n"),
+    )
+    return scored.filter(
+        F.col("shared") >= F.col("_min_n") * F.lit(float(threshold))
+    ).select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.round(F.col("shared") / F.col("_min_n"), 6).alias("containment"),
+    )

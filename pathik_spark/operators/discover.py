@@ -205,3 +205,60 @@ def discover_feed_links(
         ).alias("feed_url"),
     ).select("host", F.trim(F.col("feed_url")).alias("feed_url"))
     return locs.filter(U.is_valid_url_expr(F.col("feed_url"))).distinct()
+
+
+def discover_seeds(
+    sitemap_entries: DataFrame | None = None,
+    feed_urls: DataFrame | None = None,
+    robots_sitemaps: DataFrame | None = None,
+    now=None,
+) -> DataFrame:
+    """Unified seed intake: one CrawlRun-ready (url, seq, priority)
+    table from the standing discovery channels —
+
+    - ``sitemap_entries`` (extract_sitemap_entries output): priority
+      from ``lastmod`` recency vs ``now`` (a date/timestamp COLUMN or
+      literal — never wall clock, the repo's replayability rule):
+      tier 0 <= 7 days, 1 <= 30, 2 <= 365, 3 older/unknown;
+    - ``feed_urls`` (extract_feed_urls output): feeds announce new
+      content, so entries default to tier 1;
+    - ``robots_sitemaps`` (robots_sitemap_urls output): sitemap
+      archives to FETCH, tier 0 — crawling them unlocks everything
+      they list.
+
+    ``seq`` (the scheduler's FIFO tie-break) is the portable 60-bit
+    hash of the url — deterministic and partitioning-independent
+    without the single-partition global window a row_number seq would
+    need at 10^10. First-(priority, seq) dedup across channels is
+    prepare_frontier's own job; this just unions the channels.
+    """
+    from pathik_spark.operators.dedup import portable_hash64
+
+    parts = []
+    if sitemap_entries is not None:
+        from pyspark.sql import Column
+
+        now_col = now if isinstance(now, Column) else F.lit(now)
+        age = F.datediff(now_col.cast("date"), F.col("lastmod"))
+        tier = (
+            F.when(F.col("lastmod").isNull(), F.lit(3))
+            .when(age <= 7, F.lit(0))
+            .when(age <= 30, F.lit(1))
+            .when(age <= 365, F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        parts.append(sitemap_entries.select("url", tier.alias("priority")))
+    if feed_urls is not None:
+        parts.append(feed_urls.select("url", F.lit(1).alias("priority")))
+    if robots_sitemaps is not None:
+        parts.append(robots_sitemaps.select("url", F.lit(0).alias("priority")))
+    if not parts:
+        raise ValueError("discover_seeds: no discovery channel given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "url",
+        F.pmod(portable_hash64(F.col("url")), F.lit(1_000_000_000_000)).alias("seq"),
+        F.col("priority").cast("int").alias("priority"),
+    )

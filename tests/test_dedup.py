@@ -164,3 +164,49 @@ def test_dedup_clusters_labels_every_doc(spark, docs):
     sz = out.groupBy("cluster_id").count()
     mism = out.join(sz, "cluster_id").filter(F.col("cluster_size") != F.col("count"))
     assert mism.count() == 0
+
+
+def test_cdc_chunks_edit_locality_and_shapes(spark):
+    from pathik_spark.operators.dedup import cdc_chunk_hashes, cdc_near_pairs
+
+    words = [f"w{i % 23}x{i % 7}" for i in range(80)]
+    base = " ".join(words)
+    # one token inserted mid-document: boundaries move only locally
+    edited = " ".join(words[:40] + ["INSERTED"] + words[40:])
+    other = " ".join(f"z{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, ""), (5, "only three words")],
+        ["doc_id", "text"],
+    )
+    chunks = cdc_chunk_hashes(docs, window=3, avg_chunk=4)
+    rows = chunks.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc                       # empty doc -> no rows
+    assert len(by_doc[5]) == 1                   # n <= window: one chunk
+    assert by_doc[5][0]["n_chunks"] == 1
+    # determinism across partitionings
+    again = cdc_chunk_hashes(docs.repartition(5), window=3, avg_chunk=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # edit locality: base/edited share most chunks; unrelated shares none
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in cdc_near_pairs(chunks, threshold=0.4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_cdc_near_pairs_max_df_drops_boilerplate(spark):
+    from pathik_spark.operators.dedup import cdc_near_pairs
+
+    # every doc shares one hot chunk; only 1-2 share a rare chunk
+    rows = [(d, 0, 999, 2) for d in range(10)] + [(0, 1, 111, 2), (1, 1, 111, 2)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, chunk_hash long, n_chunks int"
+    )
+    got = cdc_near_pairs(chunks, threshold=0.4, max_df=5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+    # without the cap the hot chunk creates all 45 pairs
+    assert cdc_near_pairs(chunks, threshold=0.4, max_df=None).count() == 45

@@ -149,3 +149,39 @@ def test_extract_sitemap_entries_lastmod(spark):
         "https://h.example/b": None,               # no lastmod
         "https://h.example/c": date(2025, 1, 15),  # datetime date-prefix
     }
+
+
+def test_discover_seeds_unified_channels(spark):
+    from pathik_spark.operators.discover import discover_seeds
+
+    sm = spark.createDataFrame(
+        [
+            ("h", "https://h.example/fresh", "2025-06-10"),
+            ("h", "https://h.example/month", "2025-05-20"),
+            ("h", "https://h.example/old", "2023-01-01"),
+            ("h", "https://h.example/unknown", None),
+        ],
+        "host string, url string, lastmod string",
+    ).selectExpr("host", "url", "CAST(lastmod AS DATE) AS lastmod")
+    feeds = spark.createDataFrame(
+        [("h", "https://h.example/feeditem")], ["host", "url"]
+    )
+    rsm = spark.createDataFrame(
+        [("h", "https://h.example/sitemap.xml")], ["host", "url"]
+    )
+    out = discover_seeds(
+        sitemap_entries=sm, feed_urls=feeds, robots_sitemaps=rsm,
+        now="2025-06-15",
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["https://h.example/fresh"]["priority"] == 0
+    assert rows["https://h.example/month"]["priority"] == 1
+    assert rows["https://h.example/old"]["priority"] == 3
+    assert rows["https://h.example/unknown"]["priority"] == 3
+    assert rows["https://h.example/feeditem"]["priority"] == 1
+    assert rows["https://h.example/sitemap.xml"]["priority"] == 0
+    # seq is a deterministic url hash, not ordering-dependent
+    again = {r["url"]: r["seq"] for r in out.collect()}
+    assert all(again[u] == rows[u]["seq"] for u in rows)
+    # CrawlRun-ready shape
+    assert set(out.columns) == {"url", "seq", "priority"}
