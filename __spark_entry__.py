@@ -337,6 +337,37 @@ def _q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_discover_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified discovery intake (operators/discover.discover_seeds):
+    the composed facade over the three synthesized channel corpora —
+    real extractors + freshness tiers + hash seq vs DuckDB."""
+    from pathik_spark.entry_queries import (
+        FEED_DOCS_CTE,
+        ROBOTS_SITEMAP_DOCS_CTE,
+        SITEMAP_LASTMOD_DOCS_CTE,
+    )
+    from pathik_spark.operators.discover import (
+        discover_seeds,
+        extract_feed_urls,
+        extract_sitemap_entries,
+    )
+    from pathik_spark.operators.robots import robots_sitemap_urls
+
+    _register_views(spark, sf_dir)
+    sm = extract_sitemap_entries(
+        spark.sql(f"WITH {SITEMAP_LASTMOD_DOCS_CTE} SELECT * FROM sitemap_lastmod_docs")
+    )
+    fe = extract_feed_urls(
+        spark.sql(f"WITH {FEED_DOCS_CTE} SELECT * FROM feed_docs")
+    )
+    rs = robots_sitemap_urls(
+        spark.sql(f"WITH {ROBOTS_SITEMAP_DOCS_CTE} SELECT * FROM robots_sitemap_docs")
+    )
+    return discover_seeds(
+        sitemap_entries=sm, feed_urls=fe, robots_sitemaps=rs, now="2025-06-15"
+    )
+
+
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/dedup.cdc_chunk_hashes):
     rolling-gram boundary selection + span hashing, portable md5-60bit
@@ -1447,6 +1478,7 @@ ENGINE_ORACLE_QUERIES = {
     "soft404_signals": _q_soft404,
     "cdc_chunks": _q_cdc_chunks,
     "cdc_near_pairs": _q_cdc_near_pairs,
+    "discover_seeds": _q_discover_seeds,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

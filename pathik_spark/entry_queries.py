@@ -1654,6 +1654,71 @@ FROM pairs WHERE shared >= min_n * {threshold}
 """
 
 
+def duck_discover_seeds_sql(now: str = "2025-06-15") -> str:
+    """DuckDB twin of discover_seeds over the three synthesized intake
+    corpora: sitemap <lastmod> entries (freshness-tiered priority),
+    feed URLs (tier 1), robots Sitemap: directives (tier 0); seq = the
+    portable 60-bit url hash mod 1e12."""
+    d = DUCK
+    ph = "CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT)"
+    return f"""
+WITH {SITEMAP_LASTMOD_DOCS_CTE.strip()},
+{FEED_DOCS_CTE.strip().lstrip()},
+{ROBOTS_SITEMAP_DOCS_CTE.strip()},
+sm_blocks AS (
+  SELECT host, unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS block
+  FROM sitemap_lastmod_docs
+),
+sm_parsed AS (
+  SELECT host,
+    trim(regexp_extract(block, '<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS url,
+    TRY_CAST(substr(trim(regexp_extract(block, '<lastmod>\\s*([^<]+?)\\s*</lastmod>', 1)), 1, 10) AS DATE) AS lastmod
+  FROM sm_blocks
+),
+sm AS (
+  SELECT host, url, MAX(lastmod) AS lastmod
+  FROM sm_parsed WHERE {_valid_pred(d)} GROUP BY host, url
+),
+fe_locs AS (
+  SELECT host, trim(unnest(
+    regexp_extract_all(feed_xml, '<link>\\s*([^<]+?)\\s*</link>', 1)
+    || regexp_extract_all(feed_xml, '<link[^>]*href="([^"]+)"', 1)
+    || regexp_extract_all(feed_xml, '<guid[^>]*>\\s*(http[^<]*?)\\s*</guid>', 1)
+  )) AS url FROM feed_docs
+),
+fe AS (SELECT DISTINCT host, url FROM fe_locs WHERE {_valid_pred(d)}),
+rs_lines AS (
+  SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw
+  FROM robots_sitemap_docs
+),
+rs_cleaned AS (
+  SELECT host, trim(regexp_replace(raw, '#.*$', '', 'g')) AS line FROM rs_lines
+),
+rs_locs AS (
+  SELECT host,
+         lower(trim(split_part(line, ':', 1))) AS field,
+         trim(substr(line, instr(line, ':') + 1, length(line))) AS url
+  FROM rs_cleaned WHERE instr(line, ':') > 0
+),
+rs AS (
+  SELECT DISTINCT host, url FROM rs_locs WHERE field = 'sitemap' AND {_valid_pred(d)}
+),
+unioned AS (
+  SELECT url,
+    CASE WHEN lastmod IS NULL THEN 3
+         WHEN (DATE '{now}' - lastmod) <= 7 THEN 0
+         WHEN (DATE '{now}' - lastmod) <= 30 THEN 1
+         WHEN (DATE '{now}' - lastmod) <= 365 THEN 2
+         ELSE 3 END AS priority
+  FROM sm
+  UNION ALL SELECT url, 1 AS priority FROM fe
+  UNION ALL SELECT url, 0 AS priority FROM rs
+)
+SELECT url, {ph} % 1000000000000 AS seq, CAST(priority AS INT) AS priority
+FROM unioned
+"""
+
+
 def duck_host_delay_backoff_sql() -> str:
     """DuckDB twin of backoff_delays (operators/metrics.py): the same
     integer exponential law — unhealthy doubles from max(prev, base,
@@ -3490,6 +3555,7 @@ ENGINE_ORACLE_SQL = {
     "soft404_signals": duck_soft404_sql,
     "cdc_chunks": duck_cdc_chunks_sql,
     "cdc_near_pairs": duck_cdc_near_pairs_sql,
+    "discover_seeds": duck_discover_seeds_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

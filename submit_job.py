@@ -57,6 +57,15 @@ def main() -> None:
         "inline list",
     )
     ap.add_argument(
+        "--adaptive-backoff",
+        action="store_true",
+        help="error-aware per-host backoff: AIMD fetch budgets + "
+        "exponential crawl delays from each round's error rates "
+        "(operators/metrics.backoff_budgets/backoff_delays)",
+    )
+    ap.add_argument("--backoff-base-budget", type=int, default=1000)
+    ap.add_argument("--backoff-threshold-bp", type=int, default=2000)
+    ap.add_argument(
         "--state-backend",
         default="auto",
         choices=("auto", "parquet", "iceberg"),
@@ -104,6 +113,9 @@ def main() -> None:
         num_shards=args.num_shards,
         n_rounds=args.rounds,
         state_backend=args.state_backend,
+        adaptive_backoff=args.adaptive_backoff,
+        backoff_base_budget=args.backoff_base_budget,
+        backoff_threshold_bp=args.backoff_threshold_bp,
     )
     blocklist = None
     if args.blocked_hosts:

@@ -5,13 +5,16 @@ in __spark_entry__ must match DuckDB on row count, schema width and
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as E
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; set PATHIK_ORACLE_SF_DIR=/root/testdata/sf0.01
+# to replicate the driver's sweep scale exactly
+SF_DIR = os.environ.get("PATHIK_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _duck_con():
