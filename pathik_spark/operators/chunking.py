@@ -102,6 +102,7 @@ def pack_token_stream(
     seq_len: int = 128,
     n_shards: int = 64,
     text_col: str = "text",
+    eos_tokens: int = 0,
 ) -> DataFrame:
     """Concat-and-split packing index.
 
@@ -117,6 +118,8 @@ def pack_token_stream(
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if eos_tokens < 0:
+        raise ValueError("eos_tokens must be >= 0")
 
     # same empty-doc convention as chunk_documents/report.py: size 0,
     # not split('') == [''] (size 1) — a phantom token per empty doc
@@ -125,9 +128,12 @@ def pack_token_stream(
     toks = docs.select(
         "doc_id",
         F.when(norm == "", F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
+        # eos_tokens: the trainer convention of a document separator
+        # (e.g. one EOS) appended to every doc in the stream; each
+        # doc's span (and its n_tok) includes its trailing separator
+        .otherwise(F.size(F.split(norm, " ")) + F.lit(int(eos_tokens)))
         .alias("n_tok_doc"),
-    ).filter(F.col("n_tok_doc") > 0)
+    ).filter(F.col("n_tok_doc") > F.lit(int(eos_tokens)))
     sharded = toks.withColumn(
         "shard", F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(n_shards))
     )

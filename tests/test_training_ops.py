@@ -501,3 +501,18 @@ def test_bucket_balanced_sample_order_col(spark):
     assert {(r["bucket"], r["vec_id"]) for r in out} == {
         (b, v) for b, (q, v) in best.items()
     }
+
+
+def test_pack_token_stream_eos_separator(spark):
+    from pathik_spark.operators.chunking import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "")], ["doc_id", "text"]
+    )
+    out = pack_token_stream(docs, seq_len=4, n_shards=1, eos_tokens=1).collect()
+    # stream: doc1 (3+1 eos) + doc2 (2+1 eos) = 7 tokens; empty doc gone
+    assert sum(r["n_tok"] for r in out) == 7
+    assert {r["doc_id"] for r in out} == {1, 2}
+    # without eos the stream is 5 tokens, unchanged behavior
+    base = pack_token_stream(docs, seq_len=4, n_shards=1).collect()
+    assert sum(r["n_tok"] for r in base) == 5
