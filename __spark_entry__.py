@@ -368,6 +368,19 @@ def _q_discover_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based mirror detection (operators/dedup.
+    host_mirror_pairs): hosts serving largely identical content, via
+    the shared-content-hash equi-join vs the same pipeline in DuckDB.
+    max_df=None: the synthetic corpus plants content on many hosts."""
+    from pathik_spark.entry_queries import MIRROR_DOCS_CTE
+    from pathik_spark.operators.dedup import host_mirror_pairs
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(f"WITH {MIRROR_DOCS_CTE} SELECT * FROM mirror_docs")
+    return host_mirror_pairs(docs, threshold=0.5, max_df=None)
+
+
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/dedup.cdc_chunk_hashes):
     rolling-gram boundary selection + span hashing, portable md5-60bit
@@ -1479,6 +1492,7 @@ ENGINE_ORACLE_QUERIES = {
     "cdc_chunks": _q_cdc_chunks,
     "cdc_near_pairs": _q_cdc_near_pairs,
     "discover_seeds": _q_discover_seeds,
+    "host_mirror_pairs": _q_host_mirror_pairs,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

@@ -1719,6 +1719,45 @@ FROM unioned
 """
 
 
+# Mirror corpus (shared dialect): 240 pages spread over 12 hosts, page
+# content keyed by doc_id % 40 — so hosts serve overlapping content
+# sets and the containment join has real work to verify.
+MIRROR_DOCS_CTE = """
+mirror_docs AS (
+  SELECT d.doc_id, 'h' || CAST(d.doc_id % 12 AS STRING) AS host, b.text AS text
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 240) d
+  JOIN documents b ON b.doc_id = d.doc_id % 40
+)
+"""
+
+
+def duck_host_mirror_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of host_mirror_pairs (operators/dedup.py): per-host
+    distinct content hashes, shared-hash equi-join, containment =
+    shared / min distinct pages — over MIRROR_DOCS_CTE."""
+    return f"""
+WITH {MIRROR_DOCS_CTE.strip()},
+sets AS (
+  SELECT DISTINCT host,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM mirror_docs
+),
+counts AS (SELECT host, COUNT(*) AS n_pages FROM sets GROUP BY host),
+joined AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         COUNT(*) AS shared,
+         MIN(LEAST(ca.n_pages, cb.n_pages)) AS min_n
+  FROM sets a
+  JOIN sets b ON a.content_hash = b.content_hash AND a.host < b.host
+  JOIN counts ca ON ca.host = a.host
+  JOIN counts cb ON cb.host = b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, shared, ROUND(shared / min_n, 6) AS containment
+FROM joined WHERE shared >= min_n * {threshold}
+"""
+
+
 def duck_host_delay_backoff_sql() -> str:
     """DuckDB twin of backoff_delays (operators/metrics.py): the same
     integer exponential law — unhealthy doubles from max(prev, base,
@@ -3556,6 +3595,7 @@ ENGINE_ORACLE_SQL = {
     "cdc_chunks": duck_cdc_chunks_sql,
     "cdc_near_pairs": duck_cdc_near_pairs_sql,
     "discover_seeds": duck_discover_seeds_sql,
+    "host_mirror_pairs": duck_host_mirror_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

@@ -465,3 +465,60 @@ def cdc_near_pairs(
         "shared",
         F.round(F.col("shared") / F.col("_min_n"), 6).alias("containment"),
     )
+
+
+def host_mirror_pairs(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Content-based mirror detection: pairs of hosts serving largely
+    IDENTICAL page content — the content twin of the link-based
+    rank.host_components signal (a true mirror interlinks little but
+    duplicates much, so the two catch different farms).
+
+    Per-host distinct content hashes (md5 of normalized text) ->
+    shared-hash equi-join (never all-pairs) -> containment = shared /
+    min(n_pages). ``max_df`` drops content served by more than that
+    many hosts first (license banners, parked-domain pages — the skew
+    hazard, same discipline as cdc_near_pairs). Returns (host_a,
+    host_b, shared, containment) with host_a < host_b.
+    """
+    sets = (
+        docs.select(
+            F.col(host_col).alias("host"),
+            F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+        )
+        .distinct()
+    )
+    counts = sets.groupBy("host").agg(F.count("*").alias("n_pages"))
+    sets = sets.join(counts, "host")
+    if max_df is not None:
+        hot = (
+            sets.groupBy("content_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > int(max_df))
+            .select("content_hash")
+        )
+        sets = sets.join(F.broadcast(hot), "content_hash", "left_anti")
+    a = sets.select(
+        F.col("host").alias("host_a"), "content_hash", F.col("n_pages").alias("n_a")
+    )
+    b = sets.select(
+        F.col("host").alias("host_b"), "content_hash", F.col("n_pages").alias("n_b")
+    )
+    joined = a.join(b, "content_hash").filter(F.col("host_a") < F.col("host_b"))
+    scored = joined.groupBy("host_a", "host_b").agg(
+        F.count("*").alias("shared"),
+        F.min(F.least("n_a", "n_b")).alias("_min_n"),
+    )
+    return scored.filter(
+        F.col("shared") >= F.col("_min_n") * F.lit(float(threshold))
+    ).select(
+        "host_a",
+        "host_b",
+        "shared",
+        F.round(F.col("shared") / F.col("_min_n"), 6).alias("containment"),
+    )

@@ -210,3 +210,22 @@ def test_cdc_near_pairs_max_df_drops_boilerplate(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
     # without the cap the hot chunk creates all 45 pairs
     assert cdc_near_pairs(chunks, threshold=0.4, max_df=None).count() == 45
+
+
+def test_host_mirror_pairs_detects_mirrors(spark):
+    from pathik_spark.operators.dedup import host_mirror_pairs
+
+    pages = [("m1", f"unique content piece number {i}") for i in range(10)]
+    pages += [("m2", f"unique content piece number {i}") for i in range(8)]  # mirror
+    pages += [("other", f"different text entirely {i}") for i in range(10)]
+    # boilerplate page served by every host
+    pages += [(h, "terms of service boilerplate") for h in ("m1", "m2", "other")]
+    docs = spark.createDataFrame(pages, ["host", "text"])
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in host_mirror_pairs(docs, threshold=0.5, max_df=2).collect()
+    }
+    assert ("m1", "m2") in out
+    r = out[("m1", "m2")]
+    assert r["shared"] == 8 and abs(r["containment"] - 8 / 9) < 1e-6
+    assert not any("other" in p for p in out)
