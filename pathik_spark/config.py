@@ -140,4 +140,16 @@ class CrawlConfig:
                 raise ValueError("backoff budgets must be >= 1")
             if not (0 <= self.backoff_threshold_bp <= 10_000):
                 raise ValueError("backoff_threshold_bp out of 0..10000 range")
+            if (
+                self.backoff_max_budget is not None
+                and self.backoff_max_budget < self.backoff_min_budget
+            ):
+                raise ValueError("backoff_max_budget below backoff_min_budget")
+            if self.backoff_base_delay_ms < 0 or self.backoff_max_delay_ms < max(
+                self.backoff_base_delay_ms, 1000
+            ):
+                raise ValueError(
+                    "backoff delays must satisfy 0 <= base and "
+                    "max >= max(base, 1000) (the first-penalty floor)"
+                )
         return self

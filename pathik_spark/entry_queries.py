@@ -1430,6 +1430,62 @@ robots_sitemap_docs AS (
 """
 
 
+def _sm_entries_channel_ctes(d) -> str:
+    """Shared CTE chain for the sitemap-lastmod channel (ends in ``sm``
+    (host, url, lastmod DATE)) — used by duck_sitemap_entries_sql and
+    duck_discover_seeds_sql so the two oracles can never drift."""
+    return f"""sm_blocks AS (
+  SELECT host, unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS block
+  FROM sitemap_lastmod_docs
+),
+sm_parsed AS (
+  SELECT host,
+    trim(regexp_extract(block, '<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS url,
+    TRY_CAST(substr(trim(regexp_extract(block, '<lastmod>\\s*([^<]+?)\\s*</lastmod>', 1)), 1, 10) AS DATE) AS lastmod
+  FROM sm_blocks
+),
+sm AS (
+  SELECT host, url, MAX(lastmod) AS lastmod
+  FROM sm_parsed WHERE {_valid_pred(d)} GROUP BY host, url
+)"""
+
+
+def _feed_urls_channel_ctes(d) -> str:
+    """Shared CTE chain for the feed channel (ends in ``fe`` (host,
+    url) distinct) — duck_feed_urls_sql / duck_discover_seeds_sql."""
+    return f"""fe_locs AS (
+  SELECT host, trim(unnest(
+      regexp_extract_all(feed_xml, '<link>\\s*([^<]+?)\\s*</link>', 1)
+      || regexp_extract_all(feed_xml, '<link[^>]*href="([^"]+)"', 1)
+      || regexp_extract_all(feed_xml, '<guid[^>]*>\\s*(http[^<]*?)\\s*</guid>', 1)
+  )) AS url
+  FROM feed_docs
+),
+fe AS (SELECT DISTINCT host, url FROM fe_locs WHERE {_valid_pred(d)})"""
+
+
+def _robots_sitemaps_channel_ctes(d) -> str:
+    """Shared CTE chain for the robots Sitemap: channel (ends in ``rs``
+    (host, url) distinct) — duck_robots_sitemaps_sql /
+    duck_discover_seeds_sql."""
+    return f"""rs_lines AS (
+  SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw
+  FROM robots_sitemap_docs
+),
+rs_cleaned AS (
+  SELECT host, trim(regexp_replace(raw, '#.*$', '', 'g')) AS line FROM rs_lines
+),
+rs_locs AS (
+  SELECT host,
+         lower(trim(split_part(line, ':', 1))) AS field,
+         trim(substr(line, instr(line, ':') + 1, length(line))) AS url
+  FROM rs_cleaned WHERE instr(line, ':') > 0
+),
+rs AS (
+  SELECT DISTINCT host, url FROM rs_locs WHERE field = 'sitemap' AND {_valid_pred(d)}
+)"""
+
+
 def duck_robots_sitemaps_sql() -> str:
     """DuckDB twin of robots_sitemap_urls (operators/robots.py): line
     explode, comment strip, case-insensitive ``sitemap`` field match,
@@ -1438,20 +1494,8 @@ def duck_robots_sitemaps_sql() -> str:
     d = DUCK
     return f"""
 WITH {ROBOTS_SITEMAP_DOCS_CTE.strip()},
-lines AS (
-  SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw
-  FROM robots_sitemap_docs
-),
-cleaned AS (
-  SELECT host, trim(regexp_replace(raw, '#.*$', '', 'g')) AS line FROM lines
-),
-locs AS (
-  SELECT host,
-         lower(trim(split_part(line, ':', 1))) AS field,
-         trim(substr(line, instr(line, ':') + 1, length(line))) AS url
-  FROM cleaned WHERE instr(line, ':') > 0
-)
-SELECT DISTINCT host, url FROM locs WHERE field = 'sitemap' AND {_valid_pred(d)}
+{_robots_sitemaps_channel_ctes(d)}
+SELECT host, url FROM rs
 """
 
 
@@ -1656,53 +1700,20 @@ FROM pairs WHERE shared >= min_n * {threshold}
 
 def duck_discover_seeds_sql(now: str = "2025-06-15") -> str:
     """DuckDB twin of discover_seeds over the three synthesized intake
-    corpora: sitemap <lastmod> entries (freshness-tiered priority),
-    feed URLs (tier 1), robots Sitemap: directives (tier 0); seq = the
-    portable 60-bit url hash mod 1e12."""
+    corpora, composed from the SAME channel CTE helpers as the three
+    single-channel oracles (so a channel fix cannot leave this one
+    testing stale semantics): sitemap <lastmod> entries
+    (freshness-tiered priority), feed URLs (tier 1), robots Sitemap:
+    directives (tier 0); seq = the portable 60-bit url hash mod 1e12."""
     d = DUCK
     ph = "CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT)"
     return f"""
 WITH {SITEMAP_LASTMOD_DOCS_CTE.strip()},
 {FEED_DOCS_CTE.strip().lstrip()},
 {ROBOTS_SITEMAP_DOCS_CTE.strip()},
-sm_blocks AS (
-  SELECT host, unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS block
-  FROM sitemap_lastmod_docs
-),
-sm_parsed AS (
-  SELECT host,
-    trim(regexp_extract(block, '<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS url,
-    TRY_CAST(substr(trim(regexp_extract(block, '<lastmod>\\s*([^<]+?)\\s*</lastmod>', 1)), 1, 10) AS DATE) AS lastmod
-  FROM sm_blocks
-),
-sm AS (
-  SELECT host, url, MAX(lastmod) AS lastmod
-  FROM sm_parsed WHERE {_valid_pred(d)} GROUP BY host, url
-),
-fe_locs AS (
-  SELECT host, trim(unnest(
-    regexp_extract_all(feed_xml, '<link>\\s*([^<]+?)\\s*</link>', 1)
-    || regexp_extract_all(feed_xml, '<link[^>]*href="([^"]+)"', 1)
-    || regexp_extract_all(feed_xml, '<guid[^>]*>\\s*(http[^<]*?)\\s*</guid>', 1)
-  )) AS url FROM feed_docs
-),
-fe AS (SELECT DISTINCT host, url FROM fe_locs WHERE {_valid_pred(d)}),
-rs_lines AS (
-  SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw
-  FROM robots_sitemap_docs
-),
-rs_cleaned AS (
-  SELECT host, trim(regexp_replace(raw, '#.*$', '', 'g')) AS line FROM rs_lines
-),
-rs_locs AS (
-  SELECT host,
-         lower(trim(split_part(line, ':', 1))) AS field,
-         trim(substr(line, instr(line, ':') + 1, length(line))) AS url
-  FROM rs_cleaned WHERE instr(line, ':') > 0
-),
-rs AS (
-  SELECT DISTINCT host, url FROM rs_locs WHERE field = 'sitemap' AND {_valid_pred(d)}
-),
+{_sm_entries_channel_ctes(d)},
+{_feed_urls_channel_ctes(d)},
+{_robots_sitemaps_channel_ctes(d)},
 unioned AS (
   SELECT url,
     CASE WHEN lastmod IS NULL THEN 3
@@ -1896,18 +1907,8 @@ def duck_sitemap_entries_sql() -> str:
     d = DUCK
     return f"""
 WITH {SITEMAP_LASTMOD_DOCS_CTE.strip()},
-blocks AS (
-  SELECT host, unnest(regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)) AS block
-  FROM sitemap_lastmod_docs
-),
-parsed AS (
-  SELECT host,
-    trim(regexp_extract(block, '<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS url,
-    TRY_CAST(substr(trim(regexp_extract(block, '<lastmod>\\s*([^<]+?)\\s*</lastmod>', 1)), 1, 10) AS DATE) AS lastmod
-  FROM blocks
-)
-SELECT host, url, COALESCE(CAST(MAX(lastmod) AS VARCHAR), '') AS lastmod
-FROM parsed WHERE {_valid_pred(d)} GROUP BY host, url
+{_sm_entries_channel_ctes(d)}
+SELECT host, url, COALESCE(CAST(lastmod AS VARCHAR), '') AS lastmod FROM sm
 """
 
 
@@ -1947,15 +1948,8 @@ def duck_feed_urls_sql() -> str:
     d = DUCK
     return f"""
 WITH {FEED_DOCS_CTE.strip()},
-locs AS (
-  SELECT host, trim(unnest(
-      regexp_extract_all(feed_xml, '<link>\\s*([^<]+?)\\s*</link>', 1)
-      || regexp_extract_all(feed_xml, '<link[^>]*href="([^"]+)"', 1)
-      || regexp_extract_all(feed_xml, '<guid[^>]*>\\s*(http[^<]*?)\\s*</guid>', 1)
-  )) AS url
-  FROM feed_docs
-)
-SELECT DISTINCT host, url FROM locs WHERE {_valid_pred(d)}
+{_feed_urls_channel_ctes(d)}
+SELECT host, url FROM fe
 """
 
 

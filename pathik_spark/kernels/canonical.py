@@ -99,15 +99,18 @@ def canonicalize_url(url: str | None) -> str | None:
         # 'xn--mnchen-3ya.example' wire form are the SAME host — without
         # this they would hash to two url_hash identities and the seen
         # set would fetch international sites twice. Per-label encoding
-        # (empty labels kept so 'a..b' round-trips); labels the codec
-        # rejects stay as-is (total over garbage).
-        try:
-            host = ".".join(
-                lab.encode("idna").decode("ascii") if lab and not lab.isascii() else lab
-                for lab in host.split(".")
-            )
-        except UnicodeError:
-            pass
+        # AND per-label fallback (a label the codec rejects stays as-is
+        # without aborting its valid siblings; empty labels kept so
+        # 'a..b' round-trips) — total over garbage.
+        def _idna(lab: str) -> str:
+            if not lab or lab.isascii():
+                return lab
+            try:
+                return lab.encode("idna").decode("ascii")
+            except UnicodeError:
+                return lab
+
+        host = ".".join(_idna(lab) for lab in host.split("."))
     port = parts.port
     netloc = host
     if port is not None and str(port) != DEFAULT_PORTS.get(scheme, ""):

@@ -419,6 +419,49 @@ def cdc_chunk_hashes(
     ).select("doc_id", "chunk_idx", "chunk_hash", "n_chunks")
 
 
+def _containment_pairs(
+    sets,
+    id_col: str,
+    key_col: str,
+    n_col: str,
+    threshold: float,
+    max_df: int | None,
+    out_a: str,
+    out_b: str,
+):
+    """Shared containment-join core for cdc_near_pairs /
+    host_mirror_pairs: optional max_df hot-key drop (broadcast
+    anti-join), shared-key equi-join (never all-pairs), containment =
+    shared / min(n). ``sets`` must be distinct (id, key, n) rows."""
+    if max_df is not None:
+        hot = (
+            sets.groupBy(key_col)
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > int(max_df))
+            .select(key_col)
+        )
+        sets = sets.join(F.broadcast(hot), key_col, "left_anti")
+    a = sets.select(
+        F.col(id_col).alias(out_a), key_col, F.col(n_col).alias("_n_a")
+    )
+    b = sets.select(
+        F.col(id_col).alias(out_b), key_col, F.col(n_col).alias("_n_b")
+    )
+    joined = a.join(b, key_col).filter(F.col(out_a) < F.col(out_b))
+    scored = joined.groupBy(out_a, out_b).agg(
+        F.count("*").alias("shared"),
+        F.min(F.least("_n_a", "_n_b")).alias("_min_n"),
+    )
+    return scored.filter(
+        F.col("shared") >= F.col("_min_n") * F.lit(float(threshold))
+    ).select(
+        out_a,
+        out_b,
+        "shared",
+        F.round(F.col("shared") / F.col("_min_n"), 6).alias("containment"),
+    )
+
+
 def cdc_near_pairs(
     chunks: DataFrame,
     threshold: float = 0.5,
@@ -434,36 +477,9 @@ def cdc_near_pairs(
     (doc_a, doc_b, shared, containment) with doc_a < doc_b.
     """
     sets = chunks.select("doc_id", "chunk_hash", "n_chunks").distinct()
-    if max_df is not None:
-        hot = (
-            sets.groupBy("chunk_hash")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > int(max_df))
-            .select("chunk_hash")
-        )
-        sets = sets.join(F.broadcast(hot), "chunk_hash", "left_anti")
-    a = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        "chunk_hash",
-        F.col("n_chunks").alias("n_a"),
-    )
-    b = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        "chunk_hash",
-        F.col("n_chunks").alias("n_b"),
-    )
-    joined = a.join(b, "chunk_hash").filter(F.col("doc_a") < F.col("doc_b"))
-    scored = joined.groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("shared"),
-        F.min(F.least("n_a", "n_b")).alias("_min_n"),
-    )
-    return scored.filter(
-        F.col("shared") >= F.col("_min_n") * F.lit(float(threshold))
-    ).select(
-        "doc_a",
-        "doc_b",
-        "shared",
-        F.round(F.col("shared") / F.col("_min_n"), 6).alias("containment"),
+    return _containment_pairs(
+        sets, "doc_id", "chunk_hash", "n_chunks", threshold, max_df,
+        "doc_a", "doc_b",
     )
 
 
@@ -481,9 +497,9 @@ def host_mirror_pairs(
 
     Per-host distinct content hashes (md5 of normalized text) ->
     shared-hash equi-join (never all-pairs) -> containment = shared /
-    min(n_pages). ``max_df`` drops content served by more than that
-    many hosts first (license banners, parked-domain pages — the skew
-    hazard, same discipline as cdc_near_pairs). Returns (host_a,
+    min(distinct pages). ``max_df`` drops content served by more than
+    that many hosts first (license banners, parked-domain pages — the
+    skew hazard, same discipline as cdc_near_pairs). Returns (host_a,
     host_b, shared, containment) with host_a < host_b.
     """
     sets = (
@@ -495,30 +511,7 @@ def host_mirror_pairs(
     )
     counts = sets.groupBy("host").agg(F.count("*").alias("n_pages"))
     sets = sets.join(counts, "host")
-    if max_df is not None:
-        hot = (
-            sets.groupBy("content_hash")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > int(max_df))
-            .select("content_hash")
-        )
-        sets = sets.join(F.broadcast(hot), "content_hash", "left_anti")
-    a = sets.select(
-        F.col("host").alias("host_a"), "content_hash", F.col("n_pages").alias("n_a")
-    )
-    b = sets.select(
-        F.col("host").alias("host_b"), "content_hash", F.col("n_pages").alias("n_b")
-    )
-    joined = a.join(b, "content_hash").filter(F.col("host_a") < F.col("host_b"))
-    scored = joined.groupBy("host_a", "host_b").agg(
-        F.count("*").alias("shared"),
-        F.min(F.least("n_a", "n_b")).alias("_min_n"),
-    )
-    return scored.filter(
-        F.col("shared") >= F.col("_min_n") * F.lit(float(threshold))
-    ).select(
-        "host_a",
-        "host_b",
-        "shared",
-        F.round(F.col("shared") / F.col("_min_n"), 6).alias("containment"),
+    return _containment_pairs(
+        sets, "host", "content_hash", "n_pages", threshold, max_df,
+        "host_a", "host_b",
     )

@@ -236,6 +236,14 @@ def discover_seeds(
 
     parts = []
     if sitemap_entries is not None:
+        if now is None:
+            # a null now would NULL every datediff and silently dump
+            # all lastmod-bearing URLs into tier 3 — the exact signal
+            # this operator exists to keep
+            raise ValueError(
+                "discover_seeds: sitemap_entries given but now is None — "
+                "pass the reference date the freshness tiers are cut at"
+            )
         from pyspark.sql import Column
 
         now_col = now if isinstance(now, Column) else F.lit(now)

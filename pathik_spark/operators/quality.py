@@ -496,13 +496,15 @@ def filter_low_quality_hosts(docs: DataFrame, profile: DataFrame, group_col: str
 # failure up front, so matching is restricted to the HEAD of the
 # extracted text — a long article that merely mentions "page not found"
 # is not flagged.
+# deliberately narrow: each phrase names the ERROR itself. Broader
+# phrases ("no longer available") false-positive on legitimate ledes
+# ("the service is no longer available in Europe...") and are excluded.
 SOFT404_MARKERS = (
     "page not found",
     "404 not found",
     "error 404",
     "page cannot be found",
     "page does not exist",
-    "no longer available",
 )
 SOFT404_HEAD_CHARS = 400
 SOFT404_TINY_CHARS = 500

@@ -184,26 +184,49 @@ def parse_robots_txt(
     )
 
 
+def _overlay_host_column(
+    robots: DataFrame, overrides: DataFrame, col: str, cast_type: str, merge
+) -> DataFrame:
+    """Shared overlay core for apply_budget_overrides /
+    apply_delay_overrides: full-outer on host (an override-only host
+    still gets a row — attach_robots coalesces its missing rule
+    columns), stable column order, ``merge(override, robots_value)``
+    decides the final value. Both sides are host-count-sized — the
+    frontier is never touched."""
+    ovr = overrides.select("host", F.col(col).cast(cast_type).alias("_ovr"))
+    base = robots
+    if col not in base.columns:
+        base = base.withColumn(col, F.lit(None).cast(cast_type))
+    merged = base.join(ovr, "host", "full_outer")
+    cols = ["host"] + [c for c in base.columns if c not in ("host", col)]
+    return merged.select(
+        *[F.col(c) for c in cols], merge(F.col("_ovr"), F.col(col)).alias(col)
+    )
+
+
 def apply_budget_overrides(robots: DataFrame, budgets: DataFrame) -> DataFrame:
     """Overlay adaptive per-host budgets (metrics.backoff_budgets
     output: host, max_per_round) onto the robots rules table before
-    ``attach_robots``. Full-outer on host so a backed-off host with no
-    robots row is still limited; the override wins over any robots-side
-    ``max_per_round``. Both tables are host-count-sized — this never
-    touches the frontier."""
-    ovr = budgets.select(
-        "host", F.col("max_per_round").cast("int").alias("_budget_override")
+    ``attach_robots``. The override WINS over any robots-side
+    ``max_per_round``."""
+    return _overlay_host_column(
+        robots, budgets, "max_per_round", "int", lambda o, r: F.coalesce(o, r)
     )
-    base = robots
-    if "max_per_round" not in base.columns:
-        base = base.withColumn("max_per_round", F.lit(None).cast("int"))
-    merged = base.join(ovr, "host", "full_outer")
-    # stable column order: host first, then robots columns, then budget
-    cols = ["host"] + [c for c in base.columns if c not in ("host", "max_per_round")]
-    return merged.select(
-        *[F.col(c) for c in cols],
-        F.coalesce(F.col("_budget_override"), F.col("max_per_round")).alias(
-            "max_per_round"
+
+
+def apply_delay_overrides(robots: DataFrame, delays: DataFrame) -> DataFrame:
+    """Overlay adaptive per-host crawl delays (metrics.backoff_delays
+    output: host, crawl_delay_ms). MAX-merged with the robots-side
+    delay — adaptive backoff may slow a host beyond its declared
+    Crawl-delay, never below it (politeness is a floor, not a
+    ceiling)."""
+    return _overlay_host_column(
+        robots,
+        delays,
+        "crawl_delay_ms",
+        "long",
+        lambda o, r: F.greatest(
+            F.coalesce(o, F.lit(0)), F.coalesce(r, F.lit(0))
         ),
     )
 

@@ -360,37 +360,42 @@ class CrawlRun:
         _tick("artifacts_write")
         lineage = partition_lineage(arts, self.config.run_id, round_no)
 
-        if cfg.adaptive_backoff:
-            # AIMD budget update for NEXT round's scheduler (config
-            # docstring / operators/metrics.backoff_budgets). The stats
-            # input scans the just-committed artifacts parquet; eager
-            # localCheckpoint keeps the cross-round budget chain's plan
-            # flat (host-count-sized table — a tiny job per round).
-            from pathik_spark.operators.metrics import backoff_budgets
+        def _update_backoff(
+            prev_budgets=self._backoff_budgets, prev_delays=self._backoff_delays
+        ):
+            # AIMD budget + exponential delay update for NEXT round's
+            # scheduler (config docstring / operators/metrics). One
+            # committed-artifacts scan feeds both; eager localCheckpoint
+            # keeps the cross-round chains' plans flat (host-count-sized
+            # tables). Runs INSIDE the derived-writes pool so the three
+            # tiny jobs overlap the heavy writes instead of serializing
+            # on the round's critical path.
+            from pathik_spark.operators.metrics import (
+                backoff_budgets,
+                backoff_delays,
+            )
 
-            # one artifacts scan feeds both the budget and delay updates
             host_stats = arts.groupBy("host").agg(
                 F.count("*").alias("n_urls"),
                 F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
             ).localCheckpoint()
-            self._backoff_budgets = backoff_budgets(
+            budgets = backoff_budgets(
                 host_stats,
-                self._backoff_budgets,
+                prev_budgets,
                 base_budget=cfg.backoff_base_budget,
                 min_budget=cfg.backoff_min_budget,
                 max_budget=cfg.backoff_max_budget,
                 increase_step=cfg.backoff_step,
                 err_threshold_bp=cfg.backoff_threshold_bp,
             ).localCheckpoint()
-            from pathik_spark.operators.metrics import backoff_delays
-
-            self._backoff_delays = backoff_delays(
+            delays = backoff_delays(
                 host_stats,
-                self._backoff_delays,
+                prev_delays,
                 base_delay_ms=cfg.backoff_base_delay_ms,
                 max_delay_ms=cfg.backoff_max_delay_ms,
                 err_threshold_bp=cfg.backoff_threshold_bp,
             ).localCheckpoint()
+            return budgets, delays
 
         # W3 retry semantics (crawler.go:173-224): missing rows re-enter
         # with attempt+1 until max_attempts; exhausted rows become seen.
@@ -474,12 +479,17 @@ class CrawlRun:
         f_lin = pool.submit(self.store.write_table, round_no, "lineage", lineage)
         f_seen = pool.submit(self.store.write_table, round_no, "seen", consumed)
         f_front = pool.submit(_append_frontier_rest)
+        f_backoff = pool.submit(_update_backoff) if cfg.adaptive_backoff else None
         # only the round-(k+1) inputs are waited on here; host_metrics and
         # lineage (off the critical path) keep running and are joined by
         # finalize(), which the NEXT round calls just before its own commit
         # — so their job latency overlaps the next round's heavy compute.
         seen_delta = f_seen.result()
         frontier_out = f_front.result()
+        if f_backoff is not None:
+            # next round's scheduler input — must land before run_round
+            # returns, but its three tiny jobs just overlapped the writes
+            self._backoff_budgets, self._backoff_delays = f_backoff.result()
         art_counts = obs.get  # filled by the seen-delta write's action
         overlap_pool.shutdown(wait=False)
         _tick("derived_writes")

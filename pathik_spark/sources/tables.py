@@ -124,13 +124,15 @@ class SnapshotStore:
         if newest_compact is None:
             return []
         cutoff = min(latest - max(int(keep_rounds), 0) + 1, newest_compact)
+        rounds = sorted(
+            int(entry.split("=", 1)[1])
+            for entry in os.listdir(self.root)
+            if entry.startswith("round=")
+        )
         deleted = []
-        for entry in sorted(os.listdir(self.root)):
-            if not entry.startswith("round="):
-                continue
-            k = int(entry.split("=", 1)[1])
+        for k in rounds:
             if k < cutoff:
-                shutil.rmtree(os.path.join(self.root, entry))
+                shutil.rmtree(os.path.join(self.root, f"round={k}"))
                 deleted.append(k)
         return deleted
 
