@@ -15,6 +15,7 @@ _FACADE = (
     "crawl_to_warc",
     "stream_to_kafka",
     "prepare_training_corpus",
+    "dedup_corpus",
     "search_corpus",
 )
 

@@ -41,6 +41,7 @@ __all__ = [
     "crawl_to_r2",
     "stream_to_kafka",
     "prepare_training_corpus",
+    "dedup_corpus",
     "search_corpus",
 ]
 
@@ -552,3 +553,101 @@ def crawl_to_warc(
                 "length": r["length"],
             }
     return result
+
+
+def dedup_corpus(
+    docs,
+    method: str = "minhash",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 3,
+):
+    """One-call corpus deduplication: every dedup family the engine
+    implements behind one switch, each returning the same
+    ``(kept, clusters)`` pair — ``kept`` is the input restricted to one
+    canonical document (lowest id) per duplicate group, ``clusters`` the
+    full (doc_id, cluster_id, cluster_size, is_canonical) labeling.
+
+    methods:
+    - ``exact``     — identical normalized content (hash groupBy);
+    - ``minhash``   — MinHash LSH banding candidates VERIFIED by exact
+                      n-gram Jaccard >= threshold (the near-dup default);
+    - ``simhash``   — quadrant-blocked Hamming <= max_hamming;
+    - ``cdc``       — content-defined-chunk containment >= threshold
+                      (edit-robust: catches insert/delete edits);
+    - ``semantic``  — SemDeDup over ``vec_col`` embeddings, cosine >=
+                      threshold within coarse clusters.
+
+    Every arm is pair-generation (blocked/banded, never all-pairs) +
+    connected components + canonical-min keep — the same 100 TB shapes
+    the underlying operators document.
+    """
+    from pathik_spark.operators.dedup import (
+        cdc_chunk_hashes,
+        cdc_near_pairs,
+        dedup_clusters,
+        exact_dedup,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_near_pairs,
+        word_shingles,
+    )
+
+    base = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
+    if method == "exact":
+        labeled = exact_dedup(base, text_col=text_col)
+        clusters = labeled.select(
+            "doc_id",
+            F.col("content_hash").alias("cluster_id"),
+            F.col("group_size").alias("cluster_size"),
+            "is_canonical",
+        )
+    elif method == "semantic":
+        from pathik_spark.operators.ann import semdedup_keep
+
+        keep = semdedup_keep(
+            base.withColumnRenamed("doc_id", "vec_id"),
+            threshold=threshold,
+            vec_col=vec_col,
+        )
+        clusters = keep.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cluster").cast("string").alias("cluster_id"),
+            F.lit(None).cast("long").alias("cluster_size"),
+            F.col("keep").alias("is_canonical"),
+        )
+    else:
+        if method == "minhash":
+            shingles = word_shingles(base, text_col=text_col)
+            cands = lsh_candidate_pairs(minhash_signatures(shingles))
+            pairs = jaccard_pairs(shingles, cands, threshold=threshold).select(
+                "doc_a", "doc_b"
+            )
+        elif method == "simhash":
+            pairs = simhash_near_pairs(
+                simhash(base, text_col=text_col), max_hamming=max_hamming
+            ).select("doc_a", "doc_b")
+        elif method == "cdc":
+            pairs = cdc_near_pairs(
+                cdc_chunk_hashes(base, text_col=text_col), threshold=threshold
+            ).select("doc_a", "doc_b")
+        else:
+            raise ValueError(
+                f"method must be exact|minhash|simhash|cdc|semantic, got {method!r}"
+            )
+        clusters = dedup_clusters(base, pairs).select(
+            "doc_id",
+            F.col("cluster_id").cast("string").alias("cluster_id"),
+            "cluster_size",
+            "is_canonical",
+        )
+    kept = base.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+    if id_col != "doc_id":
+        kept = kept.withColumnRenamed("doc_id", id_col)
+    return kept, clusters

@@ -162,3 +162,34 @@ def test_crawl_to_warc_archives_and_indexes(spark, corpus, some_urls, tmp_path):
         # archived payload is the fetched page byte-for-byte
         assert payload == golden[u]
     assert out["https://host-missing.example.com/nowhere"]["success"] is False
+
+
+def test_dedup_corpus_methods_agree_on_exact_dup(spark):
+    import pathik_spark
+
+    filler_a = " ".join(f"alpha w{i % 17} tok{i % 5}" for i in range(40))
+    filler_b = " ".join(f"beta q{i % 13} item{i % 7}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, filler_a), (2, filler_a), (3, filler_b)], ["doc_id", "text"]
+    )
+    for method in ("exact", "minhash", "simhash", "cdc"):
+        kept, clusters = pathik_spark.dedup_corpus(docs, method=method)
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert ids == {1, 3}, method          # lowest-id canonical survives
+        lab = {r["doc_id"]: r for r in clusters.collect()}
+        assert lab[1]["is_canonical"] and not lab[2]["is_canonical"], method
+
+
+def test_dedup_corpus_semantic_and_bad_method(spark):
+    import pathik_spark
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 60"
+    ).withColumnRenamed("vec_id", "doc_id")
+    kept, clusters = pathik_spark.dedup_corpus(
+        emb, method="semantic", threshold=0.99
+    )
+    assert kept.count() <= 60 and kept.count() > 0
+    with _pytest.raises(ValueError):
+        pathik_spark.dedup_corpus(emb, method="nope")
