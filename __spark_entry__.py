@@ -368,6 +368,17 @@ def _q_discover_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample (operators/sampling.
+    exact_k_sample): the k smallest salted portable key hashes — vs
+    the same ORDER BY hash LIMIT k in DuckDB."""
+    from pathik_spark.operators.sampling import exact_k_sample
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    return exact_k_sample(docs, k=150, key_col="doc_id")
+
+
 def _q_host_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-based mirror detection (operators/dedup.
     host_mirror_pairs): hosts serving largely identical content, via
@@ -1493,6 +1504,7 @@ ENGINE_ORACLE_QUERIES = {
     "cdc_near_pairs": _q_cdc_near_pairs,
     "discover_seeds": _q_discover_seeds,
     "host_mirror_pairs": _q_host_mirror_pairs,
+    "exact_k_sample": _q_exact_k_sample,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

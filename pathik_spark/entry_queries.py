@@ -1730,6 +1730,18 @@ FROM unioned
 """
 
 
+def duck_exact_k_sample_sql(k: int = 150) -> str:
+    """DuckDB twin of exact_k_sample (operators/sampling.py): the k
+    smallest salted portable hashes over the documents keys."""
+    return f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('ksample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+) ORDER BY h LIMIT {k}
+"""
+
+
 # Mirror corpus (shared dialect): 240 pages spread over 12 hosts, page
 # content keyed by doc_id % 40 — so hosts serve overlapping content
 # sets and the containment join has real work to verify.
@@ -3590,6 +3602,7 @@ ENGINE_ORACLE_SQL = {
     "cdc_near_pairs": duck_cdc_near_pairs_sql,
     "discover_seeds": duck_discover_seeds_sql,
     "host_mirror_pairs": duck_host_mirror_sql,
+    "exact_k_sample": duck_exact_k_sample_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

@@ -323,3 +323,21 @@ def bucket_balanced_sample(
         bucketed.withColumn("rnk", F.row_number().over(win).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def exact_k_sample(
+    df: DataFrame, k: int, key_col: str = "doc_id", salt: str = "ksample"
+) -> DataFrame:
+    """Exactly-k deterministic uniform sample: the k rows with the
+    smallest salted portable hash of their key. Unlike rate-based
+    ``hash_sample`` (whose output size is binomial) the count is exact,
+    and unlike a random ``ORDER BY rand() LIMIT k`` it is reproducible
+    on any cluster and partitioning. Physical shape is TakeOrdered
+    (per-partition top-k then driver merge of k-row heads), never a
+    global sort. Changing ``salt`` redraws the sample."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    # salt passed through verbatim (portable_hash64 prefixes "{salt}:")
+    # — NEVER Python hash(), which is randomized per process
+    h = portable_hash64(F.col(key_col).cast("string"), salt=salt)
+    return df.withColumn("_h", h).orderBy("_h").limit(int(k)).drop("_h")

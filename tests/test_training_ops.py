@@ -516,3 +516,17 @@ def test_pack_token_stream_eos_separator(spark):
     # without eos the stream is 5 tokens, unchanged behavior
     base = pack_token_stream(docs, seq_len=4, n_shards=1).collect()
     assert sum(r["n_tok"] for r in base) == 5
+
+
+def test_exact_k_sample_deterministic_exact_count(spark):
+    from pathik_spark.operators.sampling import exact_k_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    s1 = {r["doc_id"] for r in exact_k_sample(docs, 50).collect()}
+    s2 = {r["doc_id"] for r in exact_k_sample(docs.repartition(7), 50).collect()}
+    assert len(s1) == 50 and s1 == s2          # exact count, partition-proof
+    other = {r["doc_id"] for r in exact_k_sample(docs, 50, salt="redraw").collect()}
+    assert other != s1                          # salt redraws
+    assert exact_k_sample(docs, 0).count() == 0
