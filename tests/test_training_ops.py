@@ -530,3 +530,25 @@ def test_exact_k_sample_deterministic_exact_count(spark):
     other = {r["doc_id"] for r in exact_k_sample(docs, 50, salt="redraw").collect()}
     assert other != s1                          # salt redraws
     assert exact_k_sample(docs, 0).count() == 0
+
+
+def test_exact_k_sample_plan_is_take_ordered(spark):
+    from pathik_spark.operators.sampling import exact_k_sample
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    plan = (
+        exact_k_sample(df, 10)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_soft404_plan_is_scan_local(spark):
+    from pathik_spark.operators.quality import soft404_signals
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("some text").alias("text")
+    )
+    plan = (
+        soft404_signals(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure expressions, no shuffle
