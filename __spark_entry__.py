@@ -368,6 +368,18 @@ def _q_discover_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots compliance (operators/robots.
+    meta_robots_directives): noindex/nofollow meta directives, both
+    attribute orders, token-exact — vs the same parse in DuckDB."""
+    from pathik_spark.entry_queries import META_ROBOTS_DOCS_CTE
+    from pathik_spark.operators.robots import meta_robots_directives
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(f"WITH {META_ROBOTS_DOCS_CTE} SELECT * FROM meta_robots_docs")
+    return meta_robots_directives(docs).select("url", "noindex", "nofollow")
+
+
 def _q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k deterministic sample (operators/sampling.
     exact_k_sample): the k smallest salted portable key hashes — vs
@@ -1505,6 +1517,7 @@ ENGINE_ORACLE_QUERIES = {
     "discover_seeds": _q_discover_seeds,
     "host_mirror_pairs": _q_host_mirror_pairs,
     "exact_k_sample": _q_exact_k_sample,
+    "meta_robots": _q_meta_robots,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

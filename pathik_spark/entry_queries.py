@@ -1730,6 +1730,48 @@ FROM unioned
 """
 
 
+# Meta-robots corpus (shared dialect): name-first, content-first with
+# 'none', UPPERCASE name, a body that merely MENTIONS noindex (not a
+# directive), two tags combining, and a plain page.
+META_ROBOTS_DOCS_CTE = """
+meta_robots_docs AS (
+  SELECT 'https://host' || CAST(h AS STRING) || '.example/p' AS url,
+    CASE
+      WHEN h % 6 = 0 THEN '<html><head><meta name="robots" content="noindex, follow"></head><body>x</body></html>'
+      WHEN h % 6 = 1 THEN '<html><head><meta content="none" name="robots"></head><body>x</body></html>'
+      WHEN h % 6 = 2 THEN '<html><head><META NAME="robots" CONTENT="NOFOLLOW"></head><body>x</body></html>'
+      WHEN h % 6 = 3 THEN '<html><body>this page mentions noindex and nofollow in prose</body></html>'
+      WHEN h % 6 = 4 THEN '<html><head><meta name="robots" content="noarchive"><meta name="robots" content="nofollow"></head><body>x</body></html>'
+      ELSE '<html><body>plain page</body></html>'
+    END AS html
+  FROM (SELECT DISTINCT o_orderkey % 36 AS h FROM orders)
+)
+"""
+
+
+def duck_meta_robots_sql() -> str:
+    """DuckDB twin of meta_robots_directives (operators/robots.py):
+    both attribute orders, case-insensitive, token-exact comma-split
+    directive matching, 'none' implying both — over
+    META_ROBOTS_DOCS_CTE."""
+    p1 = "regexp_extract_all(html, '(?i)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"', 1)"
+    p2 = "regexp_extract_all(html, '(?i)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"robots\"', 1)"
+    return f"""
+WITH {META_ROBOTS_DOCS_CTE.strip()},
+ext AS (SELECT url, {p1} || {p2} AS contents FROM meta_robots_docs),
+tok AS (
+  SELECT url,
+    flatten(list_transform(contents,
+      c -> list_transform(string_split(c, ','), t -> lower(trim(t))))) AS toks
+  FROM ext
+)
+SELECT url,
+  CAST(list_contains(toks, 'noindex') OR list_contains(toks, 'none') AS INT) AS noindex,
+  CAST(list_contains(toks, 'nofollow') OR list_contains(toks, 'none') AS INT) AS nofollow
+FROM tok
+"""
+
+
 def duck_exact_k_sample_sql(k: int = 150) -> str:
     """DuckDB twin of exact_k_sample (operators/sampling.py): the k
     smallest salted portable hashes over the documents keys."""
@@ -3603,6 +3645,7 @@ ENGINE_ORACLE_SQL = {
     "discover_seeds": duck_discover_seeds_sql,
     "host_mirror_pairs": duck_host_mirror_sql,
     "exact_k_sample": duck_exact_k_sample_sql,
+    "meta_robots": duck_meta_robots_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

@@ -294,3 +294,51 @@ def apply_delay_overrides(robots: DataFrame, delays: DataFrame) -> DataFrame:
             F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
         ).alias("crawl_delay_ms"),
     )
+
+
+def meta_robots_directives(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Page-level robots compliance: ``<meta name="robots"
+    content="...">`` directives (the REP's HTML arm next to the
+    robots.txt file arm). ``noindex`` pages must not enter the corpus,
+    ``nofollow`` pages must not contribute outlinks to the frontier;
+    ``none`` means both (Google's documented semantics). Token-exact
+    matching over the comma-split directive list — a page whose text
+    merely mentions 'noindex' is not affected.
+
+    Scan-local regexp work like discover.discover_feed_links (both
+    attribute orders, case-insensitive, every robots meta tag on the
+    page combined; single-quoted attributes out of scope — the dominant
+    emitters double-quote). Adds (noindex, nofollow) int columns.
+    """
+    p1 = (
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        "'(?i)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"', 1)"
+    )
+    p2 = (
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        "'(?i)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"robots\"', 1)"
+    )
+    toks = (
+        f"flatten(transform(concat({p1}, {p2}), "
+        "c -> transform(split(c, ','), t -> lower(trim(t)))))"
+    )
+    return pages.select(
+        "*",
+        F.expr(
+            f"CAST(exists({toks}, t -> t = 'noindex' OR t = 'none') AS INT)"
+        ).alias("noindex"),
+        F.expr(
+            f"CAST(exists({toks}, t -> t = 'nofollow' OR t = 'none') AS INT)"
+        ).alias("nofollow"),
+    )
+
+
+def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages whose robots meta forbids indexing — run before any
+    corpus sink (scan-local filter, no shuffle)."""
+    out = meta_robots_directives(pages, html_col=html_col)
+    return out.filter(F.col("noindex") == 0).drop("noindex", "nofollow")

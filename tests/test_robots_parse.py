@@ -135,3 +135,27 @@ def test_robots_sitemap_urls(spark):
         ("h1", "https://h1.example/sitemap.xml"),
         ("h1", "https://h1.example/news.xml"),
     }
+
+
+def test_meta_robots_directives(spark):
+    from pathik_spark.operators.robots import (
+        filter_noindex,
+        meta_robots_directives,
+    )
+
+    rows = [
+        (1, '<meta name="robots" content="noindex, follow">'),
+        (2, '<meta content="none" name="robots">'),          # reversed + none
+        (3, '<META NAME="robots" CONTENT="NOFOLLOW">'),      # case
+        (4, "prose mentioning noindex and nofollow only"),   # not a directive
+        (5, '<meta name="robots" content="noarchive">'
+            '<meta name="robots" content="nofollow">'),      # combine tags
+        (6, "<html><body>plain</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    out = {r["url"]: (r["noindex"], r["nofollow"])
+           for r in meta_robots_directives(df).collect()}
+    assert out == {1: (1, 0), 2: (1, 1), 3: (0, 1), 4: (0, 0),
+                   5: (0, 1), 6: (0, 0)}
+    kept = {r["url"] for r in filter_noindex(df).collect()}
+    assert kept == {3, 4, 5, 6}
