@@ -99,6 +99,11 @@ class CrawlConfig:
     # robots Crawl-delay (politeness is a floor, never lowered)
     backoff_base_delay_ms: int = 0
     backoff_max_delay_ms: int = 60_000
+    # page-level REP compliance (robots.meta_robots_directives): when
+    # on, artifacts carry noindex/nofollow columns (parsed from the
+    # html BEFORE it is dropped), link discovery skips nofollow pages'
+    # outlinks, and corpus consumers can gate on noindex
+    honor_meta_robots: bool = False
     n_rounds: int = 1
     # round-state backend: "auto" picks Iceberg when runtime jars + a
     # configured V2 catalog are in the session (the 10^10 deployment,

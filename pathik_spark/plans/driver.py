@@ -356,6 +356,12 @@ class CrawlRun:
         # ONE pass through fetch join + extraction UDFs: write the
         # artifacts snapshot, then every consumer (incl. lineage) scans the
         # columnar file.
+        if cfg.honor_meta_robots:
+            # REP HTML arm (config docstring): parse the directives while
+            # the html column still exists — scan-local, same pass
+            from pathik_spark.operators.robots import meta_robots_directives
+
+            artifacts_plan = meta_robots_directives(artifacts_plan)
         arts = self.store.write_table(round_no, "artifacts", artifacts_plan.drop("html"))
         _tick("artifacts_write")
         lineage = partition_lineage(arts, self.config.run_id, round_no)
@@ -430,11 +436,17 @@ class CrawlRun:
             overlaps the seen/metrics/lineage writes instead of blocking
             the driver thread."""
             nf = retry.select(*FRONTIER_COLS).withColumn("src", F.lit("retry"))
+            # REP nofollow: pages carrying the directive contribute no
+            # outlinks to the next frontier (column exists only when
+            # cfg.honor_meta_robots wrote it)
+            link_src = arts
+            if "nofollow" in arts.columns:
+                link_src = arts.filter(F.col("nofollow") == 0)
             if cfg.discover_from_html:
                 from pathik_spark.operators.discover import discover_from_outlinks
 
                 discovered = discover_from_outlinks(
-                    arts, seq_base=(round_no + 1) * 1_000_000_000_000, persisted=persisted
+                    link_src, seq_base=(round_no + 1) * 1_000_000_000_000, persisted=persisted
                 )
                 return nf.unionByName(
                     discovered.withColumn("attempt", F.lit(0))
@@ -447,7 +459,7 @@ class CrawlRun:
                 # queue behind the original frontier) and unique without a
                 # max(seq) job
                 seq_base = (round_no + 1) * 1_000_000_000_000
-                fetched_only = arts.filter(F.col("status") == "fetched")
+                fetched_only = link_src.filter(F.col("status") == "fetched")
                 discovered = discover_links(
                     self._prepared_links(), fetched_only, seq_base=seq_base,
                     prepared=True, persisted=persisted,

@@ -154,3 +154,51 @@ def test_apply_delay_overrides_max_merge(spark):
     out = {r["host"]: r["crawl_delay_ms"] for r in apply_delay_overrides(robots, delays).collect()}
     # robots Crawl-delay is a floor: override never lowers it
     assert out == {"h1": 5000, "h2": 9000, "h3": 400}
+
+
+def test_honor_meta_robots_blocks_nofollow_discovery(spark, tmp_path):
+    """REP HTML arm wired into the round loop: a nofollow page's
+    outlinks never reach the next frontier; noindex rides on the
+    artifacts for corpus consumers."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.operators.frontier import prepare_frontier
+    from pathik_spark.plans.driver import CrawlRun
+
+    seeds = spark.createDataFrame(
+        [("https://a.example/root", 0, 0), ("https://b.example/root", 1, 0)],
+        ["url", "seq", "priority"],
+    )
+    html_a = (
+        '<html><head><meta name="robots" content="noindex,nofollow"></head>'
+        '<body><a href="https://a.example/hidden">x</a></body></html>'
+    )
+    html_b = (
+        "<html><body>"
+        '<a href="https://b.example/open">y</a></body></html>'
+    )
+    pages = prepare_frontier(seeds, num_shards=64).select(
+        "url",
+        F.when(F.col("url").contains("a.example"), F.lit(html_a))
+        .otherwise(F.lit(html_b))
+        .cast("binary")
+        .alias("html"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit("t").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    robots = spark.createDataFrame(
+        [], "host string, crawl_delay_ms long, disallow_prefixes array<string>"
+    )
+    cfg = CrawlConfig(
+        run_id="rep-t", n_rounds=1, honor_meta_robots=True,
+        discover_from_html=True, use_bloom=False, pages_buckets=4,
+        num_shards=64,
+    )
+    run = CrawlRun(spark, pages, robots, None, str(tmp_path), cfg)
+    run.run(seeds, n_rounds=1, resume=False)
+    arts = {r["url"]: r for r in run.store.read_table(0, "artifacts").collect()}
+    assert arts["https://a.example/root"]["noindex"] == 1
+    assert arts["https://b.example/root"]["noindex"] == 0
+    nf = {r["url"] for r in run.store.read_table(0, "next_frontier").collect()}
+    assert "https://b.example/open" in nf        # followed
+    assert "https://a.example/hidden" not in nf  # nofollow honored
