@@ -146,3 +146,51 @@ def backoff_delays(
         .otherwise(recovered)
     )
     return joined.select("host", nxt.cast("long").alias("crawl_delay_ms"))
+
+
+def analyze_crawl(store, spark) -> DataFrame:
+    """Post-run crawl report over a committed state store: one row per
+    round joining the manifest stats (scheduled/fetched/.../seen_total)
+    with the per-host error profile from that round's host_metrics
+    table (worst-host error share is the backoff/blocklist shortlist
+    signal). Driver-side work is one manifest read per round — the
+    host aggregation is a Spark job over the committed metrics parquet,
+    never the artifacts."""
+    rounds = []
+    k = 0
+    while True:
+        man = store.read_manifest(k)
+        if man is None:
+            break
+        rounds.append((k, man.get("stats", {})))
+        k += 1
+    if not rounds:
+        raise ValueError("analyze_crawl: no committed rounds in store")
+    stat_keys = (
+        "scheduled", "fetched", "missing", "deferred", "retried",
+        "discovered", "seen_total",
+    )
+    base = spark.createDataFrame(
+        [
+            tuple([r] + [int(s.get(key, -1)) for key in stat_keys])
+            for r, s in rounds
+        ],
+        ["round"] + list(stat_keys),
+    )
+    per_host = None
+    for r, _ in rounds:
+        if not store.has_table(r, "host_metrics"):
+            continue
+        hm = store.read_table(r, "host_metrics").select(
+            F.lit(r).alias("round"), "host", "n_urls", "n_errors"
+        )
+        per_host = hm if per_host is None else per_host.unionByName(hm)
+    if per_host is None:
+        return base
+    agg = per_host.groupBy("round").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("n_errors").alias("total_errors"),
+        F.max_by("host", F.col("n_errors")).alias("worst_host"),
+        F.max("n_errors").alias("worst_host_errors"),
+    )
+    return base.join(agg, "round", "left").orderBy("round")

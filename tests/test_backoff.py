@@ -202,3 +202,36 @@ def test_honor_meta_robots_blocks_nofollow_discovery(spark, tmp_path):
     nf = {r["url"] for r in run.store.read_table(0, "next_frontier").collect()}
     assert "https://b.example/open" in nf        # followed
     assert "https://a.example/hidden" not in nf  # nofollow honored
+
+
+def test_analyze_crawl_report(spark, tmp_path):
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.operators.frontier import prepare_frontier
+    from pathik_spark.operators.metrics import analyze_crawl
+    from pathik_spark.plans.driver import CrawlRun
+
+    seeds = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/p{i}", i, 0) for i in range(30)],
+        ["url", "seq", "priority"],
+    )
+    pages = prepare_frontier(seeds.filter("seq % 5 > 0"), num_shards=64).select(
+        "url",
+        F.lit("<html><body>x</body></html>").cast("binary").alias("html"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    robots = spark.createDataFrame(
+        [], "host string, crawl_delay_ms long, disallow_prefixes array<string>"
+    )
+    run = CrawlRun(
+        spark, pages, robots, None, str(tmp_path),
+        CrawlConfig(run_id="rep", n_rounds=2, use_bloom=False,
+                    pages_buckets=4, num_shards=64, max_attempts=2),
+    )
+    run.run(seeds, n_rounds=2, resume=False)
+    rep = analyze_crawl(run.store, spark).collect()
+    assert [r["round"] for r in rep] == [0, 1]
+    assert rep[0]["scheduled"] == 30 and rep[0]["missing"] == 6
+    assert rep[0]["n_hosts"] == 3 and rep[0]["total_errors"] == 6
+    assert rep[0]["worst_host"].startswith("h")
