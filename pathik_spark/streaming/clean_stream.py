@@ -3,7 +3,7 @@ a document stream (the shape when extracted pages arrive continuously
 from the crawl stream instead of as a finished corpus).
 
     documents parquet dir (appended by extractors)        [file source]
-      -> C4 line/doc gates          [pure expressions — c4_clean]
+      -> soft-404 gate              [pure expressions — soft404_signals]\n      -> C4 line/doc gates          [pure expressions — c4_clean]
       -> language + quality gates   [pure expressions — lang_id/quality]
       -> exact-content dedup: dropDuplicates(content_hash) [state store]
 
@@ -43,6 +43,7 @@ def clean_documents_stream(
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.5,
     apply_c4: bool = True,
+    drop_soft404: bool = True,
     dedup_within: str | None = None,
     event_ts_col: str = "event_ts",
 ) -> DataFrame:
@@ -54,6 +55,12 @@ def clean_documents_stream(
     None: exact lifetime dedup (state grows with distinct contents).
     """
     cleaned = doc_stream
+    if drop_soft404:
+        # same stateless head-window expressions as the batch facade's
+        # gate 0 (quality.filter_soft404s) — stream<->batch parity holds
+        from pathik_spark.operators.quality import filter_soft404s
+
+        cleaned = filter_soft404s(cleaned)
     if apply_c4:
         cleaned = (
             c4_clean(cleaned, passthrough=(event_ts_col,))

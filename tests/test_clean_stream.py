@@ -97,3 +97,34 @@ def test_clean_stream_matches_batch_gates(spark, tmp_path):
         .filter(F.col("lang_guess").isin("en") & (F.col("quality") >= 0.3))
     )
     assert streamed == {r["doc_id"] for r in b.collect()}
+
+
+def test_clean_stream_soft404_gate(spark, tmp_path):
+    path = str(tmp_path / "docs404")
+    err = "Error 404 - Page Not Found. " + GOOD
+    _write_batch(
+        spark,
+        path,
+        [
+            ("ok", GOOD, "2025-03-01 00:00:01"),
+            ("soft", err, "2025-03-01 00:00:02"),
+        ],
+        mode="overwrite",
+    )
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(path)
+    out = clean_documents_stream(stream, langs=("en",), min_quality=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clean_stream_404")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {
+            r["doc_id"]
+            for r in spark.sql("SELECT doc_id FROM clean_stream_404").collect()
+        }
+        assert kept == {"ok"}
+    finally:
+        q.stop()
