@@ -307,6 +307,50 @@ def warc_record_rows(artifacts: DataFrame) -> DataFrame:
     )
 
 
+def warc_revisit_rows(
+    unchanged: DataFrame,
+    html_col: str = "html",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """WARC/1.0 ``revisit`` records (ISO 28500 identical-payload-digest
+    profile) for recrawls whose content did not change (the
+    crawl_delta 'unchanged' verdict): instead of re-archiving the
+    identical payload, the record cites the ORIGINAL capture — the
+    device that keeps web archives sublinear in recrawl count.
+
+    WARC-Refers-To reconstructs the original's deterministic record id
+    from the url (warc_record_rows assigns ids as a pure function of
+    url, so the back-reference is exact without reading the original
+    archive); WARC-Payload-Digest carries sha1 of the (identical)
+    payload in hex ('sha1:<hex>' — ISO 28500 allows any labelled
+    digest); the record body is EMPTY (Content-Length: 0). Same JVM
+    framing as the resource/conversion sinks; the record-agnostic
+    write_warc_files writes the archives."""
+    date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.concat(F.col("url"), F.lit("#revisit"))))
+    orig_rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.col("url")))
+    digest = F.concat(F.lit("sha1:"), F.sha1(F.col(html_col)))
+    empty = F.encode(F.lit(""), "utf-8")
+    record = _assemble_warc_record(
+        F.col("url"), date, rid, "revisit", "application/octet-stream", empty,
+        extra_headers=[
+            (
+                "WARC-Profile",
+                F.lit("http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+            ),
+            ("WARC-Refers-To", F.concat(F.lit("<"), orig_rid, F.lit(">"))),
+            ("WARC-Payload-Digest", digest),
+        ],
+    )
+    return unchanged.select(
+        "url",
+        date.alias("warc_date"),
+        rid.alias("record_id"),
+        record.alias("record"),
+        F.length(record).alias("record_len"),
+    )
+
+
 def _assemble_warc_record(
     url_col, date_col, rid_col, warc_type: str, content_type: str,
     payload_col, extra_headers: list | None = None,

@@ -173,3 +173,45 @@ def test_wet_files_written_by_generic_writer(spark, tmp_path):
         "https://a.example/x", "https://b.example/y"
     }
     assert all("WARC-Type: conversion" in h for h, _ in parsed)
+
+
+def test_warc_revisit_records_cite_original(spark, tmp_path):
+    import hashlib
+
+    from pathik_spark.sources.sinks import (
+        read_warc_record,
+        warc_record_rows,
+        warc_revisit_rows,
+        write_warc_files,
+    )
+
+    html = b"<html><body>stable content</body></html>"
+    arts = spark.createDataFrame(
+        [("https://h.example/p", "fetched", bytearray(html))],
+        "url string, status string, html binary",
+    ).selectExpr("url", "status", "html", "CAST('2025-03-01 00:00:00' AS TIMESTAMP) AS warc_ts")
+    orig = warc_record_rows(arts).collect()[0]
+
+    recrawl = arts.selectExpr(
+        "url", "html", "CAST('2025-04-01 00:00:00' AS TIMESTAMP) AS warc_ts"
+    )
+    rv = warc_revisit_rows(recrawl).collect()[0]
+    body = bytes(rv["record"])
+    text = body.decode("utf-8")
+    assert "WARC-Type: revisit" in text
+    assert f"WARC-Refers-To: <{orig['record_id']}>" in text
+    assert "identical-payload-digest" in text
+    assert f"sha1:{hashlib.sha1(html).hexdigest()}" in text
+    assert "Content-Length: 0" in text
+    assert rv["record_id"] != orig["record_id"]  # distinct capture identity
+    assert "2025-04-01" in rv["warc_date"]
+
+    # the record-agnostic writer archives + indexes them like any record
+    out = str(tmp_path / "warc")
+    idx = str(tmp_path / "idx")
+    write_warc_files(
+        warc_revisit_rows(recrawl).repartition(1), out, index_path=idx
+    )
+    row = spark.read.parquet(idx).collect()[0]
+    headers, payload = read_warc_record(row["path"], row["offset"], row["length"])
+    assert "WARC-Type: revisit" in headers and payload == b""
