@@ -1609,13 +1609,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_crawl_flagship(spark, "/root/testdata/sf0.001")
 
 
+# The driver's per-round CORRECTNESS sweep covers the FIRST 50 entries
+# of queries(). Rounds 1-3 swept a stable prefix, leaving 39 oracled
+# queries with only the local replica gate (tests/test_entry_oracle.py)
+# as evidence. This list front-loads exactly those never-swept queries
+# (CORRECTNESS_r01..r03 union), followed by the round-4 additions and a
+# handful of flagship keeps, so the round-4 sweep turns the whole
+# oracled surface into driver-verified hard signal.
+_SWEEP_PRIORITY = [
+    # -- never driver-swept through round 3 (39) --
+    "host_line_dedup", "gopher_rules", "ngram_repetition", "content_sniff",
+    "nfc_normalize", "hash_split", "dup_spans", "substring_dedup",
+    "sessionize_events", "asof_join_events", "corpus_report", "page_metadata",
+    "lm_score", "perplexity_buckets", "dsir_weights", "dsir_select",
+    "semdedup", "langid_nb", "host_quality", "bm25_topk", "tfidf_top_terms",
+    "hits_scores", "top_ngrams", "temperature_mix", "feed_urls",
+    "host_graph_stats", "host_components", "bucket_balanced",
+    "random_projection", "bigram_lm_score", "best_per_group",
+    "embedding_neardup_lsh", "ivf_ann_exact_probe", "pq_ann_exact_rerank",
+    "quality_lr_score", "bpe_word_counts", "recrawl_ttl_adaptive",
+    "pii_scrub", "repetition_signals",
+    # -- round-4 additions --
+    "crawl_rounds_relational",
+    # -- flagship keeps (already green r1-r3; re-confirm) --
+    "crawl_schedule_order", "url_canonicalize", "url_seen_antijoin",
+    "extract_text_vectorized", "bloom_seen_filter", "cuckoo_seen_filter",
+    "minhash_lsh_pairs", "dedup_clusters", "clean_corpus", "host_rank",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in ORACLE_QUERIES
     }
     out.update(ENGINE_ORACLE_QUERIES)
     out.update(ROWS_ONLY_QUERIES)
-    return out
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _SWEEP_PRIORITY:
+        if name in out:
+            ordered[name] = out[name]
+    for name, fn in out.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1455,9 +1455,9 @@ def _feed_urls_channel_ctes(d) -> str:
     url) distinct) — duck_feed_urls_sql / duck_discover_seeds_sql."""
     return f"""fe_locs AS (
   SELECT host, trim(unnest(
-      regexp_extract_all(feed_xml, '<link>\\s*([^<]+?)\\s*</link>', 1)
-      || regexp_extract_all(feed_xml, '<link[^>]*href="([^"]+)"', 1)
-      || regexp_extract_all(feed_xml, '<guid[^>]*>\\s*(http[^<]*?)\\s*</guid>', 1)
+      regexp_extract_all(feed_xml, '(?i)<link>\\s*([^<]+?)\\s*</link>', 1)
+      || regexp_extract_all(feed_xml, '(?i)<link[^>]*href="([^"]+)"', 1)
+      || regexp_extract_all(feed_xml, '(?i)<guid[^>]*>\\s*(http[^<]*?)\\s*</guid>', 1)
   )) AS url
   FROM feed_docs
 ),

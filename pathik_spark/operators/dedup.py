@@ -27,9 +27,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def portable_hash64(col, salt: int | None = None):
+def portable_hash64(col, salt: str | int | None = None):
     """60-bit md5-based hash reproducible in DuckDB:
-    ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``."""
+    ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``. ``salt`` may be
+    an int (band/permutation indexes) or a str namespace (e.g.
+    'ksample', the Gumbel keys) — either way it is f-string-prefixed
+    as ``'{salt}:' || x``, which the DuckDB oracles' literal prefixes
+    mirror."""
     base = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
     return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
 

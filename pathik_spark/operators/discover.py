@@ -169,9 +169,9 @@ def extract_feed_urls(
     with the frontier's own predicate (F1). Single-quoted Atom href
     attributes are out of scope (the dominant emitters double-quote).
     """
-    rss = "regexp_extract_all({c}, '<link>\\\\s*([^<]+?)\\\\s*</link>', 1)"
-    atom = "regexp_extract_all({c}, '<link[^>]*href=\"([^\"]+)\"', 1)"
-    guid = "regexp_extract_all({c}, '<guid[^>]*>\\\\s*(http[^<]*?)\\\\s*</guid>', 1)"
+    rss = "regexp_extract_all({c}, '(?i)<link>\\\\s*([^<]+?)\\\\s*</link>', 1)"
+    atom = "regexp_extract_all({c}, '(?i)<link[^>]*href=\"([^\"]+)\"', 1)"
+    guid = "regexp_extract_all({c}, '(?i)<guid[^>]*>\\\\s*(http[^<]*?)\\\\s*</guid>', 1)"
     locs = feeds.select(
         F.col(host_col).alias("host"),
         F.explode(F.expr(f"concat({', '.join(p.format(c=content_col) for p in (rss, atom, guid))})")).alias("url"),
@@ -192,11 +192,11 @@ def discover_feed_links(
     one distinct shuffle."""
     p1 = (
         "regexp_extract_all({c}, "
-        "'<link[^>]*type=\"application/(?:rss|atom)\\\\+xml\"[^>]*href=\"([^\"]+)\"', 1)"
+        "'(?i)<link[^>]*type=\"application/(?:rss|atom)\\\\+xml\"[^>]*href=\"([^\"]+)\"', 1)"
     )
     p2 = (
         "regexp_extract_all({c}, "
-        "'<link[^>]*href=\"([^\"]+)\"[^>]*type=\"application/(?:rss|atom)\\\\+xml\"', 1)"
+        "'(?i)<link[^>]*href=\"([^\"]+)\"[^>]*type=\"application/(?:rss|atom)\\\\+xml\"', 1)"
     )
     locs = pages.select(
         F.col(host_col).alias("host"),

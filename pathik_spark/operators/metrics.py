@@ -157,13 +157,10 @@ def analyze_crawl(store, spark) -> DataFrame:
     host aggregation is a Spark job over the committed metrics parquet,
     never the artifacts."""
     rounds = []
-    k = 0
-    while True:
+    for k in store.committed_rounds():
         man = store.read_manifest(k)
-        if man is None:
-            break
-        rounds.append((k, man.get("stats", {})))
-        k += 1
+        if man is not None:
+            rounds.append((k, man.get("stats", {})))
     if not rounds:
         raise ValueError("analyze_crawl: no committed rounds in store")
     stat_keys = (

@@ -225,8 +225,12 @@ def apply_delay_overrides(robots: DataFrame, delays: DataFrame) -> DataFrame:
         delays,
         "crawl_delay_ms",
         "long",
+        # NULL on either side means "the default delay", not 0 — so the
+        # max-merge floor tracks DEFAULT_CRAWL_DELAY_MS and stays
+        # correct if the default ever becomes non-zero.
         lambda o, r: F.greatest(
-            F.coalesce(o, F.lit(0)), F.coalesce(r, F.lit(0))
+            F.coalesce(o, F.lit(DEFAULT_CRAWL_DELAY_MS)),
+            F.coalesce(r, F.lit(DEFAULT_CRAWL_DELAY_MS)),
         ),
     )
 
@@ -269,30 +273,6 @@ def robots_sitemap_urls(
         .filter(U.is_valid_url_expr(F.col("url")))
         .select("host", "url")
         .distinct()
-    )
-
-
-def apply_delay_overrides(robots: DataFrame, delays: DataFrame) -> DataFrame:
-    """Overlay adaptive per-host crawl delays (metrics.backoff_delays
-    output: host, crawl_delay_ms) onto the robots rules table. The
-    override is MAX-merged with the robots-side delay — adaptive
-    backoff may slow a host beyond its declared Crawl-delay, never
-    below it (RFC politeness is a floor, not a ceiling). Full-outer on
-    host like apply_budget_overrides; host-sized, frontier untouched."""
-    ovr = delays.select(
-        "host", F.col("crawl_delay_ms").cast("long").alias("_delay_override")
-    )
-    base = robots
-    if "crawl_delay_ms" not in base.columns:
-        base = base.withColumn("crawl_delay_ms", F.lit(None).cast("long"))
-    merged = base.join(ovr, "host", "full_outer")
-    cols = ["host"] + [c for c in base.columns if c not in ("host", "crawl_delay_ms")]
-    return merged.select(
-        *[F.col(c) for c in cols],
-        F.greatest(
-            F.coalesce(F.col("_delay_override"), F.lit(0)),
-            F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
-        ).alias("crawl_delay_ms"),
     )
 
 

@@ -327,7 +327,15 @@ def warc_revisit_rows(
     framing as the resource/conversion sinks; the record-agnostic
     write_warc_files writes the archives."""
     date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.concat(F.col("url"), F.lit("#revisit"))))
+    # Record-ID mixes the capture timestamp so two revisit captures of
+    # the same unchanged URL in different rounds get DISTINCT ids (ISO
+    # 28500 record-id uniqueness); WARC-Refers-To stays a pure function
+    # of url so the original's id reconstructs without reading the
+    # archive.
+    rid = F.concat(
+        F.lit("urn:uuid:"),
+        _warc_uuid(F.concat(F.col("url"), F.lit("#revisit@"), date)),
+    )
     orig_rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.col("url")))
     digest = F.concat(F.lit("sha1:"), F.sha1(F.col(html_col)))
     empty = F.encode(F.lit(""), "utf-8")

@@ -77,15 +77,21 @@ class SnapshotStore:
         with open(path) as f:
             return json.load(f)
 
-    def latest_complete_round(self) -> int | None:
-        rounds = []
+    def committed_rounds(self) -> list[int]:
+        """Sorted committed round numbers, by directory listing — the
+        same enumeration ``gc`` uses, so it stays correct after gc
+        retires a prefix of rounds (a 0..first-gap walk would not)."""
         if not os.path.isdir(self.root):
-            return None
-        for entry in os.listdir(self.root):
-            if entry.startswith("round="):
-                k = int(entry.split("=", 1)[1])
-                if self.read_manifest(k) is not None:
-                    rounds.append(k)
+            return []
+        return sorted(
+            k
+            for entry in os.listdir(self.root)
+            if entry.startswith("round=")
+            and self.read_manifest(k := int(entry.split("=", 1)[1])) is not None
+        )
+
+    def latest_complete_round(self) -> int | None:
+        rounds = self.committed_rounds()
         return max(rounds) if rounds else None
 
     def read_table(self, round_no: int, name: str) -> DataFrame:
@@ -343,12 +349,20 @@ class IcebergSnapshotStore:
             "stats": json.loads(rows[0]["stats"]),
         }
 
-    def latest_complete_round(self) -> int | None:
+    def committed_rounds(self) -> list[int]:
+        """Sorted committed round numbers from the _manifest table —
+        gap-tolerant (gc deletes manifest rows for retired rounds)."""
         fq = self._fq("_manifest")
         if not self._table_exists(fq):
-            return None
-        row = self.spark.table(fq).agg({"round": "max"}).collect()[0]
-        return int(row[0]) if row[0] is not None else None
+            return []
+        return sorted(
+            int(r["round"])
+            for r in self.spark.table(fq).select("round").distinct().collect()
+        )
+
+    def latest_complete_round(self) -> int | None:
+        rounds = self.committed_rounds()
+        return max(rounds) if rounds else None
 
     def read_table(self, round_no: int, name: str) -> DataFrame:
         from pyspark.sql import functions as F

@@ -235,3 +235,47 @@ def test_analyze_crawl_report(spark, tmp_path):
     assert rep[0]["scheduled"] == 30 and rep[0]["missing"] == 6
     assert rep[0]["n_hosts"] == 3 and rep[0]["total_errors"] == 6
     assert rep[0]["worst_host"].startswith("h")
+
+
+def test_apply_delay_overrides_null_floor_tracks_default(spark, monkeypatch):
+    """NULL delay means 'the default', not 0: if DEFAULT_CRAWL_DELAY_MS
+    ever becomes non-zero, the max-merge floor must rise with it (an
+    override below the default cannot speed a defaulted host up)."""
+    from pathik_spark.operators import robots as R
+
+    monkeypatch.setattr(R, "DEFAULT_CRAWL_DELAY_MS", 700)
+    robots = spark.createDataFrame(
+        [("h_null", None, ["/p"]), ("h_set", 100, [])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    delays = spark.createDataFrame(
+        [("h_null", 400), ("h_set", 50)], "host string, crawl_delay_ms long"
+    )
+    out = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in R.apply_delay_overrides(robots, delays).collect()
+    }
+    # h_null: max(default 700, override 400) = 700; h_set: max(100, 50) = 100
+    assert out == {"h_null": 700, "h_set": 100}
+
+
+def test_analyze_crawl_survives_gc(spark, corpus, tmp_path):
+    """analyze_crawl enumerates committed rounds the way gc does —
+    after gc retires round 0 the report still covers what remains."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.operators.metrics import analyze_crawl
+    from pathik_spark.plans.driver import CrawlRun
+
+    run = CrawlRun(
+        spark, corpus["pages"], corpus["robots"], corpus["links"],
+        str(tmp_path),
+        CrawlConfig(run_id="repgc", n_rounds=4, use_bloom=False,
+                    seen_compact_every=2),
+    )
+    run.run(corpus["seeds"], n_rounds=4, resume=False)
+    deleted = run.store.gc(keep_rounds=1)
+    assert deleted, "gc should retire at least one round"
+    rep = analyze_crawl(run.store, spark).collect()
+    got = [r["round"] for r in rep]
+    assert got == run.store.committed_rounds()
+    assert 0 not in got and got  # gap-tolerant, non-empty

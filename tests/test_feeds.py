@@ -57,3 +57,28 @@ def test_discover_feed_links_both_attribute_orders(spark):
         ("c.example", "https://c.example/rss.xml"),
         ("c.example", "https://c.example/atom.xml"),
     }
+
+
+def test_feed_extraction_case_insensitive(spark):
+    """Uppercase tags/attributes (<LINK ... TYPE=...>, <GUID>) are real
+    on the web; both the autodiscovery and the feed-body parsers match
+    them like meta_robots_directives does ((?i) convention)."""
+    page = (
+        '<html><head><LINK REL="alternate" TYPE="application/rss+xml" '
+        'HREF="https://up.example/feed.xml"></head></html>'
+    )
+    pages = spark.createDataFrame(
+        [("up.example", page)], "host string, html string"
+    )
+    got = {r["feed_url"] for r in discover_feed_links(pages).collect()}
+    assert got == {"https://up.example/feed.xml"}
+
+    feed = (
+        "<RSS><CHANNEL><ITEM><LINK>https://up.example/post1</LINK></ITEM>"
+        "<ITEM><GUID>https://up.example/post2</GUID></ITEM></CHANNEL></RSS>"
+    )
+    docs = spark.createDataFrame(
+        [("up.example", feed)], "host string, feed_xml string"
+    )
+    urls = {r["url"] for r in extract_feed_urls(docs, content_col="feed_xml").collect()}
+    assert urls == {"https://up.example/post1", "https://up.example/post2"}

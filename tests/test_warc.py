@@ -215,3 +215,25 @@ def test_warc_revisit_records_cite_original(spark, tmp_path):
     row = spark.read.parquet(idx).collect()[0]
     headers, payload = read_warc_record(row["path"], row["offset"], row["length"])
     assert "WARC-Type: revisit" in headers and payload == b""
+
+
+def test_warc_revisit_record_ids_unique_per_capture(spark):
+    """ISO 28500 record-id uniqueness: two revisit captures of the same
+    unchanged URL in different rounds carry DISTINCT WARC-Record-IDs,
+    while WARC-Refers-To (pure function of url) stays identical."""
+    from pathik_spark.sources.sinks import warc_revisit_rows
+
+    def cap(ts):
+        return spark.createDataFrame(
+            [("https://a.example/p", b"<html>same</html>")],
+            "url string, html binary",
+        ).selectExpr("url", "html", f"CAST('{ts}' AS TIMESTAMP) AS warc_ts")
+
+    r1 = warc_revisit_rows(cap("2025-04-01 00:00:00")).collect()[0]
+    r2 = warc_revisit_rows(cap("2025-05-01 00:00:00")).collect()[0]
+    assert r1["record_id"] != r2["record_id"]
+    t1 = bytes(r1["record"]).decode()
+    t2 = bytes(r2["record"]).decode()
+    ref1 = [l for l in t1.split("\r\n") if l.startswith("WARC-Refers-To")]
+    ref2 = [l for l in t2.split("\r\n") if l.startswith("WARC-Refers-To")]
+    assert ref1 == ref2 and ref1
