@@ -626,6 +626,191 @@ FROM selected
 """
 
 
+# --- relational multi-round crawl oracle -------------------------------------
+# The flagship CrawlRun loop (plans/driver.py run_round), restated for
+# TWO full rounds as pure SQL: validate/canonicalize/dedup, robots +
+# disallow, seen anti-join, per-host budget rank, politeness schedule,
+# global crawl order, fetch status, then the three next-frontier
+# channels (deferred / retry / discovered) feeding round 1. The Spark
+# side runs the REAL driver over the same templated inputs
+# (crawl_pages_sql / crawl_links_sql below), so a green driver row here
+# covers the multi-round semantics end-to-end — not just the per-stage
+# operators.
+
+CRAWL_REL_MAX_ATTEMPTS = 2  # missing urls retry once, then become seen
+CRAWL_REL_SEQ_BASE = 1_000_000_000_000  # driver.py: seq_base=(round+1)*1e12
+
+
+def _crawl_rel_dst(d) -> str:
+    """Deterministic link destination for seed id: a canonical-form URL
+    on a derived host — possibly a different host than the source, and
+    colliding across sources (the multi-parent discovery case)."""
+    return (
+        "'https://host' || CAST((id * 7) % 40 AS STRING) || '.example/d' "
+        "|| CAST(id % 23 AS STRING)"
+    )
+
+
+def crawl_pages_sql(d) -> str:
+    """Pages table (url, warc_ts, html, text, lang) for the relational
+    crawl twin: ~3/4 of canonical seed URLs plus 2/3 of link
+    destinations exist (the rest exercise missing/retry). Rendered only
+    in the Spark dialect (the DuckDB twin re-derives the url set
+    inline and never needs html bytes)."""
+    canon = _canonical_expr(d)
+    return f"""
+WITH {URLS_CTE},
+seedpages AS (
+  SELECT DISTINCT {canon} AS url FROM urls_cte
+  WHERE id % 4 <> 0 AND {_valid_pred(d)}
+),
+dstpages AS (
+  SELECT DISTINCT {_crawl_rel_dst(d)} AS url FROM urls_cte
+  WHERE ((id * 7) % 40) % 3 <> 0
+),
+allpages AS (SELECT url FROM seedpages UNION SELECT url FROM dstpages)
+SELECT url,
+  CAST('2024-03-01 00:00:00' AS TIMESTAMP) AS warc_ts,
+  CAST('<html><head><title>t</title></head><body><p>page body</p></body></html>' AS BINARY) AS html,
+  '' AS text,
+  'en' AS lang
+FROM allpages
+"""
+
+
+def crawl_links_sql(d) -> str:
+    """Link graph (src_url, dst_url) for the relational crawl twin:
+    every even seed id links to one derived destination."""
+    return f"""
+WITH {URLS_CTE}
+SELECT url AS src_url, {_crawl_rel_dst(d)} AS dst_url
+FROM urls_cte WHERE id % 2 = 0
+"""
+
+
+def _crawl_rel_round_ctes(d, r: int, frontier: str, seen: str | None) -> str:
+    """One crawl round's relational chain (CTEs prefixed r{r}_):
+    canonicalize+validate -> first-(priority,seq)-wins dedup -> robots
+    join + disallow filter -> seen anti-join -> per-host FIFO rank under
+    max_per_round -> desired_ms = rank0*crawl_delay -> global crawl
+    order -> fetch status via the pages set. Canon+valid re-applied
+    every round exactly as prepare_frontier does."""
+    canon = _canonical_expr(d)
+    host = _host(d, "url")
+    path = _path_of("url")
+    seen_pred = (
+        f"AND NOT EXISTS (SELECT 1 FROM {seen} s WHERE s.url = c.url)"
+        if seen
+        else ""
+    )
+    return f"""r{r}_canon AS (
+  SELECT {canon} AS url, seq, priority, attempt
+  FROM {frontier} WHERE {_valid_pred(d)}
+),
+r{r}_dedup AS (
+  SELECT url, seq, priority, attempt FROM (
+    SELECT url, seq, priority, attempt,
+           ROW_NUMBER() OVER (PARTITION BY url ORDER BY priority, seq) AS rn
+    FROM r{r}_canon
+  ) t WHERE rn = 1
+),
+r{r}_cand AS (
+  SELECT c.url, {host} AS host,
+         CASE WHEN {path} = '' THEN '/' ELSE {path} END AS path,
+         c.seq, c.priority, c.attempt,
+         COALESCE(rb.crawl_delay_ms, 0) AS crawl_delay_ms,
+         COALESCE(rb.max_per_round, 1000000000) AS max_per_round
+  FROM r{r}_dedup c LEFT JOIN robots rb ON {host} = rb.host
+  WHERE NOT (rb.host IS NOT NULL AND len(rb.disallow_prefixes) > 0
+             AND {path} LIKE '/sec1%') {seen_pred}
+),
+r{r}_sel AS (
+  SELECT *, CAST(rank_in_host - 1 AS BIGINT) * crawl_delay_ms AS scheduled_ms
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, seq) AS rank_in_host
+    FROM r{r}_cand
+  ) t WHERE rank_in_host <= max_per_round
+),
+r{r}_sched AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY scheduled_ms, priority, seq) AS INT) AS crawl_order
+  FROM r{r}_sel
+),
+r{r}_arts AS (
+  SELECT s.*, CASE WHEN p.url IS NOT NULL THEN 'fetched' ELSE 'missing' END AS status
+  FROM r{r}_sched s LEFT JOIN pages p ON s.url = p.url
+)"""
+
+
+def duck_crawl_rounds_sql() -> str:
+    """DuckDB twin of a 2-round CrawlRun (plans/driver.py) over the
+    templated seeds/robots/pages/links: restates rounds 0-1 including
+    W3 retries (attempt+1 < max_attempts), budget deferral, link
+    discovery with the driver's deterministic seq assignment
+    (seq_base + rank over (parent_seq, url), priority =
+    DISCOVERED_PRIORITY = 2), and the seen set (fetched ∪ retry-
+    exhausted) gating round 1."""
+    d = DUCK
+    canon_src = _canonical_expr(d, "l.src_url")
+    canon = _canonical_expr(d)
+    return f"""
+WITH {URLS_CTE},
+seeds AS (SELECT url, id AS seq, CAST(id % 3 AS INT) AS priority FROM urls_cte),
+robots AS ({robots_sql(d)}),
+pages AS (
+  SELECT DISTINCT {canon} AS url FROM urls_cte
+  WHERE id % 4 <> 0 AND {_valid_pred(d)}
+  UNION
+  SELECT DISTINCT {_crawl_rel_dst(d)} AS url FROM urls_cte
+  WHERE ((id * 7) % 40) % 3 <> 0
+),
+links AS (
+  SELECT url AS src_url, {_crawl_rel_dst(d)} AS dst_url
+  FROM urls_cte WHERE id % 2 = 0
+),
+r0_frontier AS (SELECT url, seq, priority, 0 AS attempt FROM seeds),
+{_crawl_rel_round_ctes(d, 0, "r0_frontier", None)},
+r0_seen AS (
+  SELECT url FROM r0_arts
+  WHERE status = 'fetched' OR attempt + 1 >= {CRAWL_REL_MAX_ATTEMPTS}
+),
+r0_deferred AS (
+  SELECT c.url, c.seq, c.priority, c.attempt FROM r0_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM r0_sel s WHERE s.url = c.url)
+),
+r0_retry AS (
+  SELECT url, seq, priority, attempt + 1 AS attempt FROM r0_arts
+  WHERE status = 'missing' AND attempt + 1 < {CRAWL_REL_MAX_ATTEMPTS}
+),
+r0_disc_pairs AS (
+  SELECT DISTINCT a.seq AS parent_seq, l.dst_url
+  FROM links l JOIN r0_arts a
+    ON {canon_src} = a.url AND a.status = 'fetched'
+),
+r0_disc AS (
+  SELECT dst_url AS url,
+         CAST({CRAWL_REL_SEQ_BASE} AS BIGINT)
+           + ROW_NUMBER() OVER (ORDER BY parent_seq, dst_url) AS seq,
+         CAST(2 AS INT) AS priority, 0 AS attempt
+  FROM r0_disc_pairs
+),
+r1_frontier AS (
+  SELECT url, seq, priority, attempt FROM r0_deferred
+  UNION ALL SELECT url, seq, priority, attempt FROM r0_retry
+  UNION ALL SELECT url, seq, priority, attempt FROM r0_disc
+),
+{_crawl_rel_round_ctes(d, 1, "r1_frontier", "r0_seen")}
+SELECT CAST(0 AS INT) AS round, crawl_order, url, host, status,
+       CAST(rank_in_host AS INT) AS rank_in_host, scheduled_ms,
+       priority, seq, attempt
+FROM r0_arts
+UNION ALL
+SELECT CAST(1 AS INT) AS round, crawl_order, url, host, status,
+       CAST(rank_in_host AS INT) AS rank_in_host, scheduled_ms,
+       priority, seq, attempt
+FROM r1_arts
+"""
+
+
 def duck_bloom_seen_sql() -> str:
     """DuckDB twin of the bloom-sharded URL-seen filter (operators/
     seen.py): semantics are EXACTLY the anti-join (a bloom false positive
@@ -3612,6 +3797,7 @@ FROM ranked WHERE rn = 1
 
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
+    "crawl_rounds_relational": duck_crawl_rounds_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
     # identical anti-join semantics: the cuckoo arm's false positives
     # also only route rows INTO the exact join
