@@ -102,6 +102,186 @@ def artifact_batch_writer(prepared_pages: DataFrame, out_dir: str, content_type:
     return process_batch
 
 
+def make_adaptive_batch_processor(
+    spark: SparkSession,
+    prepared_pages: DataFrame,
+    out_dir: str,
+    content_type: str,
+    pending_dir: str,
+    robots: DataFrame | None = None,
+    *,
+    base_budget: int = 1000,
+    min_budget: int = 1,
+    max_budget: int | None = None,
+    step: int = 1,
+    threshold_bp: int = 2000,
+    base_delay_ms: int = 0,
+    max_delay_ms: int = 60_000,
+    recrawl_ttls: DataFrame | None = None,
+    seen_dir: str | None = None,
+):
+    """foreachBatch body with the batch driver's ADAPTIVE machinery
+    folded in (streaming parity for CrawlConfig.adaptive_backoff and
+    the TTL-gated recrawl):
+
+    - **AIMD budget gate**: each micro-batch is one "round". Per-host
+      cap = COALESCE(AIMD override, robots max_per_round, ∞) — exactly
+      ``robots.apply_budget_overrides`` + the scheduler's rank cap.
+      Over-cap rows land in ``pending_dir`` and re-enter the NEXT
+      micro-batch (the streaming analogue of batch deferral); after the
+      batch's artifacts land, ``metrics.backoff_budgets`` /
+      ``backoff_delays`` update the per-host state from the SAME
+      integer AIMD/exponential laws the batch loop uses.
+    - **Adaptive recrawl TTL** (when ``recrawl_ttls``+``seen_dir``
+      given): a sink-side seen delta log (url_hash, url, seen_ts) is
+      appended per batch and ``delta.recrawl_filter_adaptive`` gates
+      re-entries against it — per-host refinement on top of the state-
+      store dedup (whose watermark should be the TTL FLOOR: the global
+      watermark evicts at min TTL, this filter holds longer-TTL hosts
+      until their age clears).
+
+    State shapes are host-count-sized DataFrames (localCheckpointed per
+    batch) plus two small parquet dirs — restart-safe to the same
+    one-batch-recompute window the batch driver's deferred commit has.
+    Returns (process_batch, state); ``state['budgets']``/``['delays']``
+    hold the live AIMD tables, ``state['admitted']`` the per-batch
+    admitted (host, url) counts for observability.
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from pathik_spark.operators.delta import recrawl_filter_adaptive
+    from pathik_spark.operators.metrics import backoff_budgets, backoff_delays
+
+    caps_static = None
+    if robots is not None and "max_per_round" in robots.columns:
+        caps_static = (
+            robots.select(
+                "host", F.col("max_per_round").cast("long").alias("_robots_cap")
+            ).localCheckpoint()
+        )
+
+    state: dict = {"budgets": None, "delays": None, "admitted": []}
+    # restart semantics mirror the batch driver (config.py
+    # adaptive_backoff docstring): a fresh processor over an out_dir
+    # with committed batches re-seeds the AIMD state from the LAST
+    # batch's host stats — one batch of evidence, not the replayed
+    # in-session history
+    if _os.path.isdir(out_dir) and any(
+        e.startswith("batch_id=") for e in _os.listdir(out_dir)
+    ):
+        prior = spark.read.parquet(out_dir)
+        last = prior.agg(F.max("batch_id")).collect()[0][0]
+        stats0 = prior.filter(F.col("batch_id") == last).groupBy("host").agg(
+            F.count("*").alias("n_urls"),
+            F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
+        ).localCheckpoint()
+        state["budgets"] = backoff_budgets(
+            stats0, None, base_budget=base_budget, min_budget=min_budget,
+            max_budget=max_budget, increase_step=step,
+            err_threshold_bp=threshold_bp,
+        ).localCheckpoint()
+        state["delays"] = backoff_delays(
+            stats0, None, base_delay_ms=base_delay_ms,
+            max_delay_ms=max_delay_ms, err_threshold_bp=threshold_bp,
+        ).localCheckpoint()
+    pend_path = _os.path.join(pending_dir, "pending.parquet")
+    seen_path = _os.path.join(seen_dir, "seen.parquet") if seen_dir else None
+    carry_cols = [
+        "url", "url_raw", "host", "url_hash", "host_hash",
+        "seq", "priority", "event_ts",
+    ]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(*carry_cols)
+        # 1. deferred rows from the previous batch re-enter this round
+        #    (materialized before the gate overwrites their file)
+        if _os.path.exists(pend_path):
+            b = b.unionByName(
+                spark.read.parquet(pend_path).select(*carry_cols).localCheckpoint()
+            )
+        # 2. per-host TTL recrawl gate over the sink-side seen log
+        if recrawl_ttls is not None and seen_path and _os.path.exists(seen_path):
+            now_ts = b.agg(F.max("event_ts")).collect()[0][0]
+            if now_ts is not None:
+                seen = spark.read.parquet(seen_path)
+                b = recrawl_filter_adaptive(
+                    b, seen, recrawl_ttls, now_ts, ts_col="seen_ts"
+                )
+        # 3. AIMD budget gate: rank within host by (priority, seq) —
+        #    the scheduler's FIFO law — and admit up to the host cap
+        caps = b
+        if state["budgets"] is not None:
+            caps = caps.join(
+                F.broadcast(
+                    state["budgets"].select(
+                        "host", F.col("max_per_round").alias("_aimd_cap")
+                    )
+                ),
+                "host", "left",
+            )
+        else:
+            caps = caps.withColumn("_aimd_cap", F.lit(None).cast("long"))
+        if caps_static is not None:
+            caps = caps.join(F.broadcast(caps_static), "host", "left")
+        else:
+            caps = caps.withColumn("_robots_cap", F.lit(None).cast("long"))
+        cap = F.coalesce(F.col("_aimd_cap"), F.col("_robots_cap"), F.lit(1 << 60))
+        w = Window.partitionBy("host").orderBy("priority", "seq")
+        gated = (
+            caps.withColumn("_rank", F.row_number().over(w))
+            .withColumn("_cap", cap)
+            .persist()
+        )
+        admitted = gated.filter(F.col("_rank") <= F.col("_cap")).select(*carry_cols)
+        overflow = gated.filter(F.col("_rank") > F.col("_cap")).select(*carry_cols)
+        overflow.write.mode("overwrite").parquet(pend_path)
+        # 4. fetch + extract; idempotent dynamic overwrite per batch_id
+        arts = extract_artifacts(
+            fetch_join(admitted, prepared_pages, prepared=True),
+            with_markdown=content_type in ("markdown", "both"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            arts.drop("html")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        # 5. AIMD state update from the landed artifacts (reads the
+        #    committed parquet — extraction never re-runs)
+        landed = spark.read.parquet(out_dir).filter(F.col("batch_id") == batch_id)
+        host_stats = landed.groupBy("host").agg(
+            F.count("*").alias("n_urls"),
+            F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
+        ).localCheckpoint()
+        state["budgets"] = backoff_budgets(
+            host_stats, state["budgets"], base_budget=base_budget,
+            min_budget=min_budget, max_budget=max_budget,
+            increase_step=step, err_threshold_bp=threshold_bp,
+        ).localCheckpoint()
+        state["delays"] = backoff_delays(
+            host_stats, state["delays"], base_delay_ms=base_delay_ms,
+            max_delay_ms=max_delay_ms, err_threshold_bp=threshold_bp,
+        ).localCheckpoint()
+        state["admitted"].append(
+            {
+                r["host"]: r["n"]
+                for r in admitted.groupBy("host").agg(F.count("*").alias("n")).collect()
+            }
+        )
+        # 6. seen delta for the TTL arm: admitted rows are consumed
+        #    (streaming has no retry re-entry — missing is terminal)
+        if seen_path:
+            admitted.select(
+                "url_hash", "url", F.col("event_ts").alias("seen_ts")
+            ).write.mode("append").parquet(seen_path)
+        gated.unpersist()
+
+    return process_batch, state
+
+
 def streaming_crawl(
     spark: SparkSession,
     frontier_dir: str,
@@ -114,6 +294,8 @@ def streaming_crawl(
     watermark: str | None = None,
     content_type: str = "both",
     available_now: bool = True,
+    adaptive: dict | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start (and by default drain) the continuous crawl. Returns the
     StreamingQuery; with ``available_now`` the call blocks until the
@@ -122,8 +304,20 @@ def streaming_crawl(
 
     ``pages`` is the static corpus side (stream-static join happens
     inside foreachBatch against the pre-projected pages_by_hash shape,
-    computed once here, not per batch)."""
-    stream = spark.readStream.schema(FRONTIER_STREAM_SCHEMA).parquet(frontier_dir)
+    computed once here, not per batch).
+
+    ``adaptive``: opt into the batch driver's adaptive machinery
+    (AIMD budgets/delays + optional TTL recrawl) per micro-batch —
+    a dict of make_adaptive_batch_processor keyword args; it MUST
+    contain ``pending_dir``. On return, ``adaptive['state']`` holds
+    the live AIMD tables + per-batch admitted counts. In this mode the
+    static lifetime ``max_per_host`` gate is BYPASSED (the batch loop
+    it mirrors has no lifetime cap; budgets are per-round), and robots
+    ``max_per_round`` caps apply inside the gate instead."""
+    reader = spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(frontier_dir)
     prepped = prepare_frontier_stream(stream, num_shards, watermark)
     if robots is not None:
         has_allow = "allow_prefixes" in robots.columns
@@ -142,10 +336,20 @@ def streaming_crawl(
                 F.coalesce(F.col("allow_prefixes"), F.array().cast("array<string>")),
             )
         prepped = filter_disallowed(joined)
-    admitted = stateful_host_budget(prepped, max_per_host=max_per_host)
-
     prepared_pages = pages_by_hash(pages)
-    process_batch = artifact_batch_writer(prepared_pages, out_dir, content_type)
+    if adaptive is not None:
+        kwargs = dict(adaptive)
+        kwargs.pop("state", None)
+        pending_dir = kwargs.pop("pending_dir")
+        admitted = prepped
+        process_batch, state = make_adaptive_batch_processor(
+            spark, prepared_pages, out_dir, content_type, pending_dir,
+            robots=robots, **kwargs,
+        )
+        adaptive["state"] = state
+    else:
+        admitted = stateful_host_budget(prepped, max_per_host=max_per_host)
+        process_batch = artifact_batch_writer(prepared_pages, out_dir, content_type)
 
     writer = (
         admitted.writeStream.foreachBatch(process_batch)

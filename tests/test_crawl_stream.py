@@ -148,3 +148,140 @@ def test_watermarked_dedup_uses_state_evicting_variant(spark, tmp_path):
     no_wm = prepare_frontier_stream(stream)
     plan2 = no_wm._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" not in plan2
+
+
+def test_adaptive_backoff_stream_matches_batch(spark, tmp_path):
+    """Stream==batch parity for the AIMD machinery on a flaky host:
+    micro-batch k admits exactly what batch round k schedules (same
+    per-host caps, same deferral), and the AIMD budget/delay tables
+    evolve identically — both sides run metrics.backoff_budgets /
+    backoff_delays, the stream inside foreachBatch, the batch inside
+    CrawlRun (adaptive_backoff=True). Restart between micro-batches
+    also exercises the processor's resume re-seeding (one batch of
+    evidence, like the batch driver)."""
+    from pathik_spark.config import CrawlConfig
+    from pathik_spark.plans.driver import CrawlRun
+
+    bad = [f"https://bad.example/p{i}" for i in range(12)]
+    ok = [f"https://ok.example/q{i}" for i in range(6)]
+    pages = spark.createDataFrame(
+        [(u, TS, b"<html><body><p>ok page</p></body></html>", "en") for u in ok],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    robots = spark.createDataFrame(
+        [("bad.example", 0, 8, []), ("ok.example", 0, 4, [])],
+        "host string, crawl_delay_ms long, max_per_round int, disallow_prefixes array<string>",
+    )
+    seeds = spark.createDataFrame(
+        [(u, i, 0) for i, u in enumerate(bad)]
+        + [(u, 100 + i, 0) for i, u in enumerate(ok)],
+        ["url", "seq", "priority"],
+    )
+    aimd = dict(base_budget=8, min_budget=1, step=1, threshold_bp=2000)
+
+    # -- batch side: 2 adaptive rounds --
+    run = CrawlRun(
+        spark, pages, robots, None, str(tmp_path / "batch"),
+        CrawlConfig(
+            run_id="aimd", n_rounds=2, max_attempts=1, use_bloom=False,
+            adaptive_backoff=True, backoff_base_budget=8,
+            backoff_threshold_bp=2000, backoff_step=1, pages_buckets=4,
+        ),
+    )
+    run.run(seeds, n_rounds=2, resume=False)
+    batch_rounds = [
+        {
+            (r["host"], r["url"])
+            for r in run.store.read_table(k, "artifacts").collect()
+        }
+        for k in (0, 1)
+    ]
+    batch_budgets = {
+        r["host"]: r["max_per_round"] for r in run._backoff_budgets.collect()
+    }
+    batch_delays = {
+        r["host"]: r["crawl_delay_ms"] for r in run._backoff_delays.collect()
+    }
+
+    # -- stream side: one micro-batch per invocation (same checkpoint) --
+    fdir = str(tmp_path / "f")
+    odir = str(tmp_path / "o")
+    cdir = str(tmp_path / "c")
+    pend = str(tmp_path / "pend")
+    _write_frontier(spark, fdir, bad)
+    _write_frontier(spark, fdir, ok, start_seq=100)
+    adaptive1 = dict(pending_dir=pend, **aimd)
+    streaming_crawl(spark, fdir, pages, odir, cdir, robots=robots, adaptive=adaptive1)
+    # second drop = just a trigger row; the real round-1 work is the
+    # pending deferral from batch 0 (fresh processor -> resume re-seed)
+    _write_frontier(spark, fdir, ["https://dummy.example/x"], start_seq=900)
+    adaptive2 = dict(pending_dir=pend, **aimd)
+    streaming_crawl(spark, fdir, pages, odir, cdir, robots=robots, adaptive=adaptive2)
+
+    arts = spark.read.parquet(odir)
+    stream_rounds = [
+        {
+            (r["host"], r["url"])
+            for r in arts.filter(F.col("batch_id") == k).collect()
+            if r["host"] != "dummy.example"
+        }
+        for k in (0, 1)
+    ]
+    assert stream_rounds[0] == batch_rounds[0]
+    assert stream_rounds[1] == batch_rounds[1]
+    # sanity on the shape: round 0 caps bind (robots), round 1 caps are AIMD
+    assert len([u for h, u in stream_rounds[0] if h == "bad.example"]) == 8
+    assert len([u for h, u in stream_rounds[1] if h == "bad.example"]) == 4
+
+    st = adaptive2["state"]
+    stream_budgets = {
+        r["host"]: r["max_per_round"]
+        for r in st["budgets"].collect() if r["host"] != "dummy.example"
+    }
+    stream_delays = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in st["delays"].collect() if r["host"] != "dummy.example"
+    }
+    assert stream_budgets == batch_budgets
+    assert stream_delays == batch_delays
+
+
+def test_adaptive_recrawl_ttl_in_stream(spark, tmp_path):
+    """TTL-gated recrawl inside foreachBatch: a seen record blocks its
+    URL only while younger than the host's TTL — churny (short-TTL)
+    hosts re-admit, stable (long-TTL) hosts stay blocked."""
+    import datetime as _dt
+
+    from pathik_spark.streaming.crawl_stream import streaming_crawl
+
+    churny = "https://churny.example/p"
+    stable = "https://stable.example/p"
+    pages = spark.createDataFrame(
+        [(u, TS, b"<html><body><p>pg</p></body></html>", "en") for u in (churny, stable)],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    ttls = spark.createDataFrame(
+        [("churny.example", 1.0), ("stable.example", 100.0)],
+        "host string, ttl_hours double",
+    )
+    fdir, odir, cdir = str(tmp_path / "f"), str(tmp_path / "o"), str(tmp_path / "c")
+    seen_dir = str(tmp_path / "seen")
+    pend = str(tmp_path / "pend")
+    # pre-existing seen log: both urls crawled 2h before the batch
+    from pathik_spark.functions.urls import canonical_col, url_hash_expr
+
+    import os
+    os.makedirs(seen_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(u, TS - _dt.timedelta(hours=2)) for u in (churny, stable)],
+        "url string, seen_ts timestamp",
+    ).withColumn("url", canonical_col(F.col("url"))).withColumn(
+        "url_hash", url_hash_expr(F.col("url"))
+    ).write.parquet(os.path.join(seen_dir, "seen.parquet"))
+
+    _write_frontier(spark, fdir, [churny, stable])
+    adaptive = dict(pending_dir=pend, recrawl_ttls=ttls, seen_dir=seen_dir)
+    streaming_crawl(spark, fdir, pages, odir, cdir, adaptive=adaptive)
+    got = {r["url"] for r in spark.read.parquet(odir).collect()}
+    assert churny in got      # age 2h > ttl 1h: stale, re-admitted
+    assert stable not in got  # age 2h < ttl 100h: fresh, blocked
