@@ -7,15 +7,21 @@ with byte-unstuffing and restart markers, dequantize + dezigzag, exact
 float 8x8 IDCT (DCT-III basis matmul), nearest chroma upsample for
 4:4:4 / 4:2:2 / 4:2:0 and grayscale, ITU-R BT.601 YCbCr -> RGB.
 
-The encoder twin produces deterministic baseline JFIF (Annex-K quant
-tables scaled by quality, Annex-K Huffman tables, optional 4:2:0) so
-round-trip tests and synthetic crawl corpora need no binary fixtures.
+The encoder twins produce deterministic baseline JFIF and progressive
+JFIF (Annex-K quant tables scaled by quality, Annex-K Huffman tables,
+optional 4:2:0; the progressive twin uses libjpeg's default 10-scan
+spectral-selection + successive-approximation script over the SAME
+quantized coefficients) so round-trip and cross-mode parity tests and
+synthetic crawl corpora need no binary fixtures.
 
 Scope (matches the perceptual-hash dedup need, not a general codec):
-- decode: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-  sampling factors up to 2x2. Progressive (SOF2), arithmetic coding,
-  12-bit, and CMYK raise MediaDecodeError and the caller falls back
-  (operators/multimodal.py keeps the labeled histogram stand-in).
+- decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation, T.81 Annex G: DC/AC
+  first + refinement scans, EOB runs, per-scan Huffman redefinition),
+  8-bit, 1 or 3 components, sampling factors up to 2x2. Arithmetic
+  coding, hierarchical, 12-bit, and CMYK raise MediaDecodeError and
+  the caller falls back (operators/multimodal.py keeps the labeled
+  histogram stand-in).
 - This is NOT bit-identical to libjpeg (integer IDCT variants differ
   by +-1 LSB); it is a real DCT decode of the real entropy stream,
   which is what perceptual hashing needs. Per-row Python cost is fine
@@ -223,11 +229,12 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
+    """JFIF bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
 
-    Raises MediaDecodeError for anything outside baseline sequential
-    8-bit Huffman JPEG (progressive, arithmetic, 12-bit, >2x2 sampling,
-    CMYK) and for any malformed/truncated structure."""
+    Handles baseline sequential (SOF0) and progressive (SOF2) Huffman
+    streams. Raises MediaDecodeError for anything else (arithmetic,
+    hierarchical, 12-bit, >2x2 sampling, CMYK) and for any
+    malformed/truncated structure."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise MediaDecodeError("not a JPEG (no SOI)")
     pos = 2
@@ -235,16 +242,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[int, int]] = {}  # (class, id) -> codes
     frame = None
     restart_interval = 0
+    coefs: list[np.ndarray] | None = None  # progressive coefficient store
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise MediaDecodeError("desynced segment stream")
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if coefs is not None:
+                return _reconstruct_progressive(frame, coefs, qt)
             raise MediaDecodeError("EOI before scan")
+        if pos + 4 > n:
+            raise MediaDecodeError("truncated segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -272,7 +284,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise MediaDecodeError("truncated DHT")
                 huff[(tc, th)] = _build_huffman_codes(bits, vals)
                 b += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise MediaDecodeError(f"{prec}-bit JPEG unsupported")
@@ -287,31 +299,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise MediaDecodeError(f"sampling {ch}x{cv} unsupported")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise MediaDecodeError(f"non-baseline SOF 0x{marker:02X}")
+            raise MediaDecodeError(f"unsupported SOF 0x{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise MediaDecodeError("SOS before SOF0")
+                raise MediaDecodeError("SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                raise MediaDecodeError("partial/multi-scan unsupported")
+            if ns < 1 or len(body) < 4 + 2 * ns:
+                raise MediaDecodeError("malformed SOS")
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(
-                    (c for c in frame["comps"] if c["id"] == cs), None
+                ci = next(
+                    (i for i, c in enumerate(frame["comps"]) if c["id"] == cs),
+                    None,
                 )
-                if comp is None:
+                if ci is None:
                     raise MediaDecodeError("scan names unknown component")
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, scan, qt, huff,
-                restart_interval,
+                scan.append((ci, frame["comps"][ci], tt >> 4, tt & 0x0F))
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    raise MediaDecodeError("partial scan in baseline stream")
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame,
+                    [(c, d, a) for _, c, d, a in scan], qt, huff,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahl = body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_prog_coefs(frame)
+            end = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, scan, huff,
+                restart_interval, coefs, ss, se, ahl >> 4, ahl & 0x0F,
             )
+            pos = end
+            continue
         pos += 2 + seglen
     raise MediaDecodeError("no scan found")
 
@@ -395,7 +423,14 @@ def _decode_scan(
                         planes[ci][py : py + 8, px : px + 8] = block
             mcu_count += 1
 
-    # upsample each component to full MCU-grid resolution, crop, stack
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(
+    planes: list[np.ndarray], comps: list, h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Upsample each component plane to full MCU-grid resolution, crop
+    to (h, w), YCbCr->RGB (BT.601) or replicate grayscale."""
     full = []
     for ci, comp in enumerate(comps):
         p = planes[ci]
@@ -412,6 +447,254 @@ def _decode_scan(
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(rgb, 0.0, 255.0).round().astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decode (SOF2, T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+
+def _prog_geometry(frame: dict) -> list[dict]:
+    """Per-component block geometry: the padded MCU grid (interleaved
+    scans cover it all) and the component's own block grid (the smaller
+    region non-interleaved scans cover, T.81 A.2.2)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for c in comps:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        geo.append(
+            {
+                "bw_mcu": mcus_x * c["h"],
+                "bh_mcu": mcus_y * c["v"],
+                "bw": (cw + 7) // 8,
+                "bh": (ch + 7) // 8,
+            }
+        )
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+    return geo
+
+
+def _alloc_prog_coefs(frame: dict) -> list[np.ndarray]:
+    """Zigzag-order coefficient store, one (bh, bw, 64) int32 array per
+    component on the padded MCU grid (superset of the non-interleaved
+    grid; padding blocks get DC from interleaved scans and zero ACs —
+    cropped away at assembly)."""
+    frame["geo"] = _prog_geometry(frame)
+    return [
+        np.zeros((g["bh_mcu"], g["bw_mcu"], 64), dtype=np.int32)
+        for g in frame["geo"]
+    ]
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan: list,
+    huff: dict[tuple[int, int], dict[int, int]],
+    restart_interval: int,
+    coefs: list[np.ndarray],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode ONE progressive scan into the coefficient store and
+    return the byte offset of the next marker. Implements all four scan
+    kinds of T.81 G.2: DC first / DC refinement (interleaved or not),
+    AC first / AC refinement (always single-component), with EOB runs
+    and restart-marker resync."""
+    if ss == 0:
+        if se != 0:
+            raise MediaDecodeError("progressive DC scan with Se != 0")
+    else:
+        if len(scan) != 1:
+            raise MediaDecodeError("interleaved AC scan")
+        if not (ss <= se <= 63):
+            raise MediaDecodeError("bad spectral band")
+    if ah not in range(14) or al not in range(14):
+        raise MediaDecodeError("bad successive-approximation bits")
+
+    reader = _BitReader(data, pos)
+    geo = frame["geo"]
+
+    if ss == 0:
+        for ci, _, dc_id, _ in scan:
+            if ah == 0 and (0, dc_id) not in huff:
+                raise MediaDecodeError("missing DC table")
+        pred = {ci: 0 for ci, *_ in scan}
+
+        def dc_block(ci: int, dc_id: int, by: int, bx: int) -> None:
+            zz = coefs[ci]
+            if ah == 0:
+                s = reader.decode_symbol(huff[(0, dc_id)])
+                if s > 11:
+                    raise MediaDecodeError("bad DC category")
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                zz[by, bx, 0] = pred[ci] << al
+            else:
+                if reader.read_bit():
+                    zz[by, bx, 0] = int(zz[by, bx, 0]) | (1 << al)
+
+        if len(scan) > 1:  # interleaved DC over the MCU grid
+            unit = 0
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader.restart()
+                        pred = {ci: 0 for ci, *_ in scan}
+                    for ci, comp, dc_id, _ in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                dc_block(
+                                    ci, dc_id,
+                                    my * comp["v"] + by, mx * comp["h"] + bx,
+                                )
+                    unit += 1
+        else:  # non-interleaved DC: the component's own block grid
+            ci, comp, dc_id, _ = scan[0]
+            g = geo[ci]
+            unit = 0
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader.restart()
+                        pred = {ci: 0}
+                    dc_block(ci, dc_id, by, bx)
+                    unit += 1
+        return _next_marker(data, reader.pos)
+
+    # AC scan: single component, non-interleaved block order
+    ci, comp, _, ac_id = scan[0]
+    if (1, ac_id) not in huff:
+        raise MediaDecodeError("missing AC table")
+    act = huff[(1, ac_id)]
+    g = geo[ci]
+    arr = coefs[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    unit = 0
+    for by in range(g["bh"]):
+        for bx in range(g["bw"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            unit += 1
+            zz = arr[by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise MediaDecodeError("AC band overrun")
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # refinement pass (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: advance over 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise MediaDecodeError("bad refinement size")
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        v = int(zz[k])
+                        if v != 0:
+                            if reader.read_bit() and (abs(v) & p1) == 0:
+                                zz[k] = v + (p1 if v > 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(zz[k])
+                    if v != 0:
+                        if reader.read_bit() and (abs(v) & p1) == 0:
+                            zz[k] = v + (p1 if v > 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _next_marker(data, reader.pos)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Byte offset of the next real marker (skips entropy padding,
+    stuffed 0xFF00 and stray RSTn) — where the segment loop resumes
+    after a progressive scan's entropy data."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise MediaDecodeError("truncated stream after scan")
+
+
+def _reconstruct_progressive(
+    frame: dict, coefs: list[np.ndarray], qt: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Dequantize + dezigzag + IDCT the accumulated coefficient store
+    (one vectorized einsum per component) and assemble RGB."""
+    comps = frame["comps"]
+    planes = []
+    for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise MediaDecodeError("missing quant table")
+        q = qt[comp["tq"]]
+        zz = coefs[ci].astype(np.float64) * q[None, None, :]
+        bh, bw = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ij,abjk,kl->abil", _DCT_C.T, blocks, _DCT_C) + 128.0
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _planes_to_rgb(
+        planes, comps, frame["h"], frame["w"], frame["hmax"], frame["vmax"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -618,5 +901,282 @@ def encode_jpeg_baseline(
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder twin (T.81 Annex G) — spectral selection +
+# successive approximation with libjpeg's default 10-scan script, so the
+# progressive decode path can be parity-tested against the baseline
+# decode of the SAME quantized coefficients without binary fixtures.
+# EOB runs are capped at 1 block (always EOB0) because the Annex-K
+# Huffman tables define no EOBn symbols for n>0 — spec-valid, just a
+# few percent larger, irrelevant for a test twin.
+# ---------------------------------------------------------------------------
+
+# (components, Ss, Se, Ah, Al) — libjpeg jcparam.c default progression
+_PROG_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _emit_dc_first(
+    bwr: "_BitWriter",
+    frame: dict,
+    grids: list[np.ndarray],
+    al: int,
+    dc_tbls: list[dict[int, tuple[int, int]]],
+) -> None:
+    """Interleaved DC first scan over the padded MCU grid; the encoded
+    value is the arithmetic >> Al of the quantized DC (floor — the
+    decoder reconstructs pred << Al and the refinement scan ORs bit Al
+    back in, which only round-trips for floor division)."""
+    preds = [0] * len(frame["comps"])
+    for my in range(frame["mcus_y"]):
+        for mx in range(frame["mcus_x"]):
+            for ci, comp in enumerate(frame["comps"]):
+                tbl = dc_tbls[ci]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        v = int(grids[ci][my * comp["v"] + by,
+                                          mx * comp["h"] + bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        code, ln = tbl[s]
+                        bwr.write(code, ln)
+                        if s:
+                            mag = diff if diff >= 0 else diff + (1 << s) - 1
+                            bwr.write(mag, s)
+
+
+def _emit_dc_refine(
+    bwr: "_BitWriter", frame: dict, grids: list[np.ndarray], al: int
+) -> None:
+    """DC refinement: one raw bit (bit Al of the quantized DC) per
+    block in interleaved MCU order — no Huffman coding at all."""
+    for my in range(frame["mcus_y"]):
+        for mx in range(frame["mcus_x"]):
+            for ci, comp in enumerate(frame["comps"]):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        v = int(grids[ci][my * comp["v"] + by,
+                                          mx * comp["h"] + bx, 0])
+                        bwr.write((v >> al) & 1, 1)
+
+
+def _emit_ac_first(
+    bwr: "_BitWriter",
+    zz: np.ndarray,
+    g: dict,
+    ss: int,
+    se: int,
+    al: int,
+    act: dict[int, tuple[int, int]],
+) -> None:
+    """AC first scan for one band: run-length + category coding of the
+    magnitude-truncated (toward zero, T.81 G.1.2.2) coefficients over
+    the component's OWN block grid (non-interleaved, A.2.2)."""
+    for by in range(g["bh"]):
+        for bx in range(g["bw"]):
+            band = [int(v) for v in zz[by, bx, ss : se + 1]]
+            tval = [
+                (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
+            ]
+            nz = [i for i, t in enumerate(tval) if t]
+            if not nz:
+                code, ln = act[0x00]  # EOB0
+                bwr.write(code, ln)
+                continue
+            run = 0
+            for i in range(nz[-1] + 1):
+                t = tval[i]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]  # ZRL
+                    bwr.write(code, ln)
+                    run -= 16
+                s = _category(t)
+                code, ln = act[(run << 4) | s]
+                bwr.write(code, ln)
+                mag = t if t >= 0 else t + (1 << s) - 1
+                bwr.write(mag, s)
+                run = 0
+            if nz[-1] < se - ss:
+                code, ln = act[0x00]
+                bwr.write(code, ln)
+
+
+def _emit_ac_refine(
+    bwr: "_BitWriter",
+    zz: np.ndarray,
+    g: dict,
+    ss: int,
+    se: int,
+    al: int,
+    act: dict[int, tuple[int, int]],
+) -> None:
+    """AC refinement scan (T.81 G.1.2.3, the encode mirror of libjpeg's
+    encode_mcu_AC_refine): newly-significant coefficients get a
+    (run<<4)|1 symbol + sign bit; history-nonzero coefficients get one
+    buffered correction bit, flushed positionally after the next
+    symbol; trailing runs fold into EOB0."""
+    for by in range(g["bh"]):
+        for bx in range(g["bw"]):
+            band = [int(v) for v in zz[by, bx, ss : se + 1]]
+            absv = [abs(v) >> al for v in band]
+            newly = [i for i, a in enumerate(absv) if a == 1]
+            eob = newly[-1] if newly else -1
+            run = 0
+            br: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    run += 1
+                    continue
+                if i <= eob:
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bwr.write(code, ln)
+                        for bit in br:
+                            bwr.write(bit, 1)
+                        br = []
+                        run -= 16
+                if a > 1:
+                    br.append(a & 1)
+                    continue
+                code, ln = act[(run << 4) | 1]
+                bwr.write(code, ln)
+                bwr.write(1 if band[i] >= 0 else 0, 1)
+                for bit in br:
+                    bwr.write(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                code, ln = act[0x00]
+                bwr.write(code, ln)
+                for bit in br:
+                    bwr.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample_420: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> deterministic progressive (SOF2) JFIF.
+
+    Identical color transform, padding, Annex-K tables, and coefficient
+    quantization to encode_jpeg_baseline — only the entropy layer
+    differs — so decode_jpeg() of this stream must be byte-identical to
+    decode_jpeg() of the baseline encode of the same image."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = np.repeat(pixels[:, :, None], 3, axis=2)
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    lh = lv = 2 if subsample_420 else 1
+    frame = {
+        "h": h, "w": w,
+        "comps": [
+            {"id": 1, "h": lh, "v": lv, "tq": 0},
+            {"id": 2, "h": 1, "v": 1, "tq": 1},
+            {"id": 3, "h": 1, "v": 1, "tq": 1},
+        ],
+    }
+    geo = _prog_geometry(frame)
+    ph = frame["mcus_y"] * 8 * frame["vmax"]
+    pw = frame["mcus_x"] * 8 * frame["hmax"]
+
+    def pad(p: np.ndarray) -> np.ndarray:
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    if subsample_420:
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    ql = _scaled_quant(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _scaled_quant(QUANT_CHROMA, quality)[ZIGZAG]
+
+    grids: list[np.ndarray] = []
+    for plane, q in ((y, ql), (cb, qc), (cr, qc)):
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ij,abjk,kl->abil", _DCT_C, blocks, _DCT_C.T)
+        nat = coef.reshape(bh, bw_, 64)
+        grids.append(np.round(nat[:, :, ZIGZAG] / q).astype(np.int32))
+
+    dc_tbls = [
+        _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_tbls = [
+        _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _encode_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+        _encode_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    dc_ids, ac_ids = (0, 1, 1), (0, 1, 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(v) for v in ql))
+    out += seg(0xDB, b"\x01" + bytes(int(v) for v in qc))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (lh << 4) | lv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC2, sof)
+    for tc, th, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    for comps, ss, se, ah, al in _PROG_SCRIPT:
+        sos = bytearray([len(comps)])
+        for ci in comps:
+            sos += bytes(
+                [frame["comps"][ci]["id"], (dc_ids[ci] << 4) | ac_ids[ci]]
+            )
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+        bwr = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first(bwr, frame, grids, al, dc_tbls)
+            else:
+                _emit_dc_refine(bwr, frame, grids, al)
+        else:
+            (ci,) = comps
+            if ah == 0:
+                _emit_ac_first(
+                    bwr, grids[ci], geo[ci], ss, se, al, ac_tbls[ci]
+                )
+            else:
+                _emit_ac_refine(
+                    bwr, grids[ci], geo[ci], ss, se, al, ac_tbls[ci]
+                )
+        out += bwr.flush()
     out += b"\xff\xd9"
     return bytes(out)

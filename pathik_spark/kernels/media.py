@@ -11,10 +11,10 @@ formats outside this set — MP4 et al. genuinely need external codecs):
 - BMP: the classic uncompressed 24-bit DIB (BITMAPINFOHEADER),
   bottom-up or top-down, 4-byte row padding.
 - WAV: PCM 8/16-bit via the stdlib ``wave`` module.
-- JPEG: baseline sequential JFIF (the dominant web image format) via
-  kernels/jpeg.py — Huffman entropy decode, dequant, exact 8x8 IDCT,
-  chroma upsample, BT.601 YCbCr->RGB; progressive/arithmetic fall
-  back (MediaDecodeError).
+- JPEG: baseline sequential (SOF0) and progressive (SOF2) JFIF — the
+  two dominant web image layouts — via kernels/jpeg.py: Huffman
+  entropy decode, dequant, exact 8x8 IDCT, chroma upsample, BT.601
+  YCbCr->RGB; arithmetic/12-bit fall back (MediaDecodeError).
 
 Decoders are total over garbage: anything unparseable raises
 ``MediaDecodeError`` and the caller picks its fallback. Feature

@@ -3,11 +3,12 @@ columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
 Decoding is REAL for the stdlib-decodable formats — PNG, 24-bit BMP,
-PCM WAV, and baseline-sequential JPEG payloads go through
-kernels/media.py + kernels/jpeg.py (zlib/struct/wave/numpy; full PNG
-scanline unfiltering; full JPEG Huffman+IDCT) and their features are
-actual pixel / wave statistics. Formats that genuinely need external
-codecs (MP4, progressive JPEG...) fall back to the deterministic
+PCM WAV, and JPEG (baseline SOF0 AND progressive SOF2) payloads go
+through kernels/media.py + kernels/jpeg.py (zlib/struct/wave/numpy;
+full PNG scanline unfiltering; full JPEG Huffman+IDCT incl. T.81
+Annex-G progressive scans) and their features are actual pixel / wave
+statistics. Formats that genuinely need external codecs (MP4,
+arithmetic/12-bit JPEG...) fall back to the deterministic
 byte-histogram stand-in; pass ``strict=True`` to raise
 NotImplementedError at that boundary instead, or inject any
 ``decoder=`` callable. The plumbing — schema contract, Arrow batching,
@@ -54,10 +55,10 @@ def extract_features(
     ``strict=True`` marks the real-decoder integration point."""
     if strict:
         raise NotImplementedError(
-            "formats beyond stdlib PNG/BMP/WAV/baseline-JPEG (MP4, "
-            "progressive JPEG, ...) require PIL/ffmpeg — not available "
-            "in this environment; inject decoder= or accept the "
-            "deterministic fallback"
+            "formats beyond stdlib PNG/BMP/WAV/JPEG-SOF0/SOF2 (MP4, "
+            "arithmetic-coded or 12-bit JPEG, ...) require PIL/ffmpeg "
+            "— not available in this environment; inject decoder= or "
+            "accept the deterministic fallback"
         )
     if decoder is None:
         from pathik_spark.kernels.media import stdlib_decode_features

@@ -309,7 +309,9 @@ def test_jpeg_rejects_non_baseline_and_garbage():
 
     img = _smooth_rgb(16, 16)
     good = J.encode_jpeg_baseline(img)
-    # progressive SOF2 must be declared unsupported, not misdecoded
+    # flipping a baseline stream's SOF0 to SOF2 yields a MALFORMED
+    # progressive stream (its SOS declares Ss=0, Se=63 — an illegal DC
+    # scan per T.81 G.1) — must raise, not misdecode
     progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pt.raises(MediaDecodeError):
         J.decode_jpeg(progressive)
@@ -325,6 +327,58 @@ def test_jpeg_rejects_non_baseline_and_garbage():
     )
     with _pt.raises(MediaDecodeError):
         J.decode_jpeg(bad_sof)
+
+
+def test_progressive_jpeg_decode_parity():
+    """decode(SOF2 progressive encode) must be byte-identical to
+    decode(SOF0 baseline encode) of the same image: both encoders share
+    color transform, padding, and quantization, so the only difference
+    is the entropy layer — the progressive scan decoder (DC/AC first +
+    refinement, EOB runs) under test. Covers 4:4:4, 4:2:0 with odd
+    (non-MCU-multiple) dimensions, and a dense-AC noise image."""
+    import numpy as _np
+
+    from pathik_spark.kernels import jpeg as J
+
+    for (h, w), sub, q in [
+        ((24, 24), False, 85),
+        ((17, 23), False, 90),
+        ((33, 41), True, 75),  # Y own-grid < padded MCU grid
+        ((64, 48), True, 92),
+        ((8, 8), False, 50),
+    ]:
+        img = _smooth_rgb(h, w)
+        base = J.decode_jpeg(
+            J.encode_jpeg_baseline(img, quality=q, subsample_420=sub)
+        )
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(img, quality=q, subsample_420=sub)
+        )
+        assert _np.array_equal(base, prog), (h, w, sub, q)
+    # worst case for AC scan density / ZRL+EOB interplay
+    rng = _np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(40, 56, 3)).astype(_np.uint8)
+    assert _np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_baseline(noise, quality=95)),
+        J.decode_jpeg(J.encode_jpeg_progressive(noise, quality=95)),
+    )
+
+
+def test_progressive_jpeg_structure_and_determinism():
+    """The progressive twin emits a real multi-scan SOF2 stream (10
+    SOS markers, one per script entry), is deterministic, and feeds
+    image_hashes/phash identically to the baseline encode."""
+    from pathik_spark.kernels import jpeg as J
+    from pathik_spark.kernels.media import image_hashes
+
+    img = _smooth_rgb(32, 32)
+    enc = J.encode_jpeg_progressive(img, quality=80)
+    assert enc == J.encode_jpeg_progressive(img, quality=80)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert enc.count(b"\xff\xda") == 10
+    hp = image_hashes(enc)
+    assert hp is not None
+    assert hp == image_hashes(J.encode_jpeg_baseline(img, quality=80))
 
 
 def test_jpeg_mutation_totality():
