@@ -241,3 +241,45 @@ def test_prepare_training_corpus_soft404_gate(spark):
     )
     # with the gate off the page reaches the normal quality gates
     assert corpus2.count() >= corpus.count()
+
+
+def test_prepare_training_corpus_plan_shape(spark):
+    """Composed-pipeline scale shape: the ONLY Spark jobs run during
+    plan construction are the connected-components convergence loop's
+    (dedup_clusters is inherently iterative — localCheckpoint per
+    round, a single 2-field checksum row collected per round, O(log^2
+    n) rounds); every other stage stays a lazy plan. And the composed
+    physical plan contains no cartesian product — every join is keyed
+    (LSH band buckets, doc_id join-backs, broadcast gates)."""
+    from pathik_spark.operators.dedup import dedup_clusters
+
+    docs = _docs(spark)
+    pairs = spark.createDataFrame(
+        [(3, 100), (7, 8)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    # calibrate: the CC loop alone on the same edges (AQE splits each
+    # round's localCheckpoint + checksum collect into several jobs, so
+    # the count is environment-dependent — measure it, don't guess it)
+    sc.setJobGroup("cc_cal", "CC loop alone")
+    try:
+        dedup_clusters(docs, pairs, id_col="doc_id")
+        cc_alone = len(list(sc.statusTracker().getJobIdsForGroup("cc_cal")))
+    finally:
+        sc.setJobGroup("", "")
+    sc.setJobGroup("ptc_plan", "bounded construction jobs")
+    try:
+        corpus, report = pathik_spark.prepare_training_corpus(
+            docs, pairs=pairs, line_max_occurrences=5, min_quality=0.2
+        )
+        ptc_jobs = len(list(sc.statusTracker().getJobIdsForGroup("ptc_plan")))
+        # the facade may only add the CC loop's own jobs (within one
+        # extra convergence round of slack — the facade clusters the
+        # CLEANED text): any other stage starting to collect trips this
+        assert ptc_jobs <= 2 * cc_alone, (ptc_jobs, cc_alone)
+    finally:
+        sc.setJobGroup("", "")
+    for df in (corpus, report):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
