@@ -219,3 +219,48 @@ def test_write_sharded_jsonl_layout_and_balance(spark, tmp_path):
     assert sorted(map(tuple, manifest2.collect())) == sorted(
         map(tuple, manifest.collect())
     )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PATHIK_S3_ENDPOINT"),
+    reason="live object-store smoke: set PATHIK_S3_ENDPOINT (any "
+    "S3-compatible endpoint — MinIO counts), PATHIK_S3_BUCKET, "
+    "PATHIK_S3_ACCESS_KEY, PATHIK_S3_SECRET_KEY to run (also needs "
+    "hadoop-aws + aws-sdk jars on the session classpath, e.g. "
+    "spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop ver>)",
+)
+def test_live_s3_object_roundtrip(spark, artifacts):
+    """Env-gated live object-store smoke (mirror of the Kafka one;
+    reference behavior: storage.go:122-147 PUTs url-keyed objects):
+    write_r2_objects against a real s3a:// destination, read the
+    prefix back, and check key/mime/content round-trip. Skipped
+    wherever no endpoint exists (this sandbox). Against real
+    Cloudflare R2, build the conf with r2_hadoop_conf(account_id, ...)
+    instead of the raw endpoint below."""
+    import uuid
+
+    endpoint = os.environ["PATHIK_S3_ENDPOINT"]
+    bucket = os.environ["PATHIK_S3_BUCKET"]
+    conf = {
+        "fs.s3a.endpoint": endpoint,
+        "fs.s3a.access.key": os.environ["PATHIK_S3_ACCESS_KEY"],
+        "fs.s3a.secret.key": os.environ["PATHIK_S3_SECRET_KEY"],
+        "fs.s3a.path.style.access": "true",
+        "fs.s3a.connection.ssl.enabled": (
+            "false" if endpoint.startswith("http://") else "true"
+        ),
+        "fs.s3a.committer.name": "magic",
+    }
+    objs = S.r2_object_rows(artifacts, run_id="s3smoke").limit(20).cache()
+    sent = objs.count()
+    assert sent > 0
+    dest = f"s3a://{bucket}/pathik-smoke-{uuid.uuid4().hex[:12]}"
+    S.write_r2_objects(objs, dest, hadoop_conf=conf)
+
+    got = spark.read.parquet(dest)
+    assert got.count() == sent
+    want_rows = {r["key"]: r for r in objs.collect()}
+    for r in got.collect():
+        w = want_rows[r["key"]]
+        assert r["mime"] == w["mime"]
+        assert r["content"] == w["content"]
