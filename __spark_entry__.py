@@ -346,6 +346,35 @@ def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard rule matching ('*' any-sequence,
+    trailing-'$' end anchor, literal metachars, path+query target,
+    longest-match precedence): the REAL attach_robots +
+    filter_disallowed over the shared fixture vs a DuckDB twin that
+    compiles the same rules to SQL LIKE patterns (a different matching
+    mechanism — conversion bugs on either side diverge)."""
+    from pathik_spark.entry_queries import (
+        WILDCARD_RULES_CTE,
+        WILDCARD_URLS_CTE,
+    )
+    from pathik_spark.operators.robots import attach_robots, filter_disallowed
+
+    _register_views(spark, sf_dir)
+    robots = spark.sql(
+        f"""WITH {WILDCARD_RULES_CTE}
+SELECT host, CAST(0 AS BIGINT) AS crawl_delay_ms,
+  array_sort(collect_list(rule) FILTER (WHERE kind = 'd')) AS disallow_prefixes,
+  array_sort(collect_list(rule) FILTER (WHERE kind = 'a')) AS allow_prefixes
+FROM wc_rules GROUP BY host"""
+    )
+    frontier = spark.sql(
+        f"WITH {WILDCARD_URLS_CTE} SELECT host, url FROM wc_urls"
+    )
+    return filter_disallowed(attach_robots(frontier, robots)).select(
+        "host", "url"
+    )
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive extraction from robots.txt (the primary
     sitemap-discovery channel): the real operator over a synthesized
@@ -1558,6 +1587,7 @@ ENGINE_ORACLE_QUERIES = {
     "clean_corpus": _q_clean_corpus,
     "host_rank": _q_host_rank,
     "robots_parse": _q_robots_parse,
+    "robots_wildcards": _q_robots_wildcards,
     "robots_sitemaps": _q_robots_sitemaps,
     "host_backoff": _q_host_backoff,
     "host_delay_backoff": _q_host_delay_backoff,

@@ -3795,6 +3795,94 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- RFC 9309 wildcard rule matching -----------------------------------------
+# Fixture shared verbatim by both dialects (plain UNION ALL literals).
+# Covers: '*' anywhere, trailing-'$' anchor, literal regex/LIKE
+# metacharacters ('.', '_', '%'), allow-over-disallow specificity with
+# wildcard rules, query-string matching (RFC 9309 matches path+query),
+# and a host with no robots row.
+
+WILDCARD_RULES_CTE = """wc_rules AS (
+  SELECT 'h0' AS host, 'd' AS kind, '/*.php' AS rule
+  UNION ALL SELECT 'h0', 'a', '/index.php$'
+  UNION ALL SELECT 'h1', 'd', '/fish$'
+  UNION ALL SELECT 'h2', 'd', '/a.b'
+  UNION ALL SELECT 'h3', 'd', '/private'
+  UNION ALL SELECT 'h3', 'a', '/private/*/pub'
+  UNION ALL SELECT 'h4', 'd', '/q*sess='
+  UNION ALL SELECT 'h5', 'd', '/'
+  UNION ALL SELECT 'h5', 'a', '/public*'
+  UNION ALL SELECT 'h7', 'd', '/x_y%z'
+  UNION ALL SELECT 'h8', 'd', '/dl*load$'
+)"""
+
+WILDCARD_URLS_CTE = """wc_urls AS (
+  SELECT 'h0' AS host, 'https://h0/index.php' AS url
+  UNION ALL SELECT 'h0', 'https://h0/index.php?x=1'
+  UNION ALL SELECT 'h0', 'https://h0/deep/page.php'
+  UNION ALL SELECT 'h0', 'https://h0/plain.html'
+  UNION ALL SELECT 'h1', 'https://h1/fish'
+  UNION ALL SELECT 'h1', 'https://h1/fishing'
+  UNION ALL SELECT 'h1', 'https://h1/fish?x=1'
+  UNION ALL SELECT 'h2', 'https://h2/a.b'
+  UNION ALL SELECT 'h2', 'https://h2/aXb'
+  UNION ALL SELECT 'h2', 'https://h2/a.bc'
+  UNION ALL SELECT 'h3', 'https://h3/private/x/pub'
+  UNION ALL SELECT 'h3', 'https://h3/private/x/sec'
+  UNION ALL SELECT 'h3', 'https://h3/privateer'
+  UNION ALL SELECT 'h4', 'https://h4/q?a=1&sess=42'
+  UNION ALL SELECT 'h4', 'https://h4/q?a=1'
+  UNION ALL SELECT 'h5', 'https://h5/public/doc'
+  UNION ALL SELECT 'h5', 'https://h5/secret'
+  UNION ALL SELECT 'h5', 'https://h5/'
+  UNION ALL SELECT 'h6', 'https://h6/anything'
+  UNION ALL SELECT 'h7', 'https://h7/x_y%z/page'
+  UNION ALL SELECT 'h7', 'https://h7/xAy%z'
+  UNION ALL SELECT 'h7', 'https://h7/x_yQz'
+  UNION ALL SELECT 'h8', 'https://h8/dl/download'
+  UNION ALL SELECT 'h8', 'https://h8/dl/downloads'
+  UNION ALL SELECT 'h8', 'https://h8/download'
+)"""
+
+
+def duck_robots_wildcards_sql() -> str:
+    """DuckDB twin of filter_disallowed's RFC 9309 wildcard matching —
+    via a DIFFERENT mechanism: robots rules are compiled to SQL LIKE
+    patterns (escape \\ % _, '*' -> '%', trailing '$' drops the
+    implicit trailing '%') instead of the engine's Java-regex
+    conversion, so a conversion bug on either side breaks the match.
+    Precedence is the same rule-octet longest-match, Allow winning
+    ties; the match target is path+query per §2.2.2."""
+    return f"""
+WITH {WILDCARD_RULES_CTE},
+{WILDCARD_URLS_CTE},
+pats AS (
+  SELECT host, kind, CAST(length(rule) AS BIGINT) AS rlen,
+    replace(replace(replace(replace(
+        CASE WHEN rule LIKE '%$' THEN substr(rule, 1, length(rule) - 1)
+             ELSE rule END,
+        '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+      || CASE WHEN rule LIKE '%$' THEN '' ELSE '%' END AS pat
+  FROM wc_rules
+),
+pathq AS (
+  SELECT host, url,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pq
+  FROM wc_urls
+),
+verdicts AS (
+  SELECT p.host, p.url,
+    COALESCE(MAX(CASE WHEN r.kind = 'd' AND p.pq LIKE r.pat ESCAPE '\\'
+                      THEN r.rlen END), 0) AS dlen,
+    COALESCE(MAX(CASE WHEN r.kind = 'a' AND p.pq LIKE r.pat ESCAPE '\\'
+                      THEN r.rlen END), 0) AS alen
+  FROM pathq p LEFT JOIN pats r ON p.host = r.host
+  GROUP BY p.host, p.url
+)
+SELECT host, url FROM verdicts WHERE dlen <= alen
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "crawl_rounds_relational": duck_crawl_rounds_sql,
@@ -3822,6 +3910,7 @@ ENGINE_ORACLE_SQL = {
     "clean_corpus": duck_clean_corpus_sql,
     "host_rank": duck_host_rank_sql,
     "robots_parse": duck_robots_parse_sql,
+    "robots_wildcards": duck_robots_wildcards_sql,
     "robots_sitemaps": duck_robots_sitemaps_sql,
     "host_backoff": duck_host_backoff_sql,
     "host_delay_backoff": duck_host_delay_backoff_sql,

@@ -64,6 +64,14 @@ def path_of(url: Column) -> Column:
     return F.regexp_extract(url, _PATH_RE, 1)
 
 
+def path_query_of(url: Column) -> Column:
+    """Path plus query (no fragment) — the robots matching target per
+    RFC 9309 §2.2.2 ("the path and, if present, the query")."""
+    return F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+
+
 def domain_name_expr(url: Column) -> Column:
     """X1 — crawler.go:252-265: hostname '.'->'_', path trimmed of '/'
     then '/'->'_', joined with '_'; no host -> 'unknown'."""

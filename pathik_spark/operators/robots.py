@@ -53,11 +53,48 @@ def attach_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.select(*out)
 
 
-def _longest_match_len(prefixes, path):
-    """Length of the longest prefix in ``prefixes`` matching ``path``
-    (0 when none): filter + transform + array_max, all codegen'd."""
+# regex metacharacters to neutralize in a robots rule — everything
+# except '*' (RFC 9309 wildcard) which maps to '.*'; a trailing '$'
+# (end-of-URL anchor) is handled positionally below
+_RULE_META = r"([\\^$.|?+(){}\[\]])"
+
+
+def _rule_pattern(p):
+    """robots path rule -> anchored Java regex (RFC 9309 §2.2.3):
+    '*' matches any character sequence, a TRAILING '$' anchors at the
+    end of the path; any other regex metacharacter (including a
+    mid-rule '$') is literal. Pure string expressions — stays inside
+    codegen."""
+    esc = F.regexp_replace(p, _RULE_META, r"\\$1")
+    wld = F.regexp_replace(esc, r"\*", ".*")
+    anchored = F.when(
+        F.endswith(p, F.lit("$")),
+        # the escape pass turned the trailing '$' into '\$' (2 chars):
+        # strip it and re-append the real anchor
+        F.concat(
+            F.substr(wld, F.lit(1), F.length(wld) - F.lit(2)), F.lit("$")
+        ),
+    ).otherwise(wld)
+    return F.concat(F.lit("^"), anchored)
+
+
+def _rule_matches(path, p):
+    """One rule against one path: plain rules (no '*', no trailing
+    '$') keep the fast startswith path; wildcard rules go through the
+    converted regex."""
+    simple = (F.instr(p, "*") == 0) & ~F.endswith(p, F.lit("$"))
+    return F.when(simple, F.startswith(path, p)).otherwise(
+        F.regexp_like(path, _rule_pattern(p))
+    )
+
+
+def _longest_match_len(rules, path):
+    """Length (rule octets — the RFC 9309 specificity measure, also
+    what Google's matcher uses for wildcard rules) of the most specific
+    rule matching ``path`` (0 when none): filter + transform +
+    array_max, all codegen'd."""
     matched = F.transform(
-        F.filter(prefixes, lambda p: F.startswith(path, p)),
+        F.filter(rules, lambda p: _rule_matches(path, p)),
         lambda p: F.length(p),
     )
     return F.coalesce(F.array_max(matched), F.lit(0))
@@ -65,12 +102,15 @@ def _longest_match_len(prefixes, path):
 
 def filter_disallowed(frontier_with_robots: DataFrame) -> DataFrame:
     """Drop URLs blocked by the robots rules. With only
-    ``disallow_prefixes`` present: blocked = any disallow prefix matches
+    ``disallow_prefixes`` present: blocked = any disallow rule matches
     the path. When ``allow_prefixes`` is also present (parse_robots_txt
     output), RFC 9309 longest-match precedence applies: the rule with
-    the most matching octets wins, Allow winning ties."""
+    the most matching octets wins, Allow winning ties. Rules may use
+    the RFC 9309 special characters '*' (any sequence) and trailing
+    '$' (end anchor); plain prefixes keep the startswith fast path.
+    Rules match against path PLUS query (RFC 9309 §2.2.2)."""
     df = frontier_with_robots
-    path = U.path_of(F.col("url"))
+    path = U.path_query_of(F.col("url"))
     dis_len = _longest_match_len(F.col("disallow_prefixes"), path)
     if "allow_prefixes" in df.columns:
         blocked = dis_len > _longest_match_len(F.col("allow_prefixes"), path)

@@ -159,3 +159,60 @@ def test_meta_robots_directives(spark):
                    5: (0, 1), 6: (0, 0)}
     kept = {r["url"] for r in filter_noindex(df).collect()}
     assert kept == {3, 4, 5, 6}
+
+
+def test_wildcard_rules_rfc9309(spark):
+    """RFC 9309 §2.2.3 special characters: '*' matches any character
+    sequence, a trailing '$' anchors at the end of the path; other
+    regex metacharacters in rules are literal; plain prefixes keep
+    their semantics; specificity is rule-octet length across plain and
+    wildcard rules alike."""
+    robots = spark.createDataFrame(
+        [
+            # block any path containing .php, except exactly /index.php
+            ("h1", 0, ["/*.php"], ["/index.php$"]),
+            # trailing-$ anchor: /fish$ blocks only the exact path
+            ("h2", 0, ["/fish$"], []),
+            # literal metachars: dot must not act as regex-any
+            ("h3", 0, ["/a.b"], []),
+            # wildcard allow out-specifies a shorter plain disallow
+            ("h4", 0, ["/private"], ["/private/*/pub"]),
+        ],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>, allow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [
+            (1, "h1", "https://h1/index.php"),        # exact allow anchor
+            (2, "h1", "https://h1/index.php?x=1"),    # $ excludes query-extended path
+            (3, "h1", "https://h1/deep/page.php"),    # *.php blocks anywhere
+            (4, "h1", "https://h1/plain.html"),       # untouched
+            (5, "h2", "https://h2/fish"),             # exact -> blocked
+            (6, "h2", "https://h2/fishing"),          # extension -> kept
+            (7, "h3", "https://h3/a.b"),              # literal match -> blocked
+            (8, "h3", "https://h3/aXb"),              # '.' is NOT any-char
+            (9, "h4", "https://h4/private/x/pub"),    # wildcard allow wins
+            (10, "h4", "https://h4/private/x/sec"),   # disallow holds
+        ],
+        ["url_hash", "host", "url"],
+    )
+    kept = filter_disallowed(attach_robots(frontier, robots))
+    assert {r["url_hash"] for r in kept.collect()} == {1, 4, 6, 8, 9}
+
+
+def test_wildcard_rules_disallow_only_schema(spark):
+    """The disallow-only arm (no allow_prefixes column) applies the
+    same wildcard semantics."""
+    robots = spark.createDataFrame(
+        [("h1", 0, ["/tmp/*/cache"])],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [
+            (1, "h1", "https://h1/tmp/a/cache"),
+            (2, "h1", "https://h1/tmp/a/keep"),
+            (3, "h1", "https://h1/tmp"),
+        ],
+        ["url_hash", "host", "url"],
+    )
+    kept = filter_disallowed(attach_robots(frontier, robots))
+    assert {r["url_hash"] for r in kept.collect()} == {2, 3}
