@@ -15,6 +15,10 @@ formats outside this set — MP4 et al. genuinely need external codecs):
   two dominant web image layouts — via kernels/jpeg.py: Huffman
   entropy decode, dequant, exact 8x8 IDCT, chroma upsample, BT.601
   YCbCr->RGB; arithmetic/12-bit fall back (MediaDecodeError).
+- GIF: 87a/89a via kernels/gif.py — variable-width LZW, global/local
+  palettes, interlace, transparency, animated multi-frame compositing
+  (disposal 0-3); stills dispatch here, animations additionally feed
+  REAL frames to operators/multimodal.sample_frames.
 
 Decoders are total over garbage: anything unparseable raises
 ``MediaDecodeError`` and the caller picks its fallback. Feature
@@ -297,9 +301,9 @@ def difference_hash(pixels: np.ndarray, hash_size: int = 8) -> int:
 
 
 def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] | None:
-    """(ahash, dhash) for stdlib-decodable images (PNG/BMP/baseline
-    JPEG), None for everything else (audio, undecodable, null) —
-    callers emit nullable columns, never a crashed task."""
+    """(ahash, dhash) for stdlib-decodable images (PNG/BMP/JPEG/GIF),
+    None for everything else (audio, undecodable, null) — callers emit
+    nullable columns, never a crashed task."""
     if not payload:
         return None
     try:
@@ -311,6 +315,10 @@ def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] |
             from pathik_spark.kernels.jpeg import decode_jpeg
 
             px = decode_jpeg(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            from pathik_spark.kernels.gif import decode_gif
+
+            px = decode_gif(payload)
         else:
             return None
         return (average_hash(px, hash_size), difference_hash(px, hash_size))
@@ -323,7 +331,7 @@ def image_hashes(payload: bytes | None, hash_size: int = 8) -> tuple[int, int] |
 
 def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
     """REAL-decode feature extraction with magic-byte dispatch:
-    PNG/BMP/baseline-JPEG pixels or WAV waveform when the payload is
+    PNG/BMP/JPEG/GIF pixels or WAV waveform when the payload is
     one of the stdlib-decodable formats, else the byte-histogram
     fallback (same contract as
     operators/multimodal.fake_decode_features — total, deterministic,
@@ -338,6 +346,10 @@ def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
                 from pathik_spark.kernels.jpeg import decode_jpeg
 
                 return image_features(decode_jpeg(payload), dim)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                from pathik_spark.kernels.gif import decode_gif
+
+                return image_features(decode_gif(payload), dim)
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(decode_wav(payload)[1], dim)
         except (MediaDecodeError, ValueError, IndexError, struct.error, OverflowError):

@@ -3,11 +3,13 @@ columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
 Decoding is REAL for the stdlib-decodable formats — PNG, 24-bit BMP,
-PCM WAV, and JPEG (baseline SOF0 AND progressive SOF2) payloads go
-through kernels/media.py + kernels/jpeg.py (zlib/struct/wave/numpy;
-full PNG scanline unfiltering; full JPEG Huffman+IDCT incl. T.81
-Annex-G progressive scans) and their features are actual pixel / wave
-statistics. Formats that genuinely need external codecs (MP4,
+PCM WAV, JPEG (baseline SOF0 AND progressive SOF2), and GIF 87a/89a
+(incl. animation) payloads go through kernels/media.py +
+kernels/jpeg.py + kernels/gif.py (zlib/struct/wave/numpy; full PNG
+scanline unfiltering; full JPEG Huffman+IDCT incl. T.81 Annex-G
+progressive scans; full GIF LZW + frame compositing) and their
+features are actual pixel / wave statistics. Formats that genuinely
+need external codecs (MP4,
 arithmetic/12-bit JPEG...) fall back to the deterministic
 byte-histogram stand-in; pass ``strict=True`` to raise
 NotImplementedError at that boundary instead, or inject any
@@ -124,11 +126,47 @@ def image_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     return simhash_near_pairs(fp, max_hamming=max_hamming)
 
 
+def _gif_sampled_frames(payload: bytes, every_ms: int) -> list[bytes] | None:
+    """REAL frame sampling for animated GIFs: decode + composite all
+    frames (kernels/gif.py), then pick the frame on screen at each
+    every_ms tick of the animation timeline; frames re-encode as PNG so
+    downstream consumers get a self-describing still image. None for
+    non-GIF / undecodable payloads (caller falls back to byte-slices).
+    Zero-delay GIFs sample one tick per stored frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        from pathik_spark.kernels.gif import decode_gif_frames
+        from pathik_spark.kernels.media import encode_png
+
+        frames = decode_gif_frames(payload)
+    except Exception:
+        return None
+    total_ms = sum(d for d, _ in frames)
+    if total_ms <= 0:
+        return [encode_png(px) for _, px in frames]
+    out: list[bytes] = []
+    t = 0
+    while t < total_ms:
+        elapsed = 0
+        shown = frames[-1][1]
+        for d, px in frames:
+            elapsed += d
+            if t < elapsed:
+                shown = px
+                break
+        out.append(encode_png(shown))
+        t += every_ms
+    return out
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: fans one row out to
-    ceil(duration/every_ms) frame rows. The frame "decode" is a
-    deterministic byte-slice stand-in; the fan-out/shape is the real
-    contract a video pipeline needs."""
+    ceil(duration/every_ms) frame rows. Animated-GIF payloads get REAL
+    decoded frames (canvas-composited via kernels/gif.py, re-encoded as
+    PNG); other video containers (MP4 et al. — no stdlib codec) keep
+    the deterministic byte-slice stand-in, so the fan-out/shape
+    contract is identical either way."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,22 +180,27 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     }
                 )
                 continue
-            # vectorized fan-out: per-row frame counts via numpy repeat,
-            # frame indices via one concatenated arange — no iterrows
-            n = np.maximum(
-                1, vid["duration_ms"].fillna(0).astype("int64").to_numpy() // every_ms
-            )
-            doc_ids = np.repeat(vid["doc_id"].to_numpy(), n)
-            frame_idx = np.concatenate([np.arange(k, dtype=np.int32) for k in n])
             blobs = [bytes(b) for b in vid["media"]]
-            steps = [max(1, len(b) // int(k)) for b, k in zip(blobs, n)]
-            frames = [
-                blobs[r][i * steps[r] : (i + 1) * steps[r]]
-                for r in range(len(blobs))
-                for i in range(int(n[r]))
-            ]
+            durs = vid["duration_ms"].fillna(0).astype("int64").to_numpy()
+            ids = vid["doc_id"].to_numpy()
+            doc_ids: list[int] = []
+            frame_idx: list[int] = []
+            frames: list[bytes] = []
+            for r, blob in enumerate(blobs):
+                sampled = _gif_sampled_frames(blob, every_ms)
+                if sampled is None:  # no stdlib codec: byte-slice stand-in
+                    k = max(1, int(durs[r]) // every_ms)
+                    step = max(1, len(blob) // k)
+                    sampled = [blob[i * step : (i + 1) * step] for i in range(k)]
+                frames.extend(sampled)
+                doc_ids.extend([int(ids[r])] * len(sampled))
+                frame_idx.extend(range(len(sampled)))
             yield pd.DataFrame(
-                {"doc_id": doc_ids, "frame_idx": frame_idx, "frame": frames}
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(frame_idx, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
             )
 
     return media.mapInPandas(op, FRAME_SCHEMA)
@@ -166,12 +209,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synth_media_real(spark, n: int = 64) -> DataFrame:
     """Synthetic media table whose payloads are REAL containers: PNG
     gradients, baseline-JPEG gradients (alternating, 4:2:0 on every
-    second JPEG), PCM-WAV sine bursts, and BMP frames for video rows —
-    deterministic per doc_id, so the decoded features are replayable
-    fixtures (encoders: kernels/media.py, kernels/jpeg.py)."""
+    second JPEG), PCM-WAV sine bursts, and for video rows alternating
+    animated GIFs (real multi-frame LZW) and BMP frames — deterministic
+    per doc_id, so the decoded features are replayable fixtures
+    (encoders: kernels/media.py, kernels/jpeg.py, kernels/gif.py)."""
     import numpy as np
 
     from pathik_spark.kernels import media as K
+    from pathik_spark.kernels.gif import encode_gif
     from pathik_spark.kernels.jpeg import encode_jpeg_baseline
 
     rows = []
@@ -192,6 +237,13 @@ def synth_media_real(spark, n: int = 64) -> DataFrame:
             t = np.arange(640, dtype=np.float64)
             wave = 0.5 * np.sin(2 * np.pi * t * (1 + i % 9) / 80.0)
             rows.append((i, K.encode_wav(wave, rate=8000), mt, None, None, 80))
+        elif (i // 3) % 2:
+            gif_frames = [
+                np.full((8, 8, 3), ((i * 11) + 40 * k) % 256, dtype=np.uint8)
+                for k in range(4)
+            ]
+            payload = encode_gif(gif_frames, delays_ms=[1000] * 4)
+            rows.append((i, payload, mt, 8, 8, 4000))
         else:
             px = np.full((8, 8, 3), (i * 11) % 256, dtype=np.uint8)
             rows.append((i, K.encode_bmp(px), mt, 8, 8, 4000))
