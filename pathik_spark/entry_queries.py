@@ -2748,11 +2748,12 @@ FROM docs
 def sniff_docs_sql() -> str:
     """(doc_id, payload BLOB) corpus for the content-sniff oracle —
     identical unhex() text in both dialects, one stratum per label:
-    png/pdf/zip/gif/riff/jpeg/gzip magic numbers, a '<'-opening markup
-    payload, an unknown-magic payload, and an empty payload."""
+    png/pdf/zip/gif/riff/jpeg/gzip magic numbers, an ISO-BMFF payload
+    ('ftyp' at byte 5), a '<'-opening markup payload, an unknown-magic
+    payload, and an empty payload."""
     return """
 SELECT doc_id,
-  unhex(CASE doc_id % 10
+  unhex(CASE doc_id % 11
     WHEN 0 THEN '89504E470D0A1A0A0011'
     WHEN 1 THEN '255044462D312E340011'
     WHEN 2 THEN '504B03040A0000000011'
@@ -2762,6 +2763,7 @@ SELECT doc_id,
     WHEN 6 THEN '1F8B0800000000000011'
     WHEN 7 THEN '3C68746D6C3E68690011'
     WHEN 8 THEN 'DEADBEEF001122330011'
+    WHEN 9 THEN '000000186674797069736F6D'
     ELSE ''
   END) AS payload
 FROM documents
@@ -2786,6 +2788,7 @@ SELECT doc_id,
     WHEN payload IS NULL THEN NULL
     WHEN octet_length(payload) = 0 THEN 'empty'
     {whens}
+    WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
     ELSE 'other'
   END AS content_type
 FROM h

@@ -35,9 +35,14 @@ MAGIC_PREFIXES: list[tuple[str, str]] = [
 
 def sniff_content_type(bin_col: Column) -> Column:
     """Label a binary payload by magic bytes: png/pdf/zip/gif/riff/
-    jpeg/gzip/markup/other, '' -> 'empty', NULL -> NULL."""
+    jpeg/gzip/markup/mp4/other, '' -> 'empty', NULL -> NULL.
+
+    ISO-BMFF is the one non-prefix magic ('ftyp' at byte 5 — bytes 1-4
+    are the ftyp box size), checked after every prefix in the chain."""
     hexp = F.hex(F.substring(bin_col, 1, 8))
-    out = F.lit("other")
+    out = F.when(
+        F.substring(hexp, 9, 8) == "66747970", F.lit("mp4")
+    ).otherwise(F.lit("other"))
     for prefix, label in reversed(MAGIC_PREFIXES):
         out = F.when(hexp.startswith(prefix), F.lit(label)).otherwise(out)
     out = F.when(F.length(bin_col) == 0, F.lit("empty")).otherwise(out)

@@ -3,8 +3,10 @@
 The container has no PIL/ffmpeg, but four interchange formats decode
 with nothing beyond ``zlib``/``struct``/``wave``/numpy, so for them
 the multimodal operators run REAL decoding instead of the
-byte-histogram stand-in (operators/multimodal.py keeps that fake for
-formats outside this set — MP4 et al. genuinely need external codecs):
+byte-histogram stand-in (operators/multimodal.py keeps that fake only
+for the inter-frame bitstream codecs that genuinely need external
+decoders; MP4 *containers* demux for real via kernels/mp4.py, and
+png/motion-JPEG samples inside them decode here):
 
 - PNG: 8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced;
   full scanline unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6).
@@ -352,6 +354,21 @@ def stdlib_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
                 return image_features(decode_gif(payload), dim)
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return audio_features(decode_wav(payload)[1], dim)
+            if len(payload) >= 12 and payload[4:8] == b"ftyp":
+                from pathik_spark.kernels.mp4 import (
+                    decode_video_sample,
+                    parse_mp4,
+                    sample_bytes,
+                )
+
+                track = parse_mp4(payload).video_track()
+                if track is not None and track.samples:
+                    px = decode_video_sample(
+                        track.codec, sample_bytes(payload, track, 0)
+                    )
+                    if px is not None:  # png/mjpeg-in-mp4: real pixels
+                        return image_features(px, dim)
+                # inter-frame codec (avc1...): no stdlib decode -> fallback
         except (MediaDecodeError, ValueError, IndexError, struct.error, OverflowError):
             pass  # corrupt container -> fallback, never a crashed task
     from pathik_spark.operators.multimodal import fake_decode_features

@@ -8,9 +8,12 @@ PCM WAV, JPEG (baseline SOF0 AND progressive SOF2), and GIF 87a/89a
 kernels/jpeg.py + kernels/gif.py (zlib/struct/wave/numpy; full PNG
 scanline unfiltering; full JPEG Huffman+IDCT incl. T.81 Annex-G
 progressive scans; full GIF LZW + frame compositing) and their
-features are actual pixel / wave statistics. Formats that genuinely
-need external codecs (MP4,
-arithmetic/12-bit JPEG...) fall back to the deterministic
+features are actual pixel / wave statistics. MP4 containers are REALLY
+demuxed (kernels/mp4.py: full ISO-BMFF box + sample-table walk) — the
+frame sampler extracts the true sample bytes on the stts timeline, and
+png/motion-JPEG sample entries decode to real pixels; only the
+inter-frame bitstream codecs that genuinely need external decoders
+(avc1/hvc1..., arithmetic/12-bit JPEG) fall back to the deterministic
 byte-histogram stand-in; pass ``strict=True`` to raise
 NotImplementedError at that boundary instead, or inject any
 ``decoder=`` callable. The plumbing — schema contract, Arrow batching,
@@ -160,13 +163,41 @@ def _gif_sampled_frames(payload: bytes, every_ms: int) -> list[bytes] | None:
     return out
 
 
+def _mp4_sampled_frames(payload: bytes, every_ms: int) -> list[bytes] | None:
+    """REAL frame sampling for MP4: demux the first video track
+    (kernels/mp4.py) and take the sample on screen at each every_ms
+    tick of the stts timeline. png/motion-JPEG samples decode and
+    re-encode as PNG (self-describing stills, same contract as the GIF
+    path); inter-frame codecs (avc1...) keep their demuxed bitstream
+    bytes — real container-level frames either way. None for non-MP4 /
+    unparseable payloads (caller falls back to byte-slices)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    try:
+        from pathik_spark.kernels.media import encode_png
+        from pathik_spark.kernels.mp4 import decode_video_sample, video_frames_at
+
+        got = video_frames_at(payload, every_ms)
+        if got is None:
+            return None
+        codec, ticks = got
+        out: list[bytes] = []
+        for _t, sample in ticks:
+            px = decode_video_sample(codec, sample)
+            out.append(encode_png(px) if px is not None else sample)
+        return out
+    except Exception:
+        return None
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: fans one row out to
     ceil(duration/every_ms) frame rows. Animated-GIF payloads get REAL
     decoded frames (canvas-composited via kernels/gif.py, re-encoded as
-    PNG); other video containers (MP4 et al. — no stdlib codec) keep
-    the deterministic byte-slice stand-in, so the fan-out/shape
-    contract is identical either way."""
+    PNG); MP4 payloads get REAL demuxed samples on the stts timeline
+    (kernels/mp4.py; png/MJPEG samples also decode to PNG stills);
+    only unparseable containers keep the deterministic byte-slice
+    stand-in, so the fan-out/shape contract is identical either way."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,7 +219,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             frames: list[bytes] = []
             for r, blob in enumerate(blobs):
                 sampled = _gif_sampled_frames(blob, every_ms)
-                if sampled is None:  # no stdlib codec: byte-slice stand-in
+                if sampled is None:
+                    sampled = _mp4_sampled_frames(blob, every_ms)
+                if sampled is None:  # no stdlib container: byte-slice stand-in
                     k = max(1, int(durs[r]) // every_ms)
                     step = max(1, len(blob) // k)
                     sampled = [blob[i * step : (i + 1) * step] for i in range(k)]
@@ -209,15 +242,18 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synth_media_real(spark, n: int = 64) -> DataFrame:
     """Synthetic media table whose payloads are REAL containers: PNG
     gradients, baseline-JPEG gradients (alternating, 4:2:0 on every
-    second JPEG), PCM-WAV sine bursts, and for video rows alternating
-    animated GIFs (real multi-frame LZW) and BMP frames — deterministic
-    per doc_id, so the decoded features are replayable fixtures
-    (encoders: kernels/media.py, kernels/jpeg.py, kernels/gif.py)."""
+    second JPEG), PCM-WAV sine bursts, and for video rows a rotation of
+    animated GIFs (real multi-frame LZW), motion-JPEG MP4s (real
+    ISO-BMFF mux) and BMP frames — deterministic per doc_id, so the
+    decoded features are replayable fixtures (encoders:
+    kernels/media.py, kernels/jpeg.py, kernels/gif.py,
+    kernels/mp4.py)."""
     import numpy as np
 
     from pathik_spark.kernels import media as K
     from pathik_spark.kernels.gif import encode_gif
     from pathik_spark.kernels.jpeg import encode_jpeg_baseline
+    from pathik_spark.kernels.mp4 import mux_mp4
 
     rows = []
     for i in range(n):
@@ -237,12 +273,28 @@ def synth_media_real(spark, n: int = 64) -> DataFrame:
             t = np.arange(640, dtype=np.float64)
             wave = 0.5 * np.sin(2 * np.pi * t * (1 + i % 9) / 80.0)
             rows.append((i, K.encode_wav(wave, rate=8000), mt, None, None, 80))
-        elif (i // 3) % 2:
+        elif (i // 3) % 3 == 0:
             gif_frames = [
                 np.full((8, 8, 3), ((i * 11) + 40 * k) % 256, dtype=np.uint8)
                 for k in range(4)
             ]
             payload = encode_gif(gif_frames, delays_ms=[1000] * 4)
+            rows.append((i, payload, mt, 8, 8, 4000))
+        elif (i // 3) % 3 == 1:
+            jpeg_frames = [
+                encode_jpeg_baseline(
+                    np.full((8, 8, 3), ((i * 13) + 50 * k) % 256, dtype=np.uint8),
+                    quality=90,
+                )
+                for k in range(4)
+            ]
+            payload = mux_mp4(
+                [(1000, f) for f in jpeg_frames],
+                codec="jpeg",
+                width=8,
+                height=8,
+                samples_per_chunk=2,
+            )
             rows.append((i, payload, mt, 8, 8, 4000))
         else:
             px = np.full((8, 8, 3), (i * 11) % 256, dtype=np.uint8)

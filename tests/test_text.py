@@ -304,6 +304,8 @@ def test_sniff_content_type_magic_chain(spark):
         (8, bytearray(b"plain text payload")),
         (9, bytearray(b"")),
         (10, None),
+        (11, bytearray(b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00")),
+        (12, bytearray(b"abcdftyp")),  # 'ftyp' at byte 5 is the magic
     ]
     df = spark.createDataFrame(rows, "i long, b binary")
     got = {
@@ -313,6 +315,7 @@ def test_sniff_content_type_magic_chain(spark):
     assert got == {
         0: "png", 1: "pdf", 2: "zip", 3: "gif", 4: "riff", 5: "jpeg",
         6: "gzip", 7: "markup", 8: "other", 9: "empty", 10: None,
+        11: "mp4", 12: "mp4",
     }
     plan = (
         df.select(sniff_content_type(F.col("b")))
