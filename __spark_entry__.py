@@ -1710,11 +1710,14 @@ _SWEEP_PRIORITY = [
     "quality_lr_score", "bpe_word_counts", "recrawl_ttl_adaptive",
     "pii_scrub", "repetition_signals",
     # -- round-4 additions --
-    "crawl_rounds_relational",
+    "crawl_rounds_relational", "robots_wildcards",
+    # -- rows-only by design (pytest-oracled); sweep for the weaker
+    #    rows-only driver row so every entry has one across rounds --
+    "image_neardup", "ivf_ann_topk", "bpe_merges",
     # -- flagship keeps (already green r1-r3; re-confirm) --
-    "crawl_schedule_order", "url_canonicalize", "url_seen_antijoin",
-    "extract_text_vectorized", "bloom_seen_filter", "cuckoo_seen_filter",
-    "minhash_lsh_pairs", "dedup_clusters", "clean_corpus", "host_rank",
+    "crawl_schedule_order", "url_seen_antijoin",
+    "extract_text_vectorized", "minhash_lsh_pairs", "dedup_clusters",
+    "clean_corpus",
 ]
 
 
