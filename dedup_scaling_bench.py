@@ -101,7 +101,9 @@ def worker(cpus: int) -> None:
     docs.count()  # warm footers/page cache out of the timing
 
     def one_pass() -> None:
-        sh = D.word_shingles(docs, n=3)
+        # distinct=False: minhash's min-agg and jaccard's collect_set both
+        # dedup in-agg — the standalone distinct shuffle is pure waste
+        sh = D.word_shingles(docs, n=3, distinct=False)
         sig = D.minhash_signatures(sh, num_hashes=16)  # production xxhash64 family
         cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2)
         pairs = D.jaccard_pairs(sh, cands, threshold=0.4)

@@ -171,7 +171,9 @@ def prepare_training_corpus(
             "doc_id", F.col("clean_text").alias("text")
         )
     if pairs is None:
-        shingles = word_shingles(staged)
+        # distinct=False: min-agg and collect_set both dedup in-agg, so
+        # the explicit 70M-row distinct shuffle buys nothing here
+        shingles = word_shingles(staged, distinct=False)
         cands = lsh_candidate_pairs(minhash_signatures(shingles))
         pairs = jaccard_pairs(shingles, cands, threshold=neardup_threshold).select(
             "doc_a", "doc_b"
@@ -622,7 +624,8 @@ def dedup_corpus(
         )
     else:
         if method == "minhash":
-            shingles = word_shingles(base, text_col=text_col)
+            # distinct=False: both consumers dedup in-agg (see clean path)
+            shingles = word_shingles(base, text_col=text_col, distinct=False)
             cands = lsh_candidate_pairs(minhash_signatures(shingles))
             pairs = jaccard_pairs(shingles, cands, threshold=threshold).select(
                 "doc_a", "doc_b"

@@ -152,30 +152,81 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via pure relational ops (explode + self-join +
-    group): |A∩B| / (|A|+|B|-|A∩B|). If ``candidates`` given, restrict to
-    those pairs (LSH verification step)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    """Exact n-gram Jaccard |A∩B| / (|A|+|B|-|A∩B|) per pair.
+
+    Two physically different plans with identical output values:
+
+    - ``candidates`` given (the LSH verification step — the production
+      path): build one shingle *set* per doc (``collect_set``, map-side
+      partial aggregation collapses the explode before the shuffle),
+      semi-restrict the set table to docs that occur in any candidate
+      pair (candidate ids are small by the LSH contract, so this and the
+      pair joins broadcast), then two equi-joins + ``array_intersect``.
+      The corpus-sized shingle table is never self-joined — profiling at
+      600k docs showed the old shingle⋈shingle verify was ~80% of the
+      cleaning pipeline's runtime and its string shuffle is the one
+      stage that cannot scale to 100 TB.
+    - no ``candidates`` (exact all-pairs mode, small inputs): relational
+      self-join on the shingle value + group count, as before.
+
+    Parity invariants shared by both paths: only pairs with
+    ``doc_a < doc_b`` and ``n_inter >= 1`` are emitted, duplicate
+    (doc_id, shingle) rows do not change set semantics on the candidates
+    path (``collect_set`` dedups in-agg, so callers may pass
+    ``word_shingles(distinct=False)`` and skip that shuffle too), and
+    the rounding is identical — the DuckDB oracle (`ngram_jaccard`,
+    `minhash_lsh_pairs`) checks values, not plans.
+    """
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
+        cands = candidates.select("doc_a", "doc_b").distinct().filter(
+            F.col("doc_a") < F.col("doc_b")
         )
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
-    )
+        cand_ids = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .union(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = (
+            shingles.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("_sh"))
+            .join(cand_ids, "doc_id", "left_semi")
+        )
+        out = (
+            cands.join(
+                sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sh_a")),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sh_b")),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("_sh_a", "_sh_b")).alias("n_inter"),
+                F.size("_sh_a").alias("n_a"),
+                F.size("_sh_b").alias("n_b"),
+            )
+            .filter(F.col("n_inter") >= 1)
+        )
+    else:
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+        out = inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a"
+        ).join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+    out = out.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ),
+    ).select("doc_a", "doc_b", "n_inter", "jaccard")
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 

@@ -47,6 +47,38 @@ def test_minhash_lsh_finds_exact_duplicates(spark, docs):
     assert not missing, f"LSH missed planted near-dups: {missing}"
 
 
+def test_jaccard_candidates_path_matches_exact_path(spark, docs):
+    """The candidates (LSH-verify) path uses a physically different plan
+    (collect_set + array_intersect, no shingle self-join) — its values
+    must equal the exact all-pairs path restricted to the same pairs,
+    and duplicate shingle rows (distinct=False) must not change them."""
+    aug = docs.limit(40).select("doc_id", "text")
+    sh = D.word_shingles(aug, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16)
+    cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in D.jaccard_pairs(sh, cands).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in D.jaccard_pairs(sh).collect()
+    }
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert got == {p: v for p, v in exact.items() if p in cand_set}
+    # multiset input: collect_set dedups in-agg -> identical values
+    sh_multi = D.word_shingles(aug, n=3, distinct=False)
+    got_multi = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in D.jaccard_pairs(sh_multi, cands).collect()
+    }
+    assert got_multi == got
+    # plan shape: the verify step must not self-join the shingle table —
+    # the intersection is computed scan-locally on per-doc sets
+    plan = D.jaccard_pairs(sh, cands)._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan
+
+
 def test_jaccard_exact_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u")],
