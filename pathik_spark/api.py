@@ -175,7 +175,9 @@ def prepare_training_corpus(
         # the explicit 70M-row distinct shuffle buys nothing here
         shingles = word_shingles(staged, distinct=False)
         cands = lsh_candidate_pairs(minhash_signatures(shingles))
-        pairs = jaccard_pairs(shingles, cands, threshold=neardup_threshold).select(
+        pairs = jaccard_pairs(
+            shingles, cands, threshold=neardup_threshold, hashed=True
+        ).select(
             "doc_a", "doc_b"
         )
     verdict = clean_corpus(staged, pairs, langs=langs, min_quality=min_quality)
@@ -627,7 +629,9 @@ def dedup_corpus(
             # distinct=False: both consumers dedup in-agg (see clean path)
             shingles = word_shingles(base, text_col=text_col, distinct=False)
             cands = lsh_candidate_pairs(minhash_signatures(shingles))
-            pairs = jaccard_pairs(shingles, cands, threshold=threshold).select(
+            pairs = jaccard_pairs(
+                shingles, cands, threshold=threshold, hashed=True
+            ).select(
                 "doc_a", "doc_b"
             )
         elif method == "simhash":

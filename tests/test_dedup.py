@@ -73,6 +73,13 @@ def test_jaccard_candidates_path_matches_exact_path(spark, docs):
         for r in D.jaccard_pairs(sh_multi, cands).collect()
     }
     assert got_multi == got
+    # hashed production arm: xxhash64 set elements, same values (no
+    # collisions at any realistic doc size)
+    got_hashed = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in D.jaccard_pairs(sh, cands, hashed=True).collect()
+    }
+    assert got_hashed == got
     # plan shape: the verify step must not self-join the shingle table —
     # the intersection is computed scan-locally on per-doc sets
     plan = D.jaccard_pairs(sh, cands)._jdf.queryExecution().executedPlan().toString()
