@@ -916,6 +916,21 @@ def _q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) derivation for site-granular
+    politeness: the REAL public-suffix-list operator (operators/psl.py —
+    bounded suffix explode -> broadcast rule join -> exception/longest
+    resolution) over a host corpus covering every PSL branch (wildcard
+    *.ck, exception !www.ck, deep ccSLD chains, host==suffix, implicit
+    default rule) vs an independent list_slice/window restatement."""
+    from pathik_spark.entry_queries import psl_hosts_sql
+    from pathik_spark.operators.psl import registrable_domain
+
+    _register_views(spark, sf_dir)
+    hosts = spark.sql(psl_hosts_sql())
+    return registrable_domain(hosts)
+
+
 def _q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of Gopher's repetition table: top-{2,3,4}-gram and
     duplicate-{5..10}-gram CHAR fractions — the REAL scan-local
@@ -1616,6 +1631,7 @@ ENGINE_ORACLE_QUERIES = {
     "gopher_rules": _q_gopher_rules,
     "ngram_repetition": _q_ngram_repetition,
     "content_sniff": _q_content_sniff,
+    "registrable_domain": _q_registrable_domain,
     "nfc_normalize": _q_nfc_normalize,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
@@ -1710,12 +1726,13 @@ _SWEEP_PRIORITY = [
     "quality_lr_score", "bpe_word_counts", "recrawl_ttl_adaptive",
     "pii_scrub", "repetition_signals",
     # -- round-4 additions --
-    "crawl_rounds_relational", "robots_wildcards",
+    "crawl_rounds_relational", "robots_wildcards", "registrable_domain",
     # -- rows-only by design (pytest-oracled); sweep for the weaker
     #    rows-only driver row so every entry has one across rounds --
     "image_neardup", "ivf_ann_topk", "bpe_merges",
-    # -- flagship keeps (already green r1-r3; re-confirm) --
-    "crawl_schedule_order", "url_seen_antijoin",
+    # -- flagship keeps (already green r1-r3; re-confirm; url_seen_antijoin
+    #    rotated out — green three consecutive rounds — for the new entry) --
+    "crawl_schedule_order",
     "extract_text_vectorized", "minhash_lsh_pairs", "dedup_clusters",
     "clean_corpus",
 ]

@@ -2795,6 +2795,110 @@ FROM h
 """
 
 
+def psl_hosts_sql() -> str:
+    """(doc_id, host) corpus for the registrable-domain oracle — one
+    stratum per public-suffix-list branch: plain gTLD, subdomain,
+    deep ccSLD chain, host == suffix, wildcard family (*.ck), the
+    exception (!www.ck) and a host under it, uppercase + trailing dot,
+    single label, US locality rules, and the wildcard-only *.bd."""
+    return """
+SELECT doc_id,
+  CASE doc_id % 15
+    WHEN 0 THEN 'example.com'
+    WHEN 1 THEN 'www.example.com'
+    WHEN 2 THEN 'a.b.shop.example.co.uk'
+    WHEN 3 THEN 'example.co.uk'
+    WHEN 4 THEN 'co.uk'
+    WHEN 5 THEN 'foo.ck'
+    WHEN 6 THEN 'bar.foo.ck'
+    WHEN 7 THEN 'www.ck'
+    WHEN 8 THEN 'sub.www.ck'
+    WHEN 9 THEN 'EXAMPLE.Com.'
+    WHEN 10 THEN 'localhost'
+    WHEN 11 THEN 'cdn.media.example.com.au'
+    WHEN 12 THEN 'k12.ca.us'
+    WHEN 13 THEN 'district.k12.ca.us'
+    ELSE 'x.y.bd'
+  END AS host
+FROM documents WHERE doc_id < 150
+"""
+
+
+def duck_registrable_domain_sql() -> str:
+    """DuckDB twin of operators/psl.registrable_domain: the same
+    public-suffix-list resolution (exception > longest rule > implicit
+    '*' default; wildcard matches exactly one label) restated with
+    string_split / list_slice / a window rank — independent relational
+    algebra, shared rule snapshot (embedded from psl.PSL_SNAPSHOT so the
+    twins cannot drift)."""
+    from pathik_spark.operators.psl import PSL_SNAPSHOT
+
+    rows = []
+    for raw in PSL_SNAPSHOT:
+        r = raw.strip().lower()
+        exc = r.startswith("!")
+        if exc:
+            r = r[1:]
+        rows.append(
+            f"('{r}', {len(r.split('.'))}, {str(exc).upper()}, "
+            f"{str(r.startswith('*')).upper()})"
+        )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH hosts AS ({psl_hosts_sql().strip()}),
+hd AS (
+  SELECT DISTINCT regexp_replace(lower(host), '\\.$', '') AS host FROM hosts
+  WHERE regexp_replace(lower(host), '\\.$', '') <> ''
+),
+lab AS (
+  SELECT host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM hd
+),
+rules(match_key, n_labels, is_exception, is_wildcard) AS (VALUES
+    {values}
+),
+cand AS (
+  SELECT host, labels, n,
+         unnest(generate_series(1, least(n, 5))) AS i
+  FROM lab
+),
+keyed AS (
+  SELECT host, n, i,
+         array_to_string(list_slice(labels, n - i + 1, n), '.') AS match_key
+  FROM cand
+  UNION ALL
+  SELECT host, n, i,
+         '*.' || array_to_string(list_slice(labels, n - i + 2, n), '.')
+  FROM cand WHERE i >= 2
+),
+matched AS (
+  SELECT k.host,
+         CASE WHEN r.is_exception THEN k.i - 1 ELSE k.i END AS sfx_len,
+         r.is_exception AS exc
+  FROM keyed k JOIN rules r USING (match_key)
+),
+best AS (
+  SELECT host, sfx_len,
+         row_number() OVER (
+           PARTITION BY host ORDER BY exc DESC, sfx_len DESC
+         ) AS rn
+  FROM matched
+),
+resolved AS (
+  SELECT l.host, l.labels, l.n, coalesce(b.sfx_len, 1) AS sfx
+  FROM lab l LEFT JOIN (SELECT host, sfx_len FROM best WHERE rn = 1) b
+    USING (host)
+)
+SELECT host,
+  array_to_string(list_slice(labels, n - sfx + 1, n), '.') AS public_suffix,
+  CASE WHEN n > sfx
+       THEN array_to_string(list_slice(labels, n - sfx, n), '.')
+  END AS registrable_domain
+FROM resolved
+"""
+
+
 def ngram_docs_sql() -> str:
     """(doc_id, text) corpus for the ngram-repetition oracle — one
     stratum per behavior: a 6-word phrase repeated 10x (duplicate
@@ -3888,6 +3992,7 @@ SELECT host, url FROM verdicts WHERE dlen <= alen
 
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
+    "registrable_domain": duck_registrable_domain_sql,
     "crawl_rounds_relational": duck_crawl_rounds_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
     # identical anti-join semantics: the cuckoo arm's false positives
