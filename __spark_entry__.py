@@ -931,6 +931,31 @@ def _q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return registrable_domain(hosts)
 
 
+def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection + exact repair: the REAL generated
+    replace chain (functions/mojibake.py — utf-8-read-as-sloppy-cp1252
+    inverted, longest form first; score = char shrinkage) over a
+    generated damaged/clean/NULL corpus vs the identical chain rendered
+    to DuckDB from the same table."""
+    from pyspark.sql import functions as F
+
+    from pathik_spark.entry_queries import mojibake_docs_sql
+    from pathik_spark.functions.mojibake import (
+        is_mojibake,
+        mojibake_score,
+        repair_mojibake,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(mojibake_docs_sql())
+    return docs.select(
+        "doc_id",
+        mojibake_score(F.col("t")).alias("mojibake_score"),
+        is_mojibake(F.col("t")).alias("is_mojibake"),
+        repair_mojibake(F.col("t")).alias("repaired"),
+    )
+
+
 def _q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of Gopher's repetition table: top-{2,3,4}-gram and
     duplicate-{5..10}-gram CHAR fractions — the REAL scan-local
@@ -1632,6 +1657,7 @@ ENGINE_ORACLE_QUERIES = {
     "ngram_repetition": _q_ngram_repetition,
     "content_sniff": _q_content_sniff,
     "registrable_domain": _q_registrable_domain,
+    "mojibake_repair": _q_mojibake_repair,
     "nfc_normalize": _q_nfc_normalize,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
@@ -1727,13 +1753,18 @@ _SWEEP_PRIORITY = [
     "pii_scrub", "repetition_signals",
     # -- round-4 additions --
     "crawl_rounds_relational", "robots_wildcards", "registrable_domain",
+    "mojibake_repair",
+    # -- oracled since round 1's no-oracle sweep but never hash-checked
+    #    by the driver (their only prior rows predate their oracles) --
+    "extract_links_discovery", "lsh_ann_topk",
     # -- rows-only by design (pytest-oracled); sweep for the weaker
     #    rows-only driver row so every entry has one across rounds --
     "image_neardup", "ivf_ann_topk", "bpe_merges",
-    # -- flagship keeps (already green r1-r3; re-confirm; url_seen_antijoin
-    #    rotated out — green three consecutive rounds — for the new entry) --
+    # -- flagship keeps (re-confirm; url_seen_antijoin, minhash_lsh_pairs,
+    #    extract_text_vectorized, dedup_clusters rotated out — each green
+    #    two+ consecutive rounds — so every oracled entry gets a
+    #    hash-green row by end of round 4) --
     "crawl_schedule_order",
-    "extract_text_vectorized", "minhash_lsh_pairs", "dedup_clusters",
     "clean_corpus",
 ]
 

@@ -56,6 +56,7 @@ def prepare_training_corpus(
     split_weights: dict[str, float] | None = None,
     apply_c4: bool = True,
     drop_soft404: bool = True,
+    fix_encoding: bool = False,
     lm_reference: DataFrame | None = None,
     min_mean_logp: float | None = None,
     drop_ppl_buckets: tuple[str, ...] | None = None,
@@ -77,6 +78,10 @@ def prepare_training_corpus(
     0. soft-404 gate (``drop_soft404``): pages served 200 whose content
        is an error page (head-window phrase match, quality.
        soft404_signals) drop before anything else — scan-local;
+    0b. optional encoding repair (``fix_encoding=True``): mojibake
+       (utf-8 read as cp1252) detected by exact char-shrinkage and
+       inverted in place (functions/mojibake.py) — scan-local, only
+       flagged rows rewritten;
     1. C4 line/document heuristics (``apply_c4=False`` to skip for
        pre-cleaned text) — rewrites text, drops gated docs;
     2. CCNet line-level boilerplate removal corpus-wide
@@ -153,6 +158,17 @@ def prepare_training_corpus(
         from pathik_spark.operators.quality import filter_soft404s
 
         staged = filter_soft404s(staged)
+    if fix_encoding:
+        # exact inversion of utf-8-read-as-cp1252 damage, applied only
+        # to flagged rows (scan-local; see functions/mojibake.py)
+        from pathik_spark.functions.mojibake import is_mojibake, repair_mojibake
+
+        staged = staged.withColumn(
+            "text",
+            F.when(
+                is_mojibake(F.col("text")), repair_mojibake(F.col("text"))
+            ).otherwise(F.col("text")),
+        )
     if apply_c4:
         staged = c4_clean(staged).filter(F.col("keep")).select("doc_id", "text")
     staged = line_dedup(staged, max_occurrences=line_max_occurrences).select(

@@ -2899,6 +2899,61 @@ FROM resolved
 """
 
 
+def mojibake_docs_sql() -> str:
+    """(doc_id, t) corpus for the encoding-repair oracle. The damaged
+    strata are GENERATED (utf-8 bytes of the clean string re-decoded as
+    sloppy cp1252 — the same damage model functions/mojibake.py
+    inverts), not hand-typed, so the corpus cannot drift from the
+    repair table's spec. Strata: 2-byte damage, 3-byte punctuation
+    damage, mixed multi-char damage, damaged nbsp + euro, clean ascii,
+    clean accented text (must be untouched), empty, NULL."""
+    from pathik_spark.functions.mojibake import _sloppy_cp1252_decode
+
+    def dmg(s: str) -> str:
+        return _sloppy_cp1252_decode(s.encode("utf-8"))
+
+    strata = [
+        dmg("Café au lait"),
+        dmg("don’t stop — ever…"),
+        dmg("über naïve façade"),
+        dmg("price 5 €"),  # damaged nbsp + euro triplet
+        "plain ascii text",
+        "café clean naïve",
+        "",
+    ]
+    whens = "\n    ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(strata)
+    )
+    return f"""
+SELECT doc_id,
+  CASE doc_id % 8
+    {whens}
+    ELSE NULL
+  END AS t
+FROM documents WHERE doc_id < 80
+"""
+
+
+def duck_mojibake_sql() -> str:
+    """DuckDB twin of functions/mojibake.py: the identical generated
+    replace chain (longest damaged form first) rendered as nested SQL,
+    score = char-length shrinkage, gate = score >= 1."""
+    from pathik_spark.functions.mojibake import MOJIBAKE_TABLE
+
+    chain = "t"
+    for bad, good in MOJIBAKE_TABLE:
+        chain = f"replace({chain}, '{bad}', '{good}')"
+    return f"""
+WITH docs AS ({mojibake_docs_sql().strip()}),
+rep AS (SELECT doc_id, t, {chain} AS repaired FROM docs)
+SELECT doc_id,
+  CAST(length(t) - length(repaired) AS INT) AS mojibake_score,
+  (length(t) - length(repaired)) >= 1 AS is_mojibake,
+  repaired
+FROM rep
+"""
+
+
 def ngram_docs_sql() -> str:
     """(doc_id, text) corpus for the ngram-repetition oracle — one
     stratum per behavior: a 6-word phrase repeated 10x (duplicate
@@ -3993,6 +4048,7 @@ SELECT host, url FROM verdicts WHERE dlen <= alen
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
+    "mojibake_repair": duck_mojibake_sql,
     "crawl_rounds_relational": duck_crawl_rounds_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
     # identical anti-join semantics: the cuckoo arm's false positives
