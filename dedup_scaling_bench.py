@@ -1,24 +1,36 @@
 #!/usr/bin/env python
 """Secondary N vs 4N scaling evidence: the training-data cleaning
-pipeline (MinHash -> LSH banding -> Jaccard verify -> connected
+pipeline (MinHash -> LSH banding -> hashed Jaccard verify -> connected
 components -> clean_corpus gates) end-to-end on a synthetic document
 corpus, at local[4] vs local[16] in separate JVMs — the shuffle-heavy
 counterpart to scaling_bench.py's crawl job (whose fixed-bucket layout
 is the primary north_rule criterion).
 
-Interleaved repeats, best-of per size (the box drifts 10-20%; see
-BENCH.md protocol notes). Each worker JVM runs one untimed full-scale
-pass first (C2 JIT compiles on real invocation counts — a tiny warm-up
-leaves the timed pass up to 4x slower and overhead-bound, which is the
-wrong regime to extrapolate from) and then times HOT_REPS passes,
-reporting the best. Corpus sizing matters for the same reason: at
-150k x 80-token docs the whole job is ~12 MB of text and driver/stage
-fixed costs dominate (measured efficiency 0.24 cold / 0.58 hot); the
-default 600k x 120 tokens puts the per-task work back in charge, which
-is the regime a 100 TB corpus actually runs in.
+Protocol (BENCH.md; same devices as bench.py, which made the committed
+crawl numbers window-independent):
+
+- each worker JVM runs one untimed full-scale pass (C2 JIT compiles on
+  real invocation counts — a tiny warm-up leaves the timed pass up to
+  4x slower) then times HOT_REPS passes, keeping the best;
+- legs interleave (N, 4N, N, 4N, ...) and each leg is gated on the
+  pre-leg CPU probe (defer while the host VM is in a degraded window)
+  and NORMALIZED by the mean of its pre/post probe efficiency — the
+  box's effective capacity swings 30-45% between minutes, far past
+  what best-of-legs can average out (an ungated run recorded 16-core
+  legs at 86 s and 123 s in adjacent windows);
+- the summary reports raw AND normalized throughputs, per-leg probes,
+  and per-adjacent-pair raw ratios as the window-noise witness;
+- corpus sized compute-bound (600k x 120-token docs): at 150k x 80 the
+  whole job is ~12 MB of text and driver/stage fixed costs dominate
+  (measured efficiency 0.24 cold / 0.58 hot) — the wrong regime to
+  extrapolate to 100 TB from;
+- FIXED shuffle-partition count at BOTH sizes: partitions == cores
+  gates every stage on its straggler wave (crawl bench bucket sweep:
+  3.4x at 16 cores vs 3.9x fixed-64) and physical layout must not
+  change with cluster size anyway.
 
 Usage: python dedup_scaling_bench.py (PATHIK_DEDUP_DOCS /
-PATHIK_DEDUP_TOKENS to resize).
+PATHIK_DEDUP_TOKENS / PATHIK_DEDUP_REPS to resize).
 """
 
 from __future__ import annotations
@@ -35,14 +47,9 @@ sys.path.insert(0, REPO)
 N_DOCS = int(os.environ.get("PATHIK_DEDUP_DOCS", "600000"))
 N_CORES = int(os.environ.get("PATHIK_SCALE_N", "4"))
 N4_CORES = 4 * N_CORES
-REPS = int(os.environ.get("PATHIK_DEDUP_REPS", "2"))
+REPS = int(os.environ.get("PATHIK_DEDUP_REPS", "3"))
 HOT_REPS = int(os.environ.get("PATHIK_DEDUP_HOT_REPS", "1"))
 DOC_TOKENS = int(os.environ.get("PATHIK_DEDUP_TOKENS", "120"))
-# FIXED shuffle-partition count at BOTH cluster sizes — the crawl
-# bench's bucket sweep (BENCH.md) showed partitions == cores gates
-# every stage on its straggler wave (3.4x at 16 cores) while a fixed
-# count >> task slots amortizes the tail (3.9x at 64); and physical
-# layout must not change with the cluster size anyway.
 SHUFFLE_PARTITIONS = int(os.environ.get("PATHIK_DEDUP_SHUFFLE", "64"))
 CORPUS = f"/tmp/pathik_dedup_corpus/d{N_DOCS}t{DOC_TOKENS}_seed42"
 os.environ.setdefault("PATHIK_DRIVER_MEM", "24g")
@@ -138,28 +145,55 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
         return
+    # probe gate + normalization devices shared with bench.py
+    from bench import PROBE_REF_EFF, gated_probe
+
     if not os.path.exists(f"{CORPUS}/documents.parquet/_SUCCESS"):
         gen_corpus()
-    best: dict[int, float] = {}
+    legs: list[dict] = []
     for rep in range(REPS):
         for cpus in (N_CORES, N4_CORES):  # interleaved across the window
+            pre = gated_probe()  # defers while the window is degraded
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
                 capture_output=True, text=True, check=True,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            post_eff = __import__("bench")._hw_noise_probe()[
+                "hw_probe_parallel_efficiency"
+            ]
             r = json.loads(line)
-            print(line, flush=True)
-            best[cpus] = min(best.get(cpus, 1e18), r["sec"])
-    thr_n = N_DOCS / best[N_CORES]
-    thr_4n = N_DOCS / best[N4_CORES]
-    speedup = thr_4n / thr_n
+            eff = (pre["hw_probe_parallel_efficiency"] + post_eff) / 2
+            factor = min(1.0, eff / PROBE_REF_EFF)
+            leg = {
+                "rep": rep,
+                "cpus": cpus,
+                "sec_raw": round(r["sec"], 1),
+                "warm_sec": r["warm_sec"],
+                "probe_eff_pre": pre["hw_probe_parallel_efficiency"],
+                "probe_eff_post": post_eff,
+                "sec_norm": round(r["sec"] * factor, 1),
+            }
+            legs.append(leg)
+            print(json.dumps(leg), flush=True)
+    best_raw = {c: min(l["sec_raw"] for l in legs if l["cpus"] == c) for c in (N_CORES, N4_CORES)}
+    best_norm = {c: min(l["sec_norm"] for l in legs if l["cpus"] == c) for c in (N_CORES, N4_CORES)}
+    pair_ratios = [
+        round(legs[i]["sec_raw"] / legs[i + 1]["sec_raw"], 3)
+        for i in range(0, len(legs) - 1, 2)
+    ]
     summary = {
         "n_docs": N_DOCS,
-        "docs_per_sec_localN": round(thr_n, 1),
-        "docs_per_sec_local4N": round(thr_4n, 1),
-        "speedup_N_to_4N": round(speedup, 3),
-        "scaling_efficiency": round(speedup / 4, 3),
+        "docs_per_sec_localN": round(N_DOCS / best_raw[N_CORES], 1),
+        "docs_per_sec_local4N": round(N_DOCS / best_raw[N4_CORES], 1),
+        "speedup_N_to_4N": round(best_raw[N_CORES] / best_raw[N4_CORES], 3),
+        "scaling_efficiency": round(best_raw[N_CORES] / best_raw[N4_CORES] / 4, 3),
+        "speedup_N_to_4N_norm": round(best_norm[N_CORES] / best_norm[N4_CORES], 3),
+        "scaling_efficiency_norm": round(
+            best_norm[N_CORES] / best_norm[N4_CORES] / 4, 3
+        ),
+        "adjacent_pair_raw_ratios": pair_ratios,
+        "legs": legs,
     }
     print(json.dumps(summary))
     with open(os.path.join(REPO, "BENCH_dedup_scaling.json"), "w") as f:

@@ -1,12 +1,21 @@
 #!/usr/bin/env python
-"""Hardware scaling ceiling for the N vs 4N protocol (BENCH.md).
+"""Hardware scaling ceilings for the N vs 4N protocol (BENCH.md).
 
-Runs the engine's actual extraction kernel (kernels.extract.extract_both,
-the dominant compute of a crawl round) over real bench-corpus pages in K
-fully independent Python processes — no Spark, no IPC inside the timed
-section. The 4->16-process speedup this prints is the most this box can
-physically deliver for the workload (frequency + memory-bandwidth clamp);
-a real 4N-executor cluster has 4x of everything and does not share it.
+Two probes, no Spark, no IPC inside any timed section; each runs in K
+fully independent Python processes at K=4 and K=16. The speedups they
+print are the most this box can physically deliver for the respective
+resource — a real 4N-executor cluster has 4x of everything and does
+not share it:
+
+- compute ceiling: the engine's actual extraction kernel
+  (kernels.extract.extract_both, the dominant compute of a crawl
+  round) over real bench-corpus pages — binds on core count/frequency;
+  the ceiling to quote for the CPU-bound crawl job.
+- bandwidth ceiling: a STREAM-triad loop (a = b*s + c over LLC-busting
+  float64 arrays) — binds on the shared memory controllers; the
+  ceiling to quote for shuffle/allocation-heavy jobs (the dedup
+  cleaning pipeline), whose per-core arithmetic is trivial but whose
+  bytes/s demand is not.
 
 Usage: python hw_ceiling.py [corpus_pages_dir]
 """
@@ -50,6 +59,22 @@ def _worker(n_iters: int):
     return done, time.perf_counter() - t0
 
 
+def _bw_worker(n_iters: int):
+    import numpy as np
+
+    n = 32 * 1024 * 1024  # 3 arrays x 256 MB: far past any LLC
+    b = np.ones(n)
+    c = np.ones(n)
+    a = b * 1.0001 + c  # touch + warm
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        np.multiply(b, 1.0001, out=a)
+        a += c
+    dt = time.perf_counter() - t0
+    # triad moves ~4 arrays per iteration (read b, write a, read a+c, write a)
+    return n_iters * 4 * n * 8, dt
+
+
 def main() -> None:
     rates = {}
     for procs in (4, 16):
@@ -63,6 +88,20 @@ def main() -> None:
             {
                 "speedup_4_to_16": round(rates[16] / rates[4], 3),
                 "hw_ceiling_efficiency": round(rates[16] / rates[4] / 4.0, 3),
+            }
+        )
+    )
+    bw = {}
+    for procs in (4, 16):
+        with mp.Pool(procs) as p:
+            res = p.map(_bw_worker, [4] * procs)
+        bw[procs] = sum(r[0] for r in res) / max(r[1] for r in res) / 1e9
+        print(json.dumps({"procs": procs, "mem_gb_per_sec": round(bw[procs], 1)}))
+    print(
+        json.dumps(
+            {
+                "bw_speedup_4_to_16": round(bw[16] / bw[4], 3),
+                "bw_ceiling_efficiency": round(bw[16] / bw[4] / 4.0, 3),
             }
         )
     )
