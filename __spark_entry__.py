@@ -956,6 +956,64 @@ def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §5.2 relative-reference resolution (the REAL
+    functions/resolve.py expression — bounded dot-segment pop chain)
+    over a generated (base, ref) grid covering every resolution branch,
+    vs an independent DuckDB restatement of the algorithm."""
+    from pathik_spark.entry_queries import redirect_pairs_sql
+    from pathik_spark.functions.resolve import resolve_reference_expr
+
+    _register_views(spark, sf_dir)
+    pairs = spark.sql(redirect_pairs_sql())
+    return pairs.select(
+        "pair_id",
+        "base",
+        "ref",
+        resolve_reference_expr(F.col("base"), F.col("ref")).alias("resolved"),
+    )
+
+
+def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3xx redirect-chain following (the REAL operators/redirects.py
+    iterative-join walk: relative-Location resolution, loop detection,
+    Go net/http's 10-hop cap) over a generated fetch-results corpus
+    with 1/2-hop chains, 2-cycles, dot-segment and scheme-relative
+    Locations, unfollowable redirects, and a 16-hop ladder straddling
+    the cap — vs a DuckDB recursive-CTE restatement."""
+    from pathik_spark.entry_queries import redirect_fetches_sql
+    from pathik_spark.operators.redirects import resolve_redirects
+
+    _register_views(spark, sf_dir)
+    fetches = spark.sql(redirect_fetches_sql())
+    return resolve_redirects(fetches, max_hops=10)
+
+
+def _q_http_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-directed recrawl TTLs (the REAL operators/revalidate.py
+    expressions: header-window parse, token-aware Cache-Control match,
+    RFC 9111 freshness precedence with warc_ts fallback, clamped) over
+    a generated HTTP-response corpus vs an independent DuckDB
+    restatement (split_part + try_strptime + the same precedence)."""
+    from pathik_spark.entry_queries import cache_payloads_sql
+    from pathik_spark.operators.revalidate import cache_ttl_hours, http_cache_meta
+
+    _register_views(spark, sf_dir)
+    corpus = spark.sql(cache_payloads_sql()).withColumn(
+        "html", F.encode(F.col("payload"), "utf-8")
+    )
+    meta = http_cache_meta(corpus)
+    # absent validators coalesce to sentinels: the compare sorts row
+    # tuples and a leading nullable column breaks tuple ordering
+    picked = meta.select(
+        "url",
+        F.coalesce(F.col("etag"), F.lit("")).alias("etag"),
+        F.coalesce(F.col("max_age_s"), F.lit(-1)).alias("max_age_s"),
+        "no_store",
+    )
+    return picked.join(cache_ttl_hours(meta), "url")
+
+
 def _q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of Gopher's repetition table: top-{2,3,4}-gram and
     duplicate-{5..10}-gram CHAR fractions — the REAL scan-local
@@ -1658,6 +1716,9 @@ ENGINE_ORACLE_QUERIES = {
     "content_sniff": _q_content_sniff,
     "registrable_domain": _q_registrable_domain,
     "mojibake_repair": _q_mojibake_repair,
+    "redirect_resolve": _q_redirect_resolve,
+    "redirect_chains": _q_redirect_chains,
+    "http_cache_ttl": _q_http_cache_ttl,
     "nfc_normalize": _q_nfc_normalize,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,
@@ -1753,19 +1814,19 @@ _SWEEP_PRIORITY = [
     "pii_scrub", "repetition_signals",
     # -- round-4 additions --
     "crawl_rounds_relational", "robots_wildcards", "registrable_domain",
-    "mojibake_repair",
+    "mojibake_repair", "redirect_resolve", "redirect_chains",
     # -- oracled since round 1's no-oracle sweep but never hash-checked
     #    by the driver (their only prior rows predate their oracles) --
     "extract_links_discovery", "lsh_ann_topk",
     # -- rows-only by design (pytest-oracled); sweep for the weaker
     #    rows-only driver row so every entry has one across rounds --
     "image_neardup", "ivf_ann_topk", "bpe_merges",
-    # -- flagship keeps (re-confirm; url_seen_antijoin, minhash_lsh_pairs,
-    #    extract_text_vectorized, dedup_clusters rotated out — each green
-    #    two+ consecutive rounds — so every oracled entry gets a
-    #    hash-green row by end of round 4) --
-    "crawl_schedule_order",
-    "clean_corpus",
+    # -- flagship keeps rotated out entirely for round 4
+    #    (crawl_schedule_order, clean_corpus, url_seen_antijoin,
+    #    minhash_lsh_pairs, extract_text_vectorized, dedup_clusters —
+    #    each hash-green two+ consecutive rounds) so the 50-slot sweep
+    #    admits the two new redirect entries and every oracled entry
+    #    has a hash-green driver row by end of round 4 --
 ]
 
 

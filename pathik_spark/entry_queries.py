@@ -2954,6 +2954,280 @@ FROM rep
 """
 
 
+def redirect_pairs_sql() -> str:
+    """(pair_id, base, ref) corpus for the RFC 3986 resolution oracle:
+    every §5.2.2 branch plus dot-segment depths up to the expression's
+    bound — absolute refs, scheme-relative, root-relative (with and
+    without dot segments), query-only, fragment-only, empty/NULL,
+    directory-relative with ../ nesting 1..6, ./ chains, trailing
+    "/.."/"/." forms, refs carrying their own query, and bases with
+    empty path / query / port / trailing-slash directory."""
+    return r"""
+SELECT o_orderkey AS pair_id,
+  CASE o_orderkey % 5
+    WHEN 0 THEN 'http://h' || CAST(o_orderkey % 7 AS STRING) || '.example/a/b/c?q=1'
+    WHEN 1 THEN 'https://h' || CAST(o_orderkey % 7 AS STRING) || '.example:8443/d1/d2/d3/d4/d5/d6/d7/page'
+    WHEN 2 THEN 'http://h' || CAST(o_orderkey % 7 AS STRING) || '.example'
+    WHEN 3 THEN 'http://h' || CAST(o_orderkey % 7 AS STRING) || '.example/dir/'
+    ELSE 'http://h' || CAST(o_orderkey % 7 AS STRING) || '.example/a/b#sec'
+  END AS base,
+  CASE o_orderkey % 16
+    WHEN 0 THEN 'http://abs' || CAST(o_orderkey % 3 AS STRING) || '.example/x/y'
+    WHEN 1 THEN '//cdn' || CAST(o_orderkey % 3 AS STRING) || '.example/lib.js'
+    WHEN 2 THEN '/login'
+    WHEN 3 THEN '/p/../q/./r'
+    WHEN 4 THEN '?page=' || CAST(o_orderkey % 9 AS STRING)
+    WHEN 5 THEN '#frag'
+    WHEN 6 THEN ''
+    WHEN 7 THEN NULL
+    WHEN 8 THEN 'next'
+    WHEN 9 THEN '../up'
+    WHEN 10 THEN '../../../../../../deep'
+    WHEN 11 THEN './same/./dir'
+    WHEN 12 THEN 'g/..'
+    WHEN 13 THEN 'g/../h/'
+    WHEN 14 THEN 'item?id=' || CAST(o_orderkey % 9 AS STRING) || '#x'
+    ELSE '  /sp/aced  '
+  END AS ref
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+def _duck_resolve(base: str, ref: str) -> str:
+    """RFC 3986 §5.2 resolution rendered as DuckDB SQL — the oracle twin
+    of functions/resolve.resolve_reference_expr, sharing only the
+    POP_PATTERNS rewrite table (spec data, like MOJIBAKE_TABLE) and the
+    documented crawl deviations (fragments dropped; empty ref -> base)."""
+    from pathik_spark.functions.resolve import DOT_POP_ROUNDS, POP_PATTERNS
+
+    def pop(path: str) -> str:
+        out = path
+        for _ in range(DOT_POP_ROUNDS):
+            for pat, rep in POP_PATTERNS:
+                out = f"regexp_replace({out}, {_duck_lit(pat)}, {_duck_lit(rep)}, 'g')"
+        return out
+
+    ref_nf = f"regexp_replace(trim(coalesce({ref}, '')), '#.*$', '')"
+    base_nf = f"regexp_replace({base}, '#.*$', '')"
+    scheme = f"lower(coalesce(regexp_extract({base_nf}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), ''))"
+    netloc = f"coalesce(regexp_extract({base_nf}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '')"
+    origin = f"({scheme} || '://' || {netloc})"
+    bpath = f"coalesce(regexp_extract({base_nf}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
+    bdir = f"CASE WHEN {bpath} = '' THEN '/' ELSE regexp_replace({bpath}, '[^/]*$', '') END"
+    rpath = f"regexp_replace({ref_nf}, '\\?.*$', '')"
+    rquery = f"coalesce(regexp_extract({ref_nf}, '(\\?.*)$', 1), '')"
+    return f"""CASE
+  WHEN {ref_nf} = '' THEN {base_nf}
+  WHEN regexp_matches({ref_nf}, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN {ref_nf}
+  WHEN starts_with({ref_nf}, '//') THEN {scheme} || ':' || {ref_nf}
+  WHEN starts_with({ref_nf}, '?') THEN {origin} || {bpath} || {ref_nf}
+  WHEN starts_with({ref_nf}, '/') THEN {origin} || {pop(rpath)} || {rquery}
+  ELSE {origin} || {pop(f"({bdir} || {rpath})")} || {rquery}
+END"""
+
+
+def duck_redirect_resolve_sql() -> str:
+    return f"""
+WITH pairs AS ({redirect_pairs_sql().strip()})
+SELECT pair_id, base, ref, {_duck_resolve('base', 'ref')} AS resolved
+FROM pairs
+"""
+
+
+def redirect_fetches_sql() -> str:
+    """(doc_id, url, status_code, location) fetch-results corpus for the
+    chain oracle. Hosts cycle mod 4 so relative Locations can land on
+    in-table URLs; strata by doc_id % 8 (with % 16 splits):
+
+    - 0, 5: 200 content (5 is the landing class for the 1-hop stratum);
+    - 1: 301 -> absolute Location to class-5 content (1 hop, final);
+    - 2: 302 -> root-relative '/p/{{id+4}}' (same host, lands on class
+      6) -> class 6's dot-segment redirect -> dangling (2 hops);
+    - 3 (%16=3): 303 -> query-only '?page=2' (dangling, 1 hop);
+      3 (%16=11): 301 with NULL Location (unfollowable -> 0 hops);
+    - 4 <-> 7: 308/307 absolute 2-cycle (loop, 1 hop each side);
+    - 6 (%16=6): 301 -> '../q/./x{{id}}' (dot segments, dangling);
+      6 (%16=14): 301 -> scheme-relative '//cdn.example/a{{id}}';
+    - 320..383: every id 301 -> absolute url(id+4): a 16-hop ladder —
+      ids early in the ladder exceed the 10-hop cap ('max_hops'), late
+      ids walk off the table end ('final' at the dangling url(384+)).
+    """
+    url = "'http://s' || CAST({k} % 4 AS STRING) || '.example/p/' || CAST({k} AS STRING)"
+    u = url.format(k="doc_id")
+    return f"""
+SELECT doc_id, {u} AS url,
+  CASE
+    WHEN doc_id >= 320 THEN 301
+    WHEN doc_id % 8 = 1 THEN 301
+    WHEN doc_id % 8 = 2 THEN 302
+    WHEN doc_id % 8 = 3 THEN CASE WHEN doc_id % 16 = 3 THEN 303 ELSE 301 END
+    WHEN doc_id % 8 = 4 THEN 308
+    WHEN doc_id % 8 = 6 THEN 301
+    WHEN doc_id % 8 = 7 THEN 307
+    ELSE 200
+  END AS status_code,
+  CASE
+    WHEN doc_id >= 320 THEN {url.format(k="(doc_id + 4)")}
+    WHEN doc_id % 8 = 1 THEN {url.format(k="(doc_id + 4)")}
+    WHEN doc_id % 8 = 2 THEN '/p/' || CAST(doc_id + 4 AS STRING)
+    WHEN doc_id % 16 = 3 THEN '?page=2'
+    WHEN doc_id % 8 = 4 THEN {url.format(k="(doc_id + 3)")}
+    WHEN doc_id % 16 = 6 THEN '../q/./x' || CAST(doc_id AS STRING)
+    WHEN doc_id % 16 = 14 THEN '//cdn.example/a' || CAST(doc_id AS STRING)
+    WHEN doc_id % 8 = 7 THEN {url.format(k="(doc_id - 3)")}
+    ELSE NULL
+  END AS location
+FROM documents WHERE doc_id < 384
+"""
+
+
+def duck_redirect_chains_sql(max_hops: int = 10) -> str:
+    """Recursive-CTE twin of operators/redirects.resolve_redirects: the
+    same per-hop advance/loop/park rules, terminal label decided
+    statelessly from the end state (loop flag > still-a-redirect-source
+    ('max_hops') > 'final')."""
+    # coalesce: NULL status_code rows land in the non-redirect arm (the
+    # Spark operator makes the same null-safe choice)
+    followable = (
+        "coalesce(status_code IN (301,302,303,307,308) "
+        "AND trim(coalesce(location, '')) <> '', FALSE)"
+    )
+    return f"""
+WITH RECURSIVE fetches AS ({redirect_fetches_sql().strip()}),
+m AS (
+  SELECT url AS m_url, {_duck_resolve('url', 'location')} AS m_next
+  FROM fetches WHERE {followable}
+),
+walk(url, cur_url, n_hops, visited, looped, step) AS (
+  SELECT url, url, 0, [url], FALSE, 0 FROM fetches WHERE {followable}
+  UNION ALL
+  SELECT w.url,
+    CASE WHEN list_contains(w.visited, m.m_next) THEN w.cur_url ELSE m.m_next END,
+    CASE WHEN list_contains(w.visited, m.m_next) THEN w.n_hops ELSE w.n_hops + 1 END,
+    CASE WHEN list_contains(w.visited, m.m_next) THEN w.visited ELSE list_append(w.visited, m.m_next) END,
+    list_contains(w.visited, m.m_next),
+    w.step + 1
+  FROM walk w JOIN m ON w.cur_url = m.m_url
+  WHERE NOT w.looped AND w.step < {max_hops}
+),
+last AS (
+  SELECT url, cur_url, n_hops, looped,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY step DESC) AS rn
+  FROM walk
+)
+SELECT l.url, l.cur_url AS final_url, CAST(l.n_hops AS INT) AS n_hops,
+  CASE WHEN l.looped THEN 'loop'
+       WHEN EXISTS (SELECT 1 FROM m WHERE m.m_url = l.cur_url) THEN 'max_hops'
+       ELSE 'final' END AS terminal
+FROM last l WHERE rn = 1
+UNION ALL
+SELECT url, url AS final_url, 0 AS n_hops, 'final' AS terminal
+FROM fetches WHERE NOT ({followable})
+"""
+
+
+def cache_payloads_sql() -> str:
+    """(url, warc_ts, payload) HTTP-response corpus for the cache-TTL
+    oracle — one stratum per RFC 9111 freshness source: max-age (with
+    ETag), Last-Modified heuristic, Expires-Date, no-store (must beat
+    max-age), extension-token trap + malformed Expires (data, not
+    error), and a bare 200. CRLF built with chr() so the same literal
+    SQL runs in both engines."""
+    crlf = "chr(13) || chr(10)"
+    lines = {
+        0: (
+            "'HTTP/1.1 200 OK' || {c} || 'ETag: \"t' || CAST(doc_id AS STRING) || '\"' || {c} "
+            "|| 'Date: Fri, 01 Mar 2024 12:00:00 GMT' || {c} "
+            "|| 'Cache-Control: public, max-age=' || CAST((doc_id % 9 + 1) * 3600 AS STRING)"
+        ),
+        1: (
+            "'HTTP/1.1 200 OK' || {c} || 'Last-Modified: Tue, 20 Feb 2024 12:00:00 GMT' || {c} "
+            "|| 'Date: Fri, 01 Mar 2024 12:00:00 GMT'"
+        ),
+        2: (
+            # %12=2 carries a Date header; %12=8 omits it, exercising
+            # the warc_ts fallback in the Expires-Date arithmetic
+            "'HTTP/1.1 200 OK' || {c} || (CASE WHEN doc_id % 12 = 2 "
+            "THEN 'Date: Fri, 01 Mar 2024 12:00:00 GMT' || {c} ELSE '' END) "
+            "|| 'Expires: Sat, 02 Mar 2024 18:00:00 GMT'"
+        ),
+        3: "'HTTP/1.1 200 OK' || {c} || 'Cache-Control: no-store, max-age=999999'",
+        4: "'HTTP/1.1 200 OK' || {c} || 'Cache-Control: no-cache-xyz' || {c} || 'Expires: not-a-date'",
+        5: "'HTTP/1.1 200 OK'",
+    }
+    whens = "\n    ".join(
+        f"WHEN {k} THEN {v.format(c=crlf)}" for k, v in lines.items()
+    )
+    return f"""
+SELECT 'http://c' || CAST(doc_id % 7 AS STRING) || '.example/p/' || CAST(doc_id AS STRING) AS url,
+  TIMESTAMP '2024-03-01 09:30:00' AS warc_ts,
+  (CASE doc_id % 6
+    {whens}
+  END) || {crlf} || {crlf} || '<p>body ' || CAST(doc_id AS STRING) || '</p>' AS payload
+FROM documents WHERE doc_id < 240
+"""
+
+
+def duck_http_cache_ttl_sql() -> str:
+    """DuckDB twin of operators/revalidate.http_cache_meta +
+    cache_ttl_hours: header-block split, token-aware directive match,
+    try_strptime'd IMF-fixdate parsing, and the RFC 9111 precedence
+    CASE (no-store > max-age > Expires-Date > 10%-of-Last-Modified-age
+    heuristic > default 168 h), clamped to [1, 720] h."""
+    crlf2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+    hdr = f"split_part(payload, {crlf2}, 1)"
+
+    def h(name: str) -> str:
+        return (
+            f"nullif(trim(coalesce(regexp_extract({hdr}, "
+            f"'(?im)^{name}:[ \\t]*([^\\r\\n]+)', 1), '')), '')"
+        )
+
+    date_fmt = "'%a, %d %b %Y %H:%M:%S GMT'"
+    cc = f"lower(coalesce({h('Cache-Control')}, ''))"
+    max_age = (
+        f"CAST(nullif(coalesce(regexp_extract({cc}, "
+        f"'(?:^|[ \\t,])max-age=([0-9]+)(?:$|[ \\t,;])', 1), ''), '') AS BIGINT)"
+    )
+    lm = f"try_strptime({h('Last-Modified')}, {date_fmt})"
+    dt = f"try_strptime({h('Date')}, {date_fmt})"
+    expires = f"try_strptime({h('Expires')}, {date_fmt})"
+    no_store = f"regexp_matches({cc}, '(^|[ \\t,])(no-store|no-cache)($|[ \\t,;=])')"
+    return f"""
+WITH corpus AS ({cache_payloads_sql().strip()}),
+meta AS (
+  SELECT url,
+    {h('ETag')} AS etag,
+    {max_age} AS max_age_s,
+    {no_store} AS no_store,
+    epoch({lm}) AS lm_s, epoch({dt}) AS date_s, epoch({expires}) AS exp_s,
+    epoch(warc_ts) AS wts_s
+  FROM corpus
+),
+ttl AS (
+  SELECT url, etag, max_age_s, no_store,
+    CASE WHEN no_store THEN 'no_store'
+         WHEN max_age_s IS NOT NULL THEN 'max_age'
+         WHEN exp_s IS NOT NULL THEN 'expires'
+         WHEN lm_s IS NOT NULL THEN 'heuristic'
+         ELSE 'default' END AS ttl_source,
+    CASE WHEN no_store THEN 1.0
+         WHEN max_age_s IS NOT NULL THEN max_age_s / 3600.0
+         WHEN exp_s IS NOT NULL THEN (exp_s - coalesce(date_s, wts_s)) / 3600.0
+         WHEN lm_s IS NOT NULL THEN (coalesce(date_s, wts_s) - lm_s) / 36000.0
+         ELSE 168.0 END AS raw_ttl
+  FROM meta
+)
+SELECT url,
+  coalesce(etag, '') AS etag,
+  CAST(coalesce(max_age_s, -1) AS BIGINT) AS max_age_s,
+  no_store,
+  round(least(greatest(raw_ttl, 1.0), 720.0), 6) AS ttl_hours,
+  ttl_source
+FROM ttl
+"""
+
+
 def ngram_docs_sql() -> str:
     """(doc_id, text) corpus for the ngram-repetition oracle — one
     stratum per behavior: a 6-word phrase repeated 10x (duplicate
@@ -4049,6 +4323,9 @@ ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
     "mojibake_repair": duck_mojibake_sql,
+    "redirect_resolve": duck_redirect_resolve_sql,
+    "redirect_chains": duck_redirect_chains_sql,
+    "http_cache_ttl": duck_http_cache_ttl_sql,
     "crawl_rounds_relational": duck_crawl_rounds_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
     # identical anti-join semantics: the cuckoo arm's false positives
