@@ -150,6 +150,59 @@ def cache_ttl_hours(
     )
 
 
+#: statuses whose Retry-After demands server-directed backoff
+#: (RFC 9110 §10.2.3; 3xx Retry-After merely paces a redirect follow).
+RETRY_AFTER_STATUSES = (429, 503)
+
+
+def retry_after_delays(
+    records: DataFrame,
+    payload_col: str = "html",
+    head_bytes: int = 8192,
+    cap_ms: int = 3_600_000,
+) -> DataFrame:
+    """(host, crawl_delay_ms): the per-host delay DEMANDED by the
+    server via ``Retry-After`` on 429/503 responses — both header forms
+    (delta-seconds, or an HTTP-date measured against the response
+    ``Date`` with ``warc_ts`` fallback). MAX per host, capped.
+
+    This is the server-directed twin of metrics.backoff_delays (which
+    infers backoff from error rates); both feed
+    robots.apply_delay_overrides, whose MAX-merge keeps robots
+    Crawl-delay as the floor. Scan-local parse + one tiny per-host
+    aggregate (hosts, not pages, cross the shuffle)."""
+    from pathik_spark.functions.urls import hostname_of
+
+    hdr = _header_block(payload_col, head_bytes)
+    status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    ra = _header(hdr, "Retry-After")
+    delta_s = F.when(ra.rlike(r"^[0-9]+$"), ra).cast("long")
+    now = (
+        F.coalesce(_http_date(_header(hdr, "Date")), F.col("warc_ts"))
+        if "warc_ts" in records.columns
+        else _http_date(_header(hdr, "Date"))
+    )
+    date_s = F.greatest(
+        _http_date(ra).cast("long") - now.cast("long"), F.lit(0)
+    )
+    delay_ms = F.least(
+        F.coalesce(delta_s, date_s) * 1000, F.lit(cap_ms)
+    ).cast("long")
+    rows = records.select(
+        hostname_of(F.col("url")).alias("host"),
+        F.when(status != "", status).cast("int").alias("status_code"),
+        delay_ms.alias("delay_ms"),
+    )
+    return (
+        rows.filter(
+            F.col("status_code").isin(list(RETRY_AFTER_STATUSES))
+            & F.col("delay_ms").isNotNull()
+        )
+        .groupBy("host")
+        .agg(F.max("delay_ms").alias("crawl_delay_ms"))
+    )
+
+
 def apply_not_modified(
     fetches: DataFrame,
     prev: DataFrame,

@@ -161,6 +161,72 @@ def test_apply_not_modified(spark):
     assert out["http://c.example/new"] == (b"<p>fresh</p>", "fetched")
 
 
+def test_retry_after_delays(spark):
+    from pathik_spark.operators.revalidate import retry_after_delays
+
+    rows = [
+        # delta-seconds form; MAX of the two per-host values wins
+        ("http://r.example/a", TS, _resp("HTTP/1.1 429 Too Many Requests", ["Retry-After: 120"])),
+        ("http://r.example/b", TS, _resp("HTTP/1.1 503 Service Unavailable", ["Retry-After: 300"])),
+        # HTTP-date form measured against the response Date
+        (
+            "http://d.example/a",
+            TS,
+            _resp(
+                "HTTP/1.1 503 Service Unavailable",
+                [
+                    "Date: Fri, 01 Mar 2024 12:00:00 GMT",
+                    "Retry-After: Fri, 01 Mar 2024 12:01:30 GMT",
+                ],
+            ),
+        ),
+        # date in the past clamps to 0, not negative
+        (
+            "http://p.example/a",
+            TS,
+            _resp(
+                "HTTP/1.1 429 Too Many Requests",
+                [
+                    "Date: Fri, 01 Mar 2024 12:00:00 GMT",
+                    "Retry-After: Fri, 01 Mar 2024 11:00:00 GMT",
+                ],
+            ),
+        ),
+        # a 200 with Retry-After is not a backoff demand
+        ("http://ok.example/a", TS, _resp("HTTP/1.1 200 OK", ["Retry-After: 999"])),
+        # cap applies
+        ("http://c.example/a", TS, _resp("HTTP/1.1 429 Too Many Requests", ["Retry-After: 99999999"])),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = {r["host"]: r["crawl_delay_ms"] for r in retry_after_delays(df).collect()}
+    assert out == {
+        "r.example": 300_000,
+        "d.example": 90_000,
+        "p.example": 0,
+        "c.example": 3_600_000,
+    }
+
+
+def test_retry_after_feeds_delay_overlay(spark):
+    from pathik_spark.operators.revalidate import retry_after_delays
+    from pathik_spark.operators.robots import apply_delay_overrides
+
+    records = spark.createDataFrame(
+        [("http://r.example/a", TS, _resp("HTTP/1.1 429 Too Many Requests", ["Retry-After: 60"]))],
+        "url string, warc_ts timestamp, html binary",
+    )
+    robots = spark.createDataFrame(
+        [("r.example", 120_000), ("other.example", 5_000)],
+        "host string, crawl_delay_ms long",
+    )
+    out = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in apply_delay_overrides(robots, retry_after_delays(records)).collect()
+    }
+    # robots Crawl-delay stays the floor: MAX(120s, 60s) = 120s
+    assert out == {"r.example": 120_000, "other.example": 5_000}
+
+
 def test_meta_plan_is_scan_local(spark):
     df = spark.createDataFrame(ROWS, "url string, warc_ts timestamp, html binary")
     plan = (
