@@ -96,6 +96,48 @@ def extract_sitemap_urls(
     return locs.filter(U.is_valid_url_expr(F.col("url"))).distinct()
 
 
+def classify_sitemap_locs(
+    sitemaps: DataFrame,
+    content_col: str = "sitemap_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, url, kind) with kind ∈ {'page', 'sitemap'}: block-scoped
+    ``<loc>`` extraction that tells a ``<url>`` entry (a page seed)
+    from a ``<sitemap>`` entry (a CHILD SITEMAP listed by a
+    sitemapindex — sitemaps.org caps urlsets at 50k URLs, so any large
+    site fronts one). extract_sitemap_urls alone would feed child
+    sitemap XML files into the page frontier; routing 'sitemap' rows
+    back into the sitemap fetch list instead recurses the index one
+    level per crawl round (real-world indexes are 1-2 levels deep).
+
+    Same scan-local shape as extract_sitemap_entries: block
+    regexp_extract_all + per-block loc, F1 validity, per-host distinct
+    (duplicate locs keep 'sitemap' — fetching as a sitemap is the safe
+    reading)."""
+
+    def _locs(tag: str, kind: str) -> DataFrame:
+        blocks = sitemaps.select(
+            F.col(host_col).alias("host"),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all({content_col}, '<{tag}>(.*?)</{tag}>', 1)"
+                )
+            ).alias("block"),
+        )
+        return blocks.select(
+            "host",
+            F.trim(
+                F.regexp_extract(F.col("block"), r"<loc>\s*([^<]+?)\s*</loc>", 1)
+            ).alias("url"),
+            F.lit(kind).alias("kind"),
+        ).filter(U.is_valid_url_expr(F.col("url")))
+
+    both = _locs("url", "page").unionByName(_locs("sitemap", "sitemap"))
+    # one row per (host, url): 'sitemap' outranks 'page' (min of the
+    # kind string — 'page' < 'sitemap' alphabetically, so max picks it)
+    return both.groupBy("host", "url").agg(F.max("kind").alias("kind"))
+
+
 def extract_sitemap_entries(
     sitemaps: DataFrame,
     content_col: str = "sitemap_xml",

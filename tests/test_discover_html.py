@@ -151,6 +151,38 @@ def test_extract_sitemap_entries_lastmod(spark):
     }
 
 
+def test_classify_sitemap_locs(spark):
+    from pathik_spark.operators.discover import classify_sitemap_locs
+
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://h.example/sitemap-1.xml</loc>"
+        "<lastmod>2025-06-01</lastmod></sitemap>"
+        "<sitemap><loc>  https://h.example/sitemap-2.xml </loc></sitemap>"
+        "</sitemapindex>"
+    )
+    urlset = (
+        "<urlset>"
+        "<url><loc>https://h.example/page-a</loc></url>"
+        "<url><loc>ftp://bad.example/x</loc></url>"
+        # pathological: the same loc listed as both page and child
+        # sitemap — the sitemap reading must win
+        "<url><loc>https://h.example/dual.xml</loc></url>"
+        "<sitemap><loc>https://h.example/dual.xml</loc></sitemap>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("h", index), ("h", urlset)], ["host", "sitemap_xml"]
+    )
+    out = {r["url"]: r["kind"] for r in classify_sitemap_locs(df).collect()}
+    assert out == {
+        "https://h.example/sitemap-1.xml": "sitemap",
+        "https://h.example/sitemap-2.xml": "sitemap",
+        "https://h.example/page-a": "page",
+        "https://h.example/dual.xml": "sitemap",
+    }
+
+
 def test_discover_seeds_unified_channels(spark):
     from pathik_spark.operators.discover import discover_seeds
 
