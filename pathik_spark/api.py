@@ -674,3 +674,41 @@ def dedup_corpus(
     if id_col != "doc_id":
         kept = kept.withColumnRenamed("doc_id", id_col)
     return kept, clusters
+
+
+def analyze_http_responses(records: DataFrame, max_hops: int = 10):
+    """One-call HTTP-layer analysis of a response-record table (the
+    Common-Crawl WARC ``response`` shape: url [, warc_ts], html=raw
+    HTTP payload — e.g. sources/warc_source.read_warc_archives output):
+
+    returns ``(meta, chains, ttls, delays)`` —
+
+    - ``meta``: operators/revalidate.http_cache_meta — status, ETag,
+      Last-Modified, Date, max-age, Expires, no-store per url;
+    - ``chains``: operators/redirects.resolve_redirects over the parsed
+      status/Location — (url, final_url, n_hops, terminal);
+    - ``ttls``: operators/revalidate.cache_ttl_hours — the cache-
+      declared per-URL recrawl TTL overlay;
+    - ``delays``: operators/revalidate.retry_after_delays — per-host
+      server-demanded backoff, ready for robots.apply_delay_overrides.
+
+    All four are lazy plans over ONE input; the header parse is
+    scan-local, so materializing several of them costs one corpus scan
+    each with no joins between them (chains joins only within the small
+    3xx subset).
+    """
+    from pathik_spark.operators.redirects import (
+        http_response_meta,
+        resolve_redirects,
+    )
+    from pathik_spark.operators.revalidate import (
+        cache_ttl_hours,
+        http_cache_meta,
+        retry_after_delays,
+    )
+
+    meta = http_cache_meta(records)
+    chains = resolve_redirects(http_response_meta(records), max_hops=max_hops)
+    ttls = cache_ttl_hours(meta)
+    delays = retry_after_delays(records)
+    return meta, chains, ttls, delays
