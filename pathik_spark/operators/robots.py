@@ -114,8 +114,88 @@ def filter_disallowed(frontier_with_robots: DataFrame) -> DataFrame:
     dis_len = _longest_match_len(F.col("disallow_prefixes"), path)
     if "allow_prefixes" in df.columns:
         blocked = dis_len > _longest_match_len(F.col("allow_prefixes"), path)
-        return df.filter(~blocked).drop("disallow_prefixes", "allow_prefixes")
-    return df.filter(~(dis_len > 0)).drop("disallow_prefixes")
+        dropped = ["disallow_prefixes", "allow_prefixes"]
+    else:
+        blocked = dis_len > 0
+        dropped = ["disallow_prefixes"]
+    if "robots_exempt" in df.columns:
+        # apply_access_policy marked the host allow_all (its robots.txt
+        # 404'd): any rules that rode along are stale — never block
+        blocked = blocked & ~F.col("robots_exempt")
+        dropped.append("robots_exempt")
+    return df.filter(~blocked).drop(*dropped)
+
+
+POLICY_PARSE = "parse"
+POLICY_ALLOW_ALL = "allow_all"
+POLICY_DISALLOW_ALL = "disallow_all"
+
+
+def robots_access_policy(
+    fetches: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status_code",
+) -> DataFrame:
+    """RFC 9309 §2.3.1 fetch-status semantics for the robots.txt fetch
+    itself — (host, policy):
+
+    - 2xx: ``parse`` — feed the body to parse_robots_txt as usual;
+    - 4xx (incl. 404, and the no-row "unreachable-with-an-answer"
+      case): ``allow_all`` — "MAY access any resources" when robots.txt
+      is unavailable;
+    - 5xx / no response: ``disallow_all`` — "MUST assume complete
+      disallow" while the file is unreachable (the RFC lets a crawler
+      relax this after a long outage; model that upstream by aging
+      hosts out of the fetch table);
+    - 3xx: ``parse`` of whatever body the redirect chain ended at —
+      resolve chains FIRST (operators/redirects.resolve_redirects, the
+      RFC says to follow at least five hops) and feed the final
+      capture's (host, status) here.
+
+    One row per host (worst status wins: 5xx > everything, then 2xx/3xx
+    over 4xx is irrelevant since a host fetches robots.txt once — the
+    max() is a determinism guard for duplicated rows). Scan-local
+    expression + one tiny per-host aggregate."""
+    status = F.col(status_col)
+    # rank so that max() picks the severest verdict on duplicates
+    verdict = (
+        F.when(status.isNull() | (status >= 500), F.lit(2))
+        .when((status >= 400) & (status < 500), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    agg = (
+        fetches.select(F.col(host_col).alias("host"), verdict.alias("v"))
+        .groupBy("host")
+        .agg(F.max("v").alias("v"))
+    )
+    return agg.select(
+        "host",
+        F.when(F.col("v") == 2, F.lit(POLICY_DISALLOW_ALL))
+        .when(F.col("v") == 0, F.lit(POLICY_ALLOW_ALL))
+        .otherwise(F.lit(POLICY_PARSE))
+        .alias("policy"),
+    )
+
+
+def apply_access_policy(
+    frontier: DataFrame, policies: DataFrame
+) -> DataFrame:
+    """Enforce robots_access_policy on a frontier BEFORE rule
+    filtering: hosts under ``disallow_all`` drop entirely; hosts under
+    ``allow_all`` get ``robots_exempt=true`` so filter_disallowed's
+    rule matching is bypassed for them (their rules table, if any, is
+    stale); ``parse`` hosts (and hosts with no policy row) flow
+    unchanged with ``robots_exempt=false``. Broadcast join — the
+    policy table is per-host."""
+    joined = frontier.join(F.broadcast(policies), "host", "left")
+    return joined.filter(
+        F.coalesce(F.col("policy") != POLICY_DISALLOW_ALL, F.lit(True))
+    ).select(
+        *[F.col(c) for c in frontier.columns],
+        (F.coalesce(F.col("policy") == POLICY_ALLOW_ALL, F.lit(False))).alias(
+            "robots_exempt"
+        ),
+    )
 
 
 def parse_robots_txt(

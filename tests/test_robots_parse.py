@@ -216,3 +216,81 @@ def test_wildcard_rules_disallow_only_schema(spark):
     )
     kept = filter_disallowed(attach_robots(frontier, robots))
     assert {r["url_hash"] for r in kept.collect()} == {2, 3}
+
+
+def test_robots_access_policy_status_semantics(spark):
+    from pathik_spark.operators.robots import robots_access_policy
+
+    fetches = spark.createDataFrame(
+        [
+            ("ok.example", 200),
+            ("moved.example", 301),  # chain-resolved capture: parse it
+            ("missing.example", 404),
+            ("forbidden.example", 403),
+            ("down.example", 503),
+            ("dead.example", None),  # no response at all
+            # duplicated host rows: the severest verdict must win
+            ("flaky.example", 200),
+            ("flaky.example", 500),
+        ],
+        "host string, status_code int",
+    )
+    out = {r["host"]: r["policy"] for r in robots_access_policy(fetches).collect()}
+    assert out == {
+        "ok.example": "parse",
+        "moved.example": "parse",
+        "missing.example": "allow_all",
+        "forbidden.example": "allow_all",
+        "down.example": "disallow_all",
+        "dead.example": "disallow_all",
+        "flaky.example": "disallow_all",
+    }
+
+
+def test_apply_access_policy_and_exempt_filtering(spark):
+    from pathik_spark.operators.robots import (
+        apply_access_policy,
+        robots_access_policy,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            ("ok.example", "http://ok.example/private/x"),
+            ("ok.example", "http://ok.example/public"),
+            ("missing.example", "http://missing.example/private/x"),
+            ("down.example", "http://down.example/anything"),
+            ("nopolicy.example", "http://nopolicy.example/private/x"),
+        ],
+        "host string, url string",
+    )
+    policies = robots_access_policy(
+        spark.createDataFrame(
+            [("ok.example", 200), ("missing.example", 404), ("down.example", 503)],
+            "host string, status_code int",
+        )
+    )
+    gated = apply_access_policy(frontier, policies)
+    # 5xx host gone entirely; 404 host marked exempt
+    got = {(r["host"], r["url"]): r["robots_exempt"] for r in gated.collect()}
+    assert ("down.example", "http://down.example/anything") not in got
+    assert got[("missing.example", "http://missing.example/private/x")] is True
+    assert got[("ok.example", "http://ok.example/private/x")] is False
+    assert got[("nopolicy.example", "http://nopolicy.example/private/x")] is False
+
+    # a stale /private rule blocks the parse host but NOT the exempt one
+    robots = spark.createDataFrame(
+        [
+            ("ok.example", 0, ["/private"]),
+            ("missing.example", 0, ["/private"]),
+            ("nopolicy.example", 0, ["/other"]),
+        ],
+        "host string, crawl_delay_ms long, disallow_prefixes array<string>",
+    )
+    kept = filter_disallowed(attach_robots(gated, robots))
+    urls = {r["url"] for r in kept.collect()}
+    assert urls == {
+        "http://ok.example/public",
+        "http://missing.example/private/x",
+        "http://nopolicy.example/private/x",
+    }
+    assert "robots_exempt" not in kept.columns
