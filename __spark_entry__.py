@@ -1014,6 +1014,45 @@ def _q_http_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.join(cache_ttl_hours(meta), "url")
 
 
+def _q_robots_access_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.3.1 fetch-status semantics (the REAL
+    operators/robots.robots_access_policy severity aggregate) over a
+    generated per-host status corpus incl. conflicting duplicates, vs
+    a DuckDB restatement of the ranking."""
+    from pathik_spark.entry_queries import robots_fetch_status_sql
+    from pathik_spark.operators.robots import robots_access_policy
+
+    _register_views(spark, sf_dir)
+    return robots_access_policy(spark.sql(robots_fetch_status_sql()))
+
+
+def _q_sitemap_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemapindex-vs-urlset loc classification (the REAL
+    operators/discover.classify_sitemap_locs block-scoped extraction)
+    over generated index/urlset/mixed documents, vs a DuckDB
+    regexp-restatement with the same sitemap-outranks-page dedup."""
+    from pathik_spark.entry_queries import sitemap_xml_corpus_sql
+    from pathik_spark.operators.discover import classify_sitemap_locs
+
+    _register_views(spark, sf_dir)
+    return classify_sitemap_locs(spark.sql(sitemap_xml_corpus_sql()))
+
+
+def _q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-demanded Retry-After backoff (the REAL
+    operators/revalidate.retry_after_delays parse + clamp + cap + MAX
+    per host) over a generated response corpus covering both header
+    forms, vs a DuckDB restatement."""
+    from pathik_spark.entry_queries import retry_after_corpus_sql
+    from pathik_spark.operators.revalidate import retry_after_delays
+
+    _register_views(spark, sf_dir)
+    corpus = spark.sql(retry_after_corpus_sql()).withColumn(
+        "html", F.encode(F.col("payload"), "utf-8")
+    )
+    return retry_after_delays(corpus)
+
+
 def _q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of Gopher's repetition table: top-{2,3,4}-gram and
     duplicate-{5..10}-gram CHAR fractions — the REAL scan-local
@@ -1719,6 +1758,9 @@ ENGINE_ORACLE_QUERIES = {
     "redirect_resolve": _q_redirect_resolve,
     "redirect_chains": _q_redirect_chains,
     "http_cache_ttl": _q_http_cache_ttl,
+    "robots_access_policy": _q_robots_access_policy,
+    "sitemap_classify": _q_sitemap_classify,
+    "retry_after": _q_retry_after,
     "nfc_normalize": _q_nfc_normalize,
     "c4_clean": _q_c4_clean,
     "url_blocklist": _q_url_blocklist,

@@ -3228,6 +3228,180 @@ FROM ttl
 """
 
 
+def robots_fetch_status_sql() -> str:
+    """(host, status_code) robots.txt fetch results for the
+    access-policy oracle: 2xx/3xx/4xx/5xx/NULL strata plus duplicated
+    hosts with conflicting statuses (severest must win)."""
+    return """
+SELECT 'h' || CAST(o_orderkey % 40 AS STRING) || '.example' AS host,
+  CASE o_orderkey % 8
+    WHEN 0 THEN 200
+    WHEN 1 THEN 301
+    WHEN 2 THEN 404
+    WHEN 3 THEN 403
+    WHEN 4 THEN 503
+    WHEN 5 THEN 500
+    WHEN 6 THEN NULL
+    ELSE 200
+  END AS status_code
+FROM orders WHERE o_orderkey < 400
+"""
+
+
+def duck_robots_access_policy_sql() -> str:
+    """DuckDB twin of operators/robots.robots_access_policy: the same
+    severity ranking (5xx/NULL=2 > 2xx/3xx=1 > 4xx=0) aggregated
+    severest-wins per host."""
+    return f"""
+WITH fetches AS ({robots_fetch_status_sql().strip()}),
+ranked AS (
+  SELECT host,
+    CASE WHEN status_code IS NULL OR status_code >= 500 THEN 2
+         WHEN status_code >= 400 AND status_code < 500 THEN 0
+         ELSE 1 END AS v
+  FROM fetches
+)
+SELECT host,
+  CASE max(v) WHEN 2 THEN 'disallow_all' WHEN 0 THEN 'allow_all'
+       ELSE 'parse' END AS policy
+FROM ranked GROUP BY host
+"""
+
+
+def sitemap_xml_corpus_sql() -> str:
+    """(host, sitemap_xml) corpus for the loc-classification oracle:
+    sitemapindex documents, urlset documents, a mixed document where
+    one loc appears as both kinds, and an invalid-url stratum."""
+    crlf_free = {
+        0: (
+            "'<sitemapindex><sitemap><loc>https://s' || CAST(doc_id % 9 AS STRING) "
+            "|| '.example/sm-' || CAST(doc_id AS STRING) || '.xml</loc></sitemap>"
+            "<sitemap><loc> https://s' || CAST(doc_id % 9 AS STRING) "
+            "|| '.example/sm-extra.xml </loc></sitemap></sitemapindex>'"
+        ),
+        1: (
+            "'<urlset><url><loc>https://s' || CAST(doc_id % 9 AS STRING) "
+            "|| '.example/p-' || CAST(doc_id AS STRING) || '</loc></url>"
+            "<url><loc>ftp://bad.example/x</loc></url></urlset>'"
+        ),
+        2: (
+            "'<urlset><url><loc>https://s' || CAST(doc_id % 9 AS STRING) "
+            "|| '.example/dual.xml</loc></url>"
+            "<sitemap><loc>https://s' || CAST(doc_id % 9 AS STRING) "
+            "|| '.example/dual.xml</loc></sitemap></urlset>'"
+        ),
+    }
+    whens = "\n    ".join(f"WHEN {k} THEN {v}" for k, v in crlf_free.items())
+    return f"""
+SELECT 'h' || CAST(doc_id % 9 AS STRING) AS host,
+  CASE doc_id % 3
+    {whens}
+  END AS sitemap_xml
+FROM documents WHERE doc_id < 90
+"""
+
+
+def duck_classify_sitemap_locs_sql() -> str:
+    """DuckDB twin of operators/discover.classify_sitemap_locs: the
+    same block-scoped regexp extraction for <url> vs <sitemap> blocks,
+    trim, validity filter, sitemap-outranks-page dedup."""
+    valid = (
+        "regexp_matches(url, '^(?i)https?://') "
+        "AND NOT regexp_matches(lower(regexp_replace(regexp_replace("
+        "coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ''), "
+        "'^[^@]*@', ''), ':[0-9]*$', '')), '^$|^localhost$')"
+    )
+
+    def arm(tag: str, kind: str) -> str:
+        return f"""
+  SELECT host,
+    trim(coalesce(regexp_extract(block, '<loc>\\s*([^<]+?)\\s*</loc>', 1), '')) AS url,
+    '{kind}' AS kind
+  FROM (
+    SELECT host, unnest(regexp_extract_all(sitemap_xml, '<{tag}>(.*?)</{tag}>', 1)) AS block
+    FROM corpus
+  )"""
+
+    return f"""
+WITH corpus AS ({sitemap_xml_corpus_sql().strip()}),
+both_kinds AS ({arm('url', 'page')} UNION ALL {arm('sitemap', 'sitemap')})
+SELECT host, url, max(kind) AS kind
+FROM both_kinds
+WHERE {valid}
+GROUP BY host, url
+"""
+
+
+def retry_after_corpus_sql() -> str:
+    """(url, warc_ts, payload) response corpus for the Retry-After
+    oracle: delta-seconds form, HTTP-date form (vs the response Date),
+    past-date clamp, cap overflow, and a 200 that must be ignored."""
+    crlf = "chr(13) || chr(10)"
+    lines = {
+        0: "'HTTP/1.1 429 Too Many Requests' || {c} || 'Retry-After: ' || CAST((doc_id % 7 + 1) * 10 AS STRING)",
+        1: (
+            "'HTTP/1.1 503 Service Unavailable' || {c} || "
+            "'Date: Fri, 01 Mar 2024 12:00:00 GMT' || {c} || "
+            "'Retry-After: Fri, 01 Mar 2024 12:02:00 GMT'"
+        ),
+        2: (
+            "'HTTP/1.1 429 Too Many Requests' || {c} || "
+            "'Date: Fri, 01 Mar 2024 12:00:00 GMT' || {c} || "
+            "'Retry-After: Fri, 01 Mar 2024 11:00:00 GMT'"
+        ),
+        3: "'HTTP/1.1 429 Too Many Requests' || {c} || 'Retry-After: 99999999'",
+        4: "'HTTP/1.1 200 OK' || {c} || 'Retry-After: 999'",
+        5: "'HTTP/1.1 200 OK'",
+    }
+    whens = "\n    ".join(
+        f"WHEN {k} THEN {v.format(c=crlf)}" for k, v in lines.items()
+    )
+    return f"""
+SELECT 'http://ra' || CAST(doc_id % 6 AS STRING) || '.example/p/' || CAST(doc_id AS STRING) AS url,
+  TIMESTAMP '2024-03-01 09:30:00' AS warc_ts,
+  (CASE doc_id % 6
+    {whens}
+  END) || {crlf} || {crlf} || 'body' AS payload
+FROM documents WHERE doc_id < 132
+"""
+
+
+def duck_retry_after_sql() -> str:
+    """DuckDB twin of operators/revalidate.retry_after_delays: same
+    header parse, both Retry-After forms, past-date clamp, cap, MAX per
+    host over 429/503 rows only."""
+    crlf2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+    hdr = f"split_part(payload, {crlf2}, 1)"
+
+    def h(name: str) -> str:
+        return (
+            f"nullif(trim(coalesce(regexp_extract({hdr}, "
+            f"'(?im)^{name}:[ \\t]*([^\\r\\n]+)', 1), '')), '')"
+        )
+
+    date_fmt = "'%a, %d %b %Y %H:%M:%S GMT'"
+    ra = h("Retry-After")
+    status = f"CAST(nullif(coalesce(regexp_extract({hdr}, '^HTTP/[0-9.]+ ([0-9]{{3}})', 1), ''), '') AS INT)"
+    delta = f"CASE WHEN regexp_matches({ra}, '^[0-9]+$') THEN CAST({ra} AS BIGINT) END"
+    now = f"coalesce(epoch(try_strptime({h('Date')}, {date_fmt})), epoch(warc_ts))"
+    from_date = f"greatest(epoch(try_strptime({ra}, {date_fmt})) - {now}, 0)"
+    return f"""
+WITH corpus AS ({retry_after_corpus_sql().strip()}),
+parsed AS (
+  SELECT regexp_replace(lower(regexp_replace(regexp_replace(
+           coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ''),
+           '^[^@]*@', ''), ':[0-9]*$', '')), '\\.$', '') AS host,
+         {status} AS status_code,
+         least(coalesce({delta}, {from_date}) * 1000, 3600000) AS delay_ms
+  FROM corpus
+)
+SELECT host, CAST(max(delay_ms) AS BIGINT) AS crawl_delay_ms
+FROM parsed
+WHERE status_code IN (429, 503) AND delay_ms IS NOT NULL
+GROUP BY host
+"""
+
+
 def ngram_docs_sql() -> str:
     """(doc_id, text) corpus for the ngram-repetition oracle — one
     stratum per behavior: a 6-word phrase repeated 10x (duplicate
@@ -4326,6 +4500,9 @@ ENGINE_ORACLE_SQL = {
     "redirect_resolve": duck_redirect_resolve_sql,
     "redirect_chains": duck_redirect_chains_sql,
     "http_cache_ttl": duck_http_cache_ttl_sql,
+    "robots_access_policy": duck_robots_access_policy_sql,
+    "sitemap_classify": duck_classify_sitemap_locs_sql,
+    "retry_after": duck_retry_after_sql,
     "crawl_rounds_relational": duck_crawl_rounds_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
     # identical anti-join semantics: the cuckoo arm's false positives
