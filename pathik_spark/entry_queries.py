@@ -3381,7 +3381,7 @@ def duck_retry_after_sql() -> str:
 
     date_fmt = "'%a, %d %b %Y %H:%M:%S GMT'"
     ra = h("Retry-After")
-    status = f"CAST(nullif(coalesce(regexp_extract({hdr}, '^HTTP/[0-9.]+ ([0-9]{{3}})', 1), ''), '') AS INT)"
+    status = f"CAST(nullif(coalesce(regexp_extract({hdr}, '^HTTP/[0-9.]+ ([0-9]{{3}})([ \r\n]|$)', 1), ''), '') AS INT)"
     delta = f"CASE WHEN regexp_matches({ra}, '^[0-9]+$') THEN CAST({ra} AS BIGINT) END"
     now = f"coalesce(epoch(try_strptime({h('Date')}, {date_fmt})), epoch(warc_ts))"
     from_date = f"greatest(epoch(try_strptime({ra}, {date_fmt})) - {now}, 0)"

@@ -56,7 +56,7 @@ def http_response_meta(
     # decode() would throw on the first malformed byte of a binary body)
     head = F.substring(F.col(payload_col), 1, head_bytes).cast("string")
     hdr = F.substring_index(head, "\r\n\r\n", 1)
-    status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})([ \r\n]|$)", 1)
     location = F.regexp_extract(hdr, r"(?im)^Location:[ \t]*([^\r\n]+)", 1)
     mime = F.regexp_extract(hdr, r"(?im)^Content-Type:[ \t]*([^\r\n;]+)", 1)
     return records.select(

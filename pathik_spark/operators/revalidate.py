@@ -65,7 +65,7 @@ def http_cache_meta(
     revalidation); directive matching is token-aware so an extension
     like ``no-cache-xyz`` does not trigger it."""
     hdr = _header_block(payload_col, head_bytes)
-    status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})([ \r\n]|$)", 1)
     cc = F.lower(F.coalesce(_header(hdr, "Cache-Control"), F.lit("")))
     max_age = F.regexp_extract(cc, r"(?:^|[ \t,])max-age=([0-9]+)(?:$|[ \t,;])", 1)
     # try_to_timestamp: malformed/garbage header dates are data, not
@@ -174,7 +174,7 @@ def retry_after_delays(
     from pathik_spark.functions.urls import hostname_of
 
     hdr = _header_block(payload_col, head_bytes)
-    status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})([ \r\n]|$)", 1)
     ra = _header(hdr, "Retry-After")
     delta_s = F.when(ra.rlike(r"^[0-9]+$"), ra).cast("long")
     now = (

@@ -227,6 +227,54 @@ def test_retry_after_feeds_delay_overlay(spark):
     assert out == {"r.example": 120_000, "other.example": 5_000}
 
 
+def test_parsers_total_over_garbage(spark):
+    """The header parsers must be TOTAL over adversarial payloads —
+    garbage bytes, truncated/huge headers, malformed dates and numbers
+    parse to NULLs, never task failures."""
+    import random
+
+    from pathik_spark.operators.redirects import http_response_meta
+    from pathik_spark.operators.revalidate import retry_after_delays
+
+    rng = random.Random(42)
+    rows = [
+        ("http://g.example/rand", TS, bytes(rng.randrange(256) for _ in range(4096))),
+        ("http://g.example/empty", TS, b""),
+        ("http://g.example/null", TS, None),
+        ("http://g.example/truncated", TS, b"HTTP/1.1 30"),
+        ("http://g.example/no-crlfcrlf", TS, b"HTTP/1.1 200 OK\r\nETag: x"),
+        ("http://g.example/huge-header", TS, b"HTTP/1.1 200 OK\r\nX: " + b"A" * 100_000),
+        (
+            "http://g.example/bad-values",
+            TS,
+            _resp(
+                "HTTP/1.1 301 Moved",
+                [
+                    "Retry-After: soonish",
+                    "Cache-Control: max-age=eleventy",
+                    "Last-Modified: yesterday",
+                    "Expires: " + "9" * 50,
+                    "Location: ",
+                ],
+            ),
+        ),
+        ("http://g.example/status-junk", TS, b"HTTP/9.99 99999 ???\r\n\r\n"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    meta = {r["url"]: r.asDict() for r in http_cache_meta(df).collect()}
+    assert len(meta) == len(rows)
+    bad = meta["http://g.example/bad-values"]
+    assert bad["status_code"] == 301
+    assert bad["max_age_s"] is None and bad["last_modified"] is None
+    assert bad["expires"] is None
+    assert meta["http://g.example/status-junk"]["status_code"] is None
+    rmeta = {r["url"]: r["status_code"] for r in http_response_meta(df).collect()}
+    assert rmeta["http://g.example/truncated"] is None
+    # 'Retry-After: soonish' parses to NULL in both forms -> no row
+    assert retry_after_delays(df).collect() == []
+    assert cache_ttl_hours(http_cache_meta(df)).count() == len(rows)
+
+
 def test_meta_plan_is_scan_local(spark):
     df = spark.createDataFrame(ROWS, "url string, warc_ts timestamp, html binary")
     plan = (
