@@ -388,6 +388,65 @@ def _assemble_warc_record(
     )
 
 
+def warc_response_rows(
+    artifacts: DataFrame,
+    status_code: int = 200,
+    mime: str = "text/html",
+) -> DataFrame:
+    """WARC/1.0 ``response`` records — the record type Common Crawl
+    itself ships: the payload is a full HTTP response (status line +
+    headers + CRLFCRLF + body), Content-Type
+    ``application/http; msgtype=response``. Archives written this way
+    round-trip through sources/warc_source.read_warc_archives into
+    operators/redirects.http_response_meta /
+    operators/revalidate.http_cache_meta — the engine can therefore
+    both PRODUCE and CONSUME the native CC interchange shape.
+
+    The synthesized HTTP header carries Date (RFC 9110 IMF-fixdate from
+    warc_ts — never wall clock), Content-Type, and Content-Length; the
+    replay-from-table fetch has no live response to echo, so the
+    status/mime are the caller's contract (defaults: the fetched-OK
+    arm). Same JVM-expression framing as every other record type."""
+    fetched = artifacts.filter(F.col("status") == "fetched")
+    date = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    http_date = F.date_format(
+        F.col("warc_ts"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    )
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status_code, "Status"
+    )
+    body = F.col("html")
+    http = F.concat(
+        F.encode(
+            F.concat_ws(
+                "\r\n",
+                F.lit(f"HTTP/1.1 {status_code} {reason}"),
+                F.concat(F.lit("Date: "), http_date),
+                F.lit(f"Content-Type: {mime}"),
+                F.concat(
+                    F.lit("Content-Length: "),
+                    F.length(body).cast("string"),
+                ),
+            ),
+            "utf-8",
+        ),
+        F.encode(F.lit("\r\n\r\n"), "utf-8"),
+        body,
+    )
+    rid = F.concat(F.lit("urn:uuid:"), _warc_uuid(F.concat(F.col("url"), F.lit("#response"))))
+    record = _assemble_warc_record(
+        F.col("url"), date, rid, "response",
+        "application/http; msgtype=response", http,
+    )
+    return fetched.select(
+        "url",
+        date.alias("warc_date"),
+        rid.alias("record_id"),
+        record.alias("record"),
+        F.length(record).alias("record_len"),
+    )
+
+
 def write_warc_files(
     records: DataFrame,
     out_dir: str,

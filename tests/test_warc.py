@@ -237,3 +237,42 @@ def test_warc_revisit_record_ids_unique_per_capture(spark):
     ref1 = [l for l in t1.split("\r\n") if l.startswith("WARC-Refers-To")]
     ref2 = [l for l in t2.split("\r\n") if l.startswith("WARC-Refers-To")]
     assert ref1 == ref2 and ref1
+
+
+def test_warc_response_records_roundtrip_to_http_meta(spark, tmp_path):
+    """response records (the native Common Crawl shape) written by the
+    sink must round-trip through the WARC source into the HTTP header
+    parsers: sink -> archive -> read_warc_archives -> http_response_meta
+    / http_cache_meta with the original body and warc_ts-derived Date."""
+    import datetime as dt
+
+    from pathik_spark.operators.redirects import http_response_meta
+    from pathik_spark.operators.revalidate import http_cache_meta
+    from pathik_spark.sources.sinks import warc_response_rows
+    from pathik_spark.sources.warc_source import read_warc_archives
+
+    arts = _artifacts(spark)
+    recs = warc_response_rows(arts)
+    out = str(tmp_path / "resp")
+    write_warc_files(recs, out)
+    pages = read_warc_archives(spark, out)  # keeps response records
+    assert {r["warc_type"] for r in pages.select("warc_type").collect()} == {
+        "response"
+    }
+    meta = {
+        r["url"]: (r["status_code"], r["mime"])
+        for r in http_response_meta(pages).collect()
+    }
+    assert meta == {
+        "https://a.example/x": (200, "text/html"),
+        "https://b.example/y": (200, "text/html"),
+    }
+    cache = {r["url"]: r["date"] for r in http_cache_meta(pages).collect()}
+    assert cache["https://a.example/x"] == dt.datetime(2013, 5, 1, 12, 30, 0)
+    # the HTTP body is the original html bytes, intact through the
+    # header block (binary payload incl. \xff\xfe survives)
+    raw = {
+        r["url"]: bytes(r["html"]) for r in pages.select("url", "html").collect()
+    }
+    body = raw["https://b.example/y"].split(b"\r\n\r\n", 1)[1]
+    assert body == b"\x00binary\xff\xfebytes"
