@@ -103,17 +103,27 @@ def recrawl_filter_adaptive(
     now,
     ts_col: str = "seen_ts",
     bloom_shards_bc=None,
+    url_ttls: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host freshness-aware URL-seen: a seen record blocks the
-    frontier only while YOUNGER than its host's TTL (the churn-derived
-    table from recrawl_ttl_hours); staler records expire and the URL
-    re-enters. Hosts absent from ``ttls`` never expire (conservative:
-    a plain seen filter for them).
+    frontier only while YOUNGER than its TTL; staler records expire and
+    the URL re-enters. TTL precedence per seen record:
 
-    Scale shape mirrors seen.recrawl_filter: the TTL table is per-host
-    (bounded) and broadcast onto the seen scan — the frontier side is
-    untouched, and the full-set bloom/cuckoo shards stay valid as the
-    pre-filter (a bloom miss is never-seen, hence never fresh-seen)."""
+    1. ``url_ttls`` (url, ttl_hours) — per-URL SERVER-DECLARED
+       lifetimes (operators/revalidate.cache_ttl_hours: max-age /
+       Expires / heuristic). Authoritative when present: the server
+       knows its own resource better than our churn inference;
+    2. ``ttls`` (host, ttl_hours) — the churn-derived host table from
+       recrawl_ttl_hours (the observational fallback);
+    3. neither — never expires (conservative: a plain seen filter).
+
+    Scale shape mirrors seen.recrawl_filter: the host TTL table is
+    bounded and broadcast onto the seen scan; ``url_ttls`` is per-URL
+    (NOT broadcastable at 10^10) and equi-joins the seen side on url —
+    both live in the shared url_hash bucket layout when stored, so the
+    join co-locates; the frontier side is untouched either way, and the
+    full-set bloom/cuckoo shards stay valid as the pre-filter (a bloom
+    miss is never-seen, hence never fresh-seen)."""
     from pathik_spark.functions.urls import hostname_of
     from pathik_spark.operators.seen import seen_filter
 
@@ -124,6 +134,14 @@ def recrawl_filter_adaptive(
         "_host",
         "left",
     )
+    if url_ttls is not None:
+        aged = aged.join(
+            url_ttls.select("url", F.col("ttl_hours").alias("_url_ttl")),
+            "url",
+            "left",
+        ).withColumn(
+            "ttl_hours", F.coalesce(F.col("_url_ttl"), F.col("ttl_hours"))
+        ).drop("_url_ttl")
     now_s = F.unix_timestamp(F.lit(now).cast("timestamp")).cast("double")
     age_s = now_s - F.unix_timestamp(F.col(ts_col)).cast("double")
     fresh = aged.filter(

@@ -182,3 +182,44 @@ def test_recrawl_filter_adaptive(spark):
         for r in recrawl_filter_adaptive(frontier, seen, ttls, now).collect()
     }
     assert out == {urls["a"], urls["e"]}
+
+
+def test_recrawl_filter_adaptive_url_ttl_overlay(spark):
+    """Per-URL server-declared TTLs (cache_ttl_hours shape) override the
+    host churn TTL where present; rows without one fall back."""
+    import datetime
+
+    from pathik_spark.functions.urls import url_hash_expr
+    from pathik_spark.operators.delta import recrawl_filter_adaptive
+
+    now = datetime.datetime(2014, 3, 10, 0, 0, 0)
+    old = datetime.datetime(2014, 3, 1, 0, 0, 0)  # 9 days = 216 h old
+    urls = {
+        # host ttl 720h would block; url ttl 24h expires it -> readmit
+        "short": "https://stable.example/volatile",
+        # host ttl 24h would readmit; url ttl 8760h keeps it fresh -> block
+        "long": "https://churny.example/immutable",
+        # no url ttl -> host churn ttl 24h -> stale -> readmit
+        "fallback": "https://churny.example/plain",
+    }
+    frontier = spark.createDataFrame(
+        [(u,) for u in urls.values()], "url string"
+    ).withColumn("url_hash", url_hash_expr(F.col("url")))
+    seen = spark.createDataFrame(
+        [(u, old) for u in urls.values()], "url string, seen_ts timestamp"
+    ).withColumn("url_hash", url_hash_expr(F.col("url")))
+    ttls = spark.createDataFrame(
+        [("churny.example", 24.0), ("stable.example", 720.0)],
+        "host string, ttl_hours double",
+    )
+    url_ttls = spark.createDataFrame(
+        [(urls["short"], 24.0), (urls["long"], 8760.0)],
+        "url string, ttl_hours double",
+    )
+    out = {
+        r["url"]
+        for r in recrawl_filter_adaptive(
+            frontier, seen, ttls, now, url_ttls=url_ttls
+        ).collect()
+    }
+    assert out == {urls["short"], urls["fallback"]}
