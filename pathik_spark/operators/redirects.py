@@ -59,11 +59,17 @@ def http_response_meta(
     status = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})([ \r\n]|$)", 1)
     location = F.regexp_extract(hdr, r"(?im)^Location:[ \t]*([^\r\n]+)", 1)
     mime = F.regexp_extract(hdr, r"(?im)^Content-Type:[ \t]*([^\r\n;]+)", 1)
+    # the transport-layer encoding label, for kernels/charset sniffing
+    # (WHATWG precedence step 2) — the mime column strips parameters
+    charset = F.regexp_extract(
+        hdr, r"(?im)^Content-Type:[^\r\n]*;[ \t]*charset=\"?'?([a-zA-Z0-9._-]+)", 1
+    )
     return records.select(
         "url",
         F.when(status != "", status).cast("int").alias("status_code"),
         F.when(location != "", F.trim(location)).alias("location"),
         F.when(mime != "", F.trim(mime)).alias("mime"),
+        F.when(charset != "", F.lower(charset)).alias("charset"),
     )
 
 

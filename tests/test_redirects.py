@@ -206,13 +206,13 @@ def test_http_response_meta(spark):
     from pathik_spark.operators.redirects import http_response_meta
 
     out = {
-        r["url"]: (r["status_code"], r["location"], r["mime"])
+        r["url"]: (r["status_code"], r["location"], r["mime"], r["charset"])
         for r in http_response_meta(df).collect()
     }
-    assert out["http://s.example/r"] == (301, "/target", "text/html")
-    assert out["http://s.example/ok"] == (200, None, "image/png")
-    assert out["http://s.example/body-trap"] == (200, None, "text/plain")
-    assert out["http://s.example/resource"] == (None, None, None)
+    assert out["http://s.example/r"] == (301, "/target", "text/html", "utf-8")
+    assert out["http://s.example/ok"] == (200, None, "image/png", None)
+    assert out["http://s.example/body-trap"] == (200, None, "text/plain", None)
+    assert out["http://s.example/resource"] == (None, None, None, None)
 
 
 def test_warc_to_redirect_chains_end_to_end(spark, tmp_path):
