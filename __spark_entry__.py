@@ -666,6 +666,37 @@ def _q_feed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_feed_urls(docs)
 
 
+def _q_canonical_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical alias extraction (RFC 6596): the real operator
+    (first-tag-wins parse + shared RFC 3986 resolver + F1 validity)
+    vs the same two-step parse and resolution in DuckDB."""
+    from pathik_spark.entry_queries import CANONICAL_DOCS_CTE
+    from pathik_spark.operators.aliases import extract_canonical_links
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {CANONICAL_DOCS_CTE.strip()} SELECT * FROM canonical_docs"
+    )
+    return extract_canonical_links(docs)
+
+
+def _q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-group collapse over the extracted canonical links: one
+    representative per coalesce(canonical, url) group (map-side
+    combinable min_by) vs the oracle's rank-prefixed MIN."""
+    from pathik_spark.entry_queries import CANONICAL_DOCS_CTE
+    from pathik_spark.operators.aliases import (
+        canonical_collapse,
+        extract_canonical_links,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {CANONICAL_DOCS_CTE.strip()} SELECT * FROM canonical_docs"
+    )
+    return canonical_collapse(extract_canonical_links(docs))
+
+
 def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (crawl prioritization signal): the real
     iterative operator vs the oracle's chained power-iteration CTEs."""
@@ -1735,6 +1766,8 @@ ENGINE_ORACLE_QUERIES = {
     "host_mirror_pairs": _q_host_mirror_pairs,
     "exact_k_sample": _q_exact_k_sample,
     "meta_robots": _q_meta_robots,
+    "canonical_links": _q_canonical_links,
+    "canonical_collapse": _q_canonical_collapse,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
@@ -1857,18 +1890,21 @@ _SWEEP_PRIORITY = [
     # -- round-4 additions --
     "crawl_rounds_relational", "robots_wildcards", "registrable_domain",
     "mojibake_repair", "redirect_resolve", "redirect_chains",
+    # -- late round-4 additions (oracled, zero driver rows) --
+    "http_cache_ttl", "robots_access_policy", "sitemap_classify",
+    "retry_after",
     # -- oracled since round 1's no-oracle sweep but never hash-checked
-    #    by the driver (their only prior rows predate their oracles) --
-    "extract_links_discovery", "lsh_ann_topk",
-    # -- rows-only by design (pytest-oracled); sweep for the weaker
-    #    rows-only driver row so every entry has one across rounds --
-    "image_neardup", "ivf_ann_topk", "bpe_merges",
-    # -- flagship keeps rotated out entirely for round 4
-    #    (crawl_schedule_order, clean_corpus, url_seen_antijoin,
-    #    minhash_lsh_pairs, extract_text_vectorized, dedup_clusters —
-    #    each hash-green two+ consecutive rounds) so the 50-slot sweep
-    #    admits the two new redirect entries and every oracled entry
-    #    has a hash-green driver row by end of round 4 --
+    #    by the driver (its only prior row predates its oracle) --
+    "lsh_ann_topk",
+    # -- demoted below the 50-slot line to admit the four late oracled
+    #    entries: extract_links_discovery (green driver row in r1, oracle
+    #    hash still replica-only) and the three rows-only-by-design
+    #    entries (image_neardup, ivf_ann_topk, bpe_merges — pytest-oracled;
+    #    their driver row would be the weaker rows-only kind). Flagship
+    #    keeps (crawl_schedule_order, clean_corpus, url_seen_antijoin,
+    #    minhash_lsh_pairs, extract_text_vectorized, dedup_clusters) stay
+    #    rotated out — each hash-green two+ consecutive rounds. --
+    "extract_links_discovery", "image_neardup", "ivf_ann_topk", "bpe_merges",
 ]
 
 

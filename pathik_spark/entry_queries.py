@@ -1957,6 +1957,86 @@ FROM tok
 """
 
 
+# rel=canonical corpus (shared dialect): 60 pages over 6 hosts with a
+# directory-bearing base path so relative hrefs have real resolution
+# work. Variants cover: absolute cross-host target, root-relative,
+# href-before-rel attribute order, uppercase tag/attr/value,
+# empty href, fragment-carrying relative, no declaration, two
+# declarations (first wins), dot-segment relative, and a mailto:
+# target (resolves to a non-http URL -> dropped as invalid).
+CANONICAL_DOCS_CTE = """
+canonical_docs AS (
+  SELECT 'https://host' || CAST(h % 6 AS STRING) || '.example/dir/sub/page' || CAST(h AS STRING) AS url,
+    CASE
+      WHEN h % 10 = 0 THEN '<html><head><link rel="canonical" href="https://canon.example/c' || CAST(h % 4 AS STRING) || '"></head><body>x</body></html>'
+      WHEN h % 10 = 1 THEN '<html><head><link rel="canonical" href="/canon/p' || CAST(h % 5 AS STRING) || '"></head><body>x</body></html>'
+      WHEN h % 10 = 2 THEN '<html><head><link href="../up/u' || CAST(h % 3 AS STRING) || '" rel="canonical"></head><body>x</body></html>'
+      WHEN h % 10 = 3 THEN '<html><head><LINK REL="CANONICAL" HREF="//cdn.example/x' || CAST(h % 2 AS STRING) || '"></head><body>x</body></html>'
+      WHEN h % 10 = 4 THEN '<html><head><link rel="canonical" href=""></head><body>x</body></html>'
+      WHEN h % 10 = 5 THEN '<html><head><link rel="canonical" href="self' || CAST(h AS STRING) || '#frag"></head><body>x</body></html>'
+      WHEN h % 10 = 6 THEN '<html><head><link rel="stylesheet" href="/s.css"></head><body>no declaration</body></html>'
+      WHEN h % 10 = 7 THEN '<html><head><link rel="canonical" href="/first' || CAST(h % 3 AS STRING) || '"><link rel="canonical" href="/second"></head><body>x</body></html>'
+      WHEN h % 10 = 8 THEN '<html><head><link rel="canonical" href="a/../b/./c' || CAST(h % 4 AS STRING) || '"></head><body>x</body></html>'
+      ELSE '<html><head><link rel="canonical" href="mailto:a@b.example"></head><body>x</body></html>'
+    END AS html
+  FROM (SELECT DISTINCT o_orderkey % 60 AS h FROM orders)
+)
+"""
+
+
+def _duck_canonical_links_cte() -> str:
+    """links(url, canonical_url) — DuckDB twin of
+    operators/aliases.extract_canonical_links over CANONICAL_DOCS_CTE:
+    first-tag-wins two-step regex parse, shared-resolver resolution,
+    F1 validity gate (via _valid_pred on the candidate)."""
+    tag = (
+        "coalesce(regexp_extract(html,"
+        " '(?i)(<link[^>]*rel=\"canonical\"[^>]*>)', 1), '')"
+    )
+    href = "trim(coalesce(regexp_extract(tag, '(?i)href=\"([^\"]*)\"', 1), ''))"
+    return f"""{CANONICAL_DOCS_CTE.strip()},
+canon_tags AS (SELECT url, {tag} AS tag FROM canonical_docs),
+canon_hrefs AS (SELECT url, {href} AS href FROM canon_tags),
+canon_resolved AS (
+  SELECT url AS page_url, href, {_duck_resolve('url', 'href')} AS url
+  FROM canon_hrefs
+),
+links AS (
+  SELECT page_url AS url,
+    CASE WHEN href = '' THEN ''
+         WHEN NOT ({_valid_pred(DUCK)}) THEN ''
+         ELSE url END AS canonical_url
+  FROM canon_resolved
+)"""
+
+
+def duck_canonical_links_sql() -> str:
+    return f"""
+WITH {_duck_canonical_links_cte()}
+SELECT url, canonical_url FROM links
+"""
+
+
+def duck_canonical_collapse_sql() -> str:
+    """DuckDB twin of operators/aliases.canonical_collapse over the
+    extracted links: group by coalesce(canonical, url); representative
+    prefers the canonical page itself, then the smallest alias URL —
+    stated here as a min over a rank-prefixed string (identical order
+    to the engine's (rank, url) struct min_by)."""
+    return f"""
+WITH {_duck_canonical_links_cte()},
+groups AS (
+  SELECT coalesce(nullif(canonical_url, ''), url) AS canonical_url, url
+  FROM links
+)
+SELECT canonical_url,
+  CAST(COUNT(*) AS BIGINT) AS n_aliases,
+  substr(MIN(CASE WHEN url = canonical_url THEN 'a:' || url
+                  ELSE 'b:' || url END), 3) AS representative_url
+FROM groups GROUP BY canonical_url
+"""
+
+
 def duck_exact_k_sample_sql(k: int = 150) -> str:
     """DuckDB twin of exact_k_sample (operators/sampling.py): the k
     smallest salted portable hashes over the documents keys."""
@@ -4539,6 +4619,8 @@ ENGINE_ORACLE_SQL = {
     "host_mirror_pairs": duck_host_mirror_sql,
     "exact_k_sample": duck_exact_k_sample_sql,
     "meta_robots": duck_meta_robots_sql,
+    "canonical_links": duck_canonical_links_sql,
+    "canonical_collapse": duck_canonical_collapse_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
