@@ -697,6 +697,23 @@ def _q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_collapse(extract_canonical_links(docs))
 
 
+def _q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl frontier scoring (anchor-text + URL-token topical
+    relevance, Chakrabarti 1999 family): the real broadcast-join
+    operator vs the same tokenization and weighting in DuckDB."""
+    from pathik_spark.entry_queries import FOCUSED_ANCHORS_CTE, FOCUSED_TOPIC
+    from pathik_spark.operators.focused import focused_frontier_scores
+
+    _register_views(spark, sf_dir)
+    anchors = spark.sql(
+        f"WITH {FOCUSED_ANCHORS_CTE.strip()} SELECT * FROM focused_anchors"
+    )
+    topic = spark.createDataFrame(
+        FOCUSED_TOPIC, "term string, weight_micro bigint"
+    )
+    return focused_frontier_scores(anchors, topic)
+
+
 def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (crawl prioritization signal): the real
     iterative operator vs the oracle's chained power-iteration CTEs."""
@@ -1768,6 +1785,7 @@ ENGINE_ORACLE_QUERIES = {
     "meta_robots": _q_meta_robots,
     "canonical_links": _q_canonical_links,
     "canonical_collapse": _q_canonical_collapse,
+    "focused_frontier": _q_focused_frontier,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

@@ -2037,6 +2037,102 @@ FROM groups GROUP BY canonical_url
 """
 
 
+# Focused-crawl corpus (shared dialect): 84 frontier URLs over 9
+# hosts; anchors mix topical text, boilerplate ("read more"), empty
+# strings and noise; the UNION arm adds multi-inlink fan-in and
+# boilerplate multiplicity. URLs with h%4==0 carry topic terms in the
+# path so the URL-token channel has real work too.
+FOCUSED_ANCHORS_CTE = """
+focused_anchors AS (
+  SELECT 'https://t' || CAST(h % 9 AS STRING) || '.example/' ||
+      CASE WHEN h % 4 = 0 THEN 'spark/tutorial-' ELSE 'page-' END
+      || CAST(h AS STRING) AS dst_url,
+    CASE
+      WHEN h % 7 = 0 THEN 'Spark streaming tutorial'
+      WHEN h % 7 = 1 THEN 'read more'
+      WHEN h % 7 = 2 THEN 'DEDUP at scale with spark'
+      WHEN h % 7 = 3 THEN 'click here'
+      WHEN h % 7 = 4 THEN 'crawl, dedup & parquet!'
+      WHEN h % 7 = 5 THEN ''
+      ELSE 'unrelated kittens'
+    END AS anchor
+  FROM (SELECT DISTINCT o_orderkey % 84 AS h FROM orders)
+  UNION ALL
+  SELECT 'https://t' || CAST(h % 9 AS STRING) || '.example/' ||
+      CASE WHEN h % 4 = 0 THEN 'spark/tutorial-' ELSE 'page-' END
+      || CAST(h AS STRING) AS dst_url,
+    CASE WHEN h % 3 = 0 THEN 'read more' ELSE 'spark tutorial' END AS anchor
+  FROM (SELECT DISTINCT o_orderkey % 84 AS h FROM orders) WHERE h % 2 = 0
+)
+"""
+
+# (term, integer micro weight) topic profile — one source of truth for
+# the Spark-side broadcast table and the oracle's VALUES list.
+FOCUSED_TOPIC = [
+    ("spark", 100),
+    ("dedup", 80),
+    ("crawl", 60),
+    ("parquet", 50),
+    ("tutorial", 30),
+]
+
+
+def duck_focused_frontier_sql() -> str:
+    """DuckDB twin of operators/focused.focused_frontier_scores over
+    FOCUSED_ANCHORS_CTE + FOCUSED_TOPIC: identical tokenization
+    ([^a-z0-9]+ split, empties dropped), occurrence-weighted matched
+    anchor tokens, URL path+query token weights, matched-inlink count."""
+    values = ", ".join(f"('{t}', {w})" for t, w in FOCUSED_TOPIC)
+    tok = (
+        "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'),"
+        " t -> t <> '')"
+    )
+    return f"""
+WITH {FOCUSED_ANCHORS_CTE.strip()},
+topic(term, weight_micro) AS (SELECT * FROM (VALUES {values})),
+grouped AS (
+  SELECT dst_url, anchor, COUNT(*) AS n_links
+  FROM focused_anchors GROUP BY dst_url, anchor
+),
+atoks AS (
+  SELECT dst_url, n_links, unnest({tok.format(c='anchor')}) AS term
+  FROM grouped
+),
+ascore AS (
+  SELECT dst_url, SUM(weight_micro * n_links) AS anchor_score_micro
+  FROM atoks JOIN topic USING (term) GROUP BY dst_url
+),
+tlist AS (SELECT list(term) AS terms FROM topic),
+hits AS (
+  SELECT dst_url,
+    SUM(CASE WHEN list_has_any({tok.format(c='anchor')}, terms)
+             THEN n_links ELSE 0 END) AS n_hit_inlinks
+  FROM grouped, tlist GROUP BY dst_url
+),
+urls AS (SELECT DISTINCT dst_url FROM focused_anchors),
+utoks AS (
+  SELECT dst_url, unnest({tok.format(c=(
+      "coalesce(regexp_extract(dst_url,"
+      " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '')"))}) AS term
+  FROM urls
+),
+uscore AS (
+  SELECT dst_url, SUM(weight_micro) AS url_score_micro
+  FROM utoks JOIN topic USING (term) GROUP BY dst_url
+)
+SELECT urls.dst_url AS url,
+  CAST(COALESCE(anchor_score_micro, 0) AS BIGINT) AS anchor_score_micro,
+  CAST(COALESCE(url_score_micro, 0) AS BIGINT) AS url_score_micro,
+  CAST(COALESCE(n_hit_inlinks, 0) AS BIGINT) AS n_hit_inlinks,
+  CAST(COALESCE(anchor_score_micro, 0) + COALESCE(url_score_micro, 0)
+       AS BIGINT) AS score_micro
+FROM urls
+LEFT JOIN ascore ON urls.dst_url = ascore.dst_url
+LEFT JOIN uscore ON urls.dst_url = uscore.dst_url
+LEFT JOIN hits ON urls.dst_url = hits.dst_url
+"""
+
+
 def duck_exact_k_sample_sql(k: int = 150) -> str:
     """DuckDB twin of exact_k_sample (operators/sampling.py): the k
     smallest salted portable hashes over the documents keys."""
@@ -4621,6 +4717,7 @@ ENGINE_ORACLE_SQL = {
     "meta_robots": duck_meta_robots_sql,
     "canonical_links": duck_canonical_links_sql,
     "canonical_collapse": duck_canonical_collapse_sql,
+    "focused_frontier": duck_focused_frontier_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
