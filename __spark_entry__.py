@@ -714,6 +714,53 @@ def _q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focused_frontier_scores(anchors, topic)
 
 
+def _q_transfer_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP wire-layer header metadata (Transfer-Encoding chunked flag
+    + cleaned Content-Encoding list): the real pure-expression operator
+    over binary payloads vs the same parse in DuckDB."""
+    from pathik_spark.entry_queries import transfer_headers_sql
+    from pathik_spark.operators.transfer import transfer_meta
+
+    _register_views(spark, sf_dir)
+    corpus = spark.sql(transfer_headers_sql()).select(
+        "url", F.col("payload").cast("binary").alias("payload")
+    )
+    return transfer_meta(corpus, payload_col="payload")
+
+
+def _q_http_body_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire round-trip: encode document text into full HTTP payloads
+    (gzip / deflate / chunked strata, deterministic encoder twin), then
+    decode with the production kernel — decode∘encode must be identity,
+    witnessed by md5 in both engines plus the applied-layer labels."""
+    from pathik_spark.operators.transfer import (
+        decode_http_bodies,
+        encode_http_bodies,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .filter((F.col("doc_id") < 240) & F.col("text").isNotNull())
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+                "url"
+            ),
+            F.col("text").cast("binary").alias("body"),
+            F.element_at(
+                F.array(F.lit(""), F.lit("gzip"), F.lit("deflate"), F.lit("gzip")),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).alias("codings"),
+            ((F.col("doc_id") % 4) >= 2).alias("chunked"),
+        )
+    )
+    payloads = encode_http_bodies(docs)
+    decoded = decode_http_bodies(payloads, payload_col="payload")
+    return decoded.select(
+        "url", "applied", "ok", F.md5(F.col("body")).alias("md5")
+    )
+
+
 def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (crawl prioritization signal): the real
     iterative operator vs the oracle's chained power-iteration CTEs."""
@@ -1786,6 +1833,8 @@ ENGINE_ORACLE_QUERIES = {
     "canonical_links": _q_canonical_links,
     "canonical_collapse": _q_canonical_collapse,
     "focused_frontier": _q_focused_frontier,
+    "transfer_meta": _q_transfer_meta,
+    "http_body_decode": _q_http_body_decode,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

@@ -2133,6 +2133,81 @@ LEFT JOIN hits ON urls.dst_url = hits.dst_url
 """
 
 
+def transfer_headers_sql() -> str:
+    """(url, payload) wire-header corpus for the transfer_meta oracle —
+    strata: bare 200, gzip, chunked+deflate, case+identity-token
+    cleanup, a TE list containing chunked, and an unsupported coding
+    label (br). CRLF via chr() so the literal runs in both engines."""
+    crlf = "chr(13) || chr(10)"
+    lines = {
+        0: "'HTTP/1.1 200 OK' || {c} || 'Content-Length: 5'",
+        1: "'HTTP/1.1 200 OK' || {c} || 'Content-Encoding: gzip'",
+        2: (
+            "'HTTP/1.1 200 OK' || {c} || 'Transfer-Encoding: chunked' || {c} "
+            "|| 'Content-Encoding: deflate'"
+        ),
+        3: "'HTTP/1.1 200 OK' || {c} || 'Content-Encoding: GZip, identity'",
+        4: "'HTTP/1.1 200 OK' || {c} || 'Transfer-Encoding: gzip, chunked'",
+        5: "'HTTP/1.1 200 OK' || {c} || 'Content-Encoding: br'",
+    }
+    whens = "\n    ".join(
+        f"WHEN {k} THEN {v.format(c=crlf)}" for k, v in lines.items()
+    )
+    return f"""
+SELECT 'http://t' || CAST(doc_id % 5 AS STRING) || '.example/w/' || CAST(doc_id AS STRING) AS url,
+  (CASE doc_id % 6
+    {whens}
+  END) || {crlf} || {crlf} || 'body' AS payload
+FROM documents WHERE doc_id < 180
+"""
+
+
+def duck_transfer_meta_sql() -> str:
+    """DuckDB twin of operators/transfer.transfer_meta: header-block
+    split, case-insensitive header match, comma-split content codings
+    with identity tokens dropped, chunked flag from the TE list."""
+    crlf2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+    hdr = f"split_part(payload, {crlf2}, 1)"
+    te = (
+        f"lower(coalesce(regexp_extract({hdr},"
+        f" '(?im)^Transfer-Encoding:[ \\t]*([^\\r\\n]+)', 1), ''))"
+    )
+    ce = (
+        f"lower(coalesce(regexp_extract({hdr},"
+        f" '(?im)^Content-Encoding:[ \\t]*([^\\r\\n]+)', 1), ''))"
+    )
+    return f"""
+WITH corpus AS ({transfer_headers_sql().strip()})
+SELECT url,
+  contains({te}, 'chunked') AS chunked,
+  coalesce(array_to_string(
+    list_filter(list_transform(string_split({ce}, ','), t -> trim(t)),
+                t -> t <> '' AND t <> 'identity'),
+    ','), '') AS content_encoding
+FROM corpus
+"""
+
+
+def duck_http_body_decode_sql() -> str:
+    """DuckDB twin of the wire round-trip (operators/transfer
+    encode_http_bodies -> decode_http_bodies): decode∘encode must be
+    the identity on the entity bytes — witnessed per row by md5 over
+    the document text — with the applied-layer label and ok flag
+    stated from the encode stratum."""
+    return """
+SELECT 'doc://' || CAST(doc_id AS STRING) AS url,
+  CASE doc_id % 4
+    WHEN 0 THEN ''
+    WHEN 1 THEN 'gzip'
+    WHEN 2 THEN 'chunked,deflate'
+    ELSE 'chunked,gzip'
+  END AS applied,
+  true AS ok,
+  md5(text) AS md5
+FROM documents WHERE doc_id < 240 AND text IS NOT NULL
+"""
+
+
 def duck_exact_k_sample_sql(k: int = 150) -> str:
     """DuckDB twin of exact_k_sample (operators/sampling.py): the k
     smallest salted portable hashes over the documents keys."""
@@ -4718,6 +4793,8 @@ ENGINE_ORACLE_SQL = {
     "canonical_links": duck_canonical_links_sql,
     "canonical_collapse": duck_canonical_collapse_sql,
     "focused_frontier": duck_focused_frontier_sql,
+    "transfer_meta": duck_transfer_meta_sql,
+    "http_body_decode": duck_http_body_decode_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
