@@ -714,6 +714,17 @@ def _q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focused_frontier_scores(anchors, topic)
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact paragraph dedup (RefinedWeb family): the real
+    packed-id winner operator vs the same split/hash/min/reassembly in
+    DuckDB."""
+    from pathik_spark.entry_queries import para_docs_sql
+    from pathik_spark.operators.linedup import paragraph_dedup
+
+    _register_views(spark, sf_dir)
+    return paragraph_dedup(spark.sql(para_docs_sql()))
+
+
 def _q_transfer_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP wire-layer header metadata (Transfer-Encoding chunked flag
     + cleaned Content-Encoding list): the real pure-expression operator
@@ -1835,6 +1846,7 @@ ENGINE_ORACLE_QUERIES = {
     "focused_frontier": _q_focused_frontier,
     "transfer_meta": _q_transfer_meta,
     "http_body_decode": _q_http_body_decode,
+    "paragraph_dedup": _q_paragraph_dedup,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

@@ -2964,6 +2964,66 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def para_docs_sql() -> str:
+    """(doc_id, text) multi-paragraph corpus for the paragraph-dedup
+    oracle: a unique opener, boilerplate injected on doc_id%3==0 (all
+    copies after the first must vanish), a body paragraph shared every
+    40 ids, a whitespace-only pseudo-paragraph on %5==0 (must not key
+    or count), and a unique closer."""
+    p = "chr(10) || chr(10)"
+    return f"""
+SELECT doc_id,
+  'Opening paragraph for document ' || CAST(doc_id AS STRING) || '.' || {p}
+  || CASE WHEN doc_id % 3 = 0
+          THEN 'Subscribe to our newsletter for updates.' || {p} ELSE '' END
+  || 'Body content ' || CAST(doc_id % 40 AS STRING) || ' shared across some docs.' || {p}
+  || CASE WHEN doc_id % 5 = 0 THEN '   ' || {p} ELSE '' END
+  || 'Closing note ' || CAST(doc_id AS STRING) AS text
+FROM documents WHERE doc_id < 200
+"""
+
+
+def duck_paragraph_dedup_sql() -> str:
+    """DuckDB twin of paragraph_dedup (operators/linedup.py): blank-run
+    split with positions, 60-bit portable hash of the normalized
+    paragraph, packed-id first-occurrence winner, reassembly with blank
+    lines in document order."""
+    d = DUCK
+    norm = _norm_text(d, "para")
+    split = "string_split_regex(text, '\\n[ \\t]*\\n+')"
+    return f"""
+WITH docs AS ({para_docs_sql().strip()}),
+paras0 AS (
+  SELECT doc_id,
+         generate_subscripts({split}, 1) - 1 AS para_no,
+         unnest({split}) AS para
+  FROM docs
+),
+paras AS (
+  SELECT *, {d['HASH60'](norm)} AS para_key,
+         doc_id * 1048576 + para_no AS pos
+  FROM paras0 WHERE NOT regexp_matches(para, '^\\s*$')
+),
+winners AS (SELECT para_key, MIN(pos) AS win FROM paras GROUP BY para_key),
+kept AS (
+  SELECT p.* FROM paras p JOIN winners w USING (para_key) WHERE p.pos = w.win
+),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM paras GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(para ORDER BY para_no), chr(10) || chr(10)) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.text, '') AS text,
+       CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM (SELECT DISTINCT doc_id FROM docs) d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def unicode_docs_sql() -> str:
     """(doc_id, text) corpus for the NFC-normalization oracle —
     identical UTF-8 literals in both dialects: decomposed accents
@@ -4795,6 +4855,7 @@ ENGINE_ORACLE_SQL = {
     "focused_frontier": duck_focused_frontier_sql,
     "transfer_meta": duck_transfer_meta_sql,
     "http_body_decode": duck_http_body_decode_sql,
+    "paragraph_dedup": duck_paragraph_dedup_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

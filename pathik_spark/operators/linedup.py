@@ -282,3 +282,85 @@ def c4_clean(
         ).alias("keep"),
         *[F.col(c) for c in passthrough],
     )
+
+
+# Paragraph numbers pack with doc ids into one orderable BIGINT for the
+# first-occurrence winner rule (doc_id * PARA_PACK + para_no) — exact
+# and portable to the SQL oracle, unlike a struct min. Bounds both
+# factors: ids up to ~2^43, documents up to 2^20 paragraphs.
+PARA_PACK = 1 << 20
+
+
+def corpus_paragraphs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, para_no, para, para_key): one row per non-blank
+    paragraph (runs of blank lines separate paragraphs), document
+    order via para_no over the ORIGINAL split so positions are stable
+    whether or not neighbors were blank."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n[ \t]*\n+")).alias(
+            "para_no", "para"
+        ),
+    ).filter(~F.col("para").rlike(r"^\s*$"))  # trim() is space-only
+    return exploded.withColumn("para_key", _line_key(F.col("para")))
+
+
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact paragraph-level dedup, keep-first (RefinedWeb §3.3 /
+    CCNet family): every repeated paragraph survives ONLY at its first
+    corpus occurrence — first by (doc_id, para_no) — and vanishes from
+    every later document. Complements line_dedup (which removes ALL
+    copies of heavy boilerplate): here the first copy stays, so rare
+    cross-posted content is not lost, at the cost of an order-dependent
+    winner (the packed id makes it deterministic on any cluster).
+
+    Returns (doc_id, text, n_paras, n_kept); kept paragraphs rejoin
+    with a blank line. Docs whose every paragraph was a later
+    duplicate survive with text='' (dropping is caller policy, as in
+    line_dedup).
+
+    Scale shape: one map-side-combinable MIN groupBy on the 60-bit
+    paragraph hash, one hash-keyed join back (AQE handles the
+    boilerplate-key skew), one doc_id groupBy for reassembly — no
+    windows, no all-pairs.
+
+    ``id_col`` must be integral, < 2^43, and stable across runs; at
+    web scale use the ingest sequence, not a 64-bit content hash.
+    """
+    paras = corpus_paragraphs(docs, text_col, id_col)
+    packed = paras.withColumn(
+        "_pos", F.col("doc_id") * F.lit(PARA_PACK) + F.col("para_no")
+    )
+    winners = packed.groupBy("para_key").agg(F.min("_pos").alias("_win"))
+    marked = packed.join(winners, "para_key").withColumn(
+        "_heavy", F.when(F.col("_pos") == F.col("_win"), None).otherwise(True)
+    )
+    keep = F.col("_heavy").isNull()
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("para_no", "para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("text"),
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+    )
+    # docs with zero non-blank paragraphs still get a row
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -141,3 +141,41 @@ def test_host_line_dedup_min_docs_floor(spark):
         "doc_id long, source string, text string",
     )
     assert host_template_lines(docs, min_docs=2).count() == 0
+
+
+# --- paragraph dedup (keep-first) --------------------------------------------
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from pathik_spark.operators.linedup import paragraph_dedup
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unique one\n\nshared para\n\nalso one"),
+            Row(doc_id=2, text="shared para\n\nunique two"),
+            Row(doc_id=3, text="shared para"),
+            Row(doc_id=4, text="   \n\n\t\n\n"),  # only blank paragraphs
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert got[1]["text"] == "unique one\n\nshared para\n\nalso one"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    assert got[2]["text"] == "unique two"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["text"] == "" and got[4]["n_paras"] == 0
+
+
+def test_paragraph_dedup_first_within_one_doc(spark):
+    from pathik_spark.operators.linedup import paragraph_dedup
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=7, text="dup\n\nmiddle\n\ndup")],
+        "doc_id int, text string",
+    )
+    row = paragraph_dedup(docs).collect()[0]
+    assert row["text"] == "dup\n\nmiddle"
+    assert (row["n_paras"], row["n_kept"]) == (3, 2)
