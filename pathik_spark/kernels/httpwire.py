@@ -220,7 +220,14 @@ def decode_body(payload: bytes) -> tuple[bytes, str, bool]:
     comma-joined layers actually undone in application order (e.g.
     ``"chunked,gzip"``), '' when the body was already an entity. On
     any failure the bytes stand as far as decoding got, ok=False.
+
+    A payload that does not start with ``HTTP/`` is not a response
+    record (WARC resource/conversion records carry bare entities) and
+    passes through untouched — the same non-response tolerance as
+    redirects.http_response_meta's NULL status.
     """
+    if not payload.startswith(b"HTTP/"):
+        return payload, "", True
     header, body = split_response(payload)
     chunked, codings = codings_of(header)
     applied: list[str] = []

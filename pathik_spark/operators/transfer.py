@@ -98,29 +98,36 @@ def encode_http_bodies(
     return src.mapInPandas(_encode, schema)
 
 
-DECODED_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("body", T.BinaryType()),
-        T.StructField("applied", T.StringType()),
-        T.StructField("ok", T.BooleanType()),
-    ]
-)
-
-
 def decode_http_bodies(
-    records: DataFrame, payload_col: str = "html", url_col: str = "url"
+    records: DataFrame,
+    payload_col: str = "html",
+    url_col: str = "url",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(url, body, applied, ok) — entity bytes per response payload.
+    """(url, *passthrough, body, applied, ok) — entity bytes per
+    response payload.
 
     ``applied`` lists the wire layers actually undone in application
     order (e.g. 'chunked,gzip'); ``ok=False`` marks a payload whose
     declared coding could not be fully undone (truncated stream,
     unknown coding, bomb guard) — the bytes stand as far as decoding
-    got, callers route or drop. One Arrow batch pass, total over
-    garbage."""
+    got, callers route or drop. Payloads that are not HTTP responses
+    pass through as already-entity bytes. One Arrow batch pass, total
+    over garbage; ``passthrough`` columns ride along (no join-back
+    shuffle for callers that carry warc_ts etc.)."""
     src = records.select(
-        F.col(url_col).alias("url"), F.col(payload_col).alias("_payload")
+        F.col(url_col).alias("url"),
+        *[F.col(c) for c in passthrough],
+        F.col(payload_col).alias("_payload"),
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType())]
+        + [src.schema[c] for c in passthrough]
+        + [
+            T.StructField("body", T.BinaryType()),
+            T.StructField("applied", T.StringType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,13 +138,10 @@ def decode_http_bodies(
                 bodies.append(body)
                 applieds.append(applied)
                 oks.append(ok)
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "body": bodies,
-                    "applied": applieds,
-                    "ok": oks,
-                }
-            )
+            out = pdf.drop(columns=["_payload"]).copy()
+            out["body"] = bodies
+            out["applied"] = applieds
+            out["ok"] = oks
+            yield out
 
-    return src.mapInPandas(_decode, DECODED_SCHEMA)
+    return src.mapInPandas(_decode, schema)

@@ -225,7 +225,25 @@ def read_warc_archives(
     return pages
 
 
-def warc_to_pages(spark: SparkSession, path: str) -> DataFrame:
+def warc_to_pages(
+    spark: SparkSession, path: str, wire_decode: bool = False
+) -> DataFrame:
     """Facade: archives -> the exact input_hint pages contract
-    (url, warc_ts, html) ready for CrawlRun / the extraction kernels."""
-    return read_warc_archives(spark, path).select("url", "warc_ts", "html")
+    (url, warc_ts, html) ready for CrawlRun / the extraction kernels.
+
+    ``wire_decode=True`` is for Common-Crawl-style archives whose
+    records are raw HTTP ``response`` payloads: the header block is
+    stripped and chunked/gzip/deflate wire layers undone
+    (operators/transfer.decode_http_bodies), so ``html`` is entity
+    bytes. Records that are already bare entities (resource/conversion
+    records, this engine's own sink output) pass through untouched, so
+    the flag is safe on mixed archives."""
+    pages = read_warc_archives(spark, path).select("url", "warc_ts", "html")
+    if not wire_decode:
+        return pages
+    from pathik_spark.operators.transfer import decode_http_bodies
+
+    # scan-local: warc_ts rides through the decode pass, no join-back
+    return decode_http_bodies(pages, passthrough=("warc_ts",)).select(
+        "url", "warc_ts", F.col("body").alias("html")
+    )

@@ -204,3 +204,36 @@ def gzip_member_stream_import():
     from pathik_spark.sources.warc_source import gzip_member_stream
 
     return gzip_member_stream
+
+
+def test_wire_decode_strips_http_layer_and_passes_bare_entities(spark, tmp_path):
+    """CC-style archives (response records) come back as ENTITY bytes
+    under wire_decode=True; bare-entity records are untouched."""
+    from pathik_spark.sources.sinks import warc_response_rows
+
+    arts = _artifacts(spark)
+    recs = warc_response_rows(arts)
+    write_warc_files(recs, str(tmp_path / "resp"), prefix="r")
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in warc_to_pages(
+            spark, str(tmp_path / "resp"), wire_decode=True
+        ).collect()
+    }
+    want = {r["url"]: bytes(r["html"]) for r in arts.collect()}
+    assert got == want
+    # without the flag the payload keeps its HTTP header block
+    raw = {
+        r["url"]: bytes(r["html"])
+        for r in warc_to_pages(spark, str(tmp_path / "resp")).collect()
+    }
+    assert all(v.startswith(b"HTTP/1.1 200 OK\r\n") for v in raw.values())
+    # bare-entity archives (our own record sink) are invariant under the flag
+    write_warc_files(warc_record_rows(arts), str(tmp_path / "bare"), prefix="b")
+    bare = {
+        r["url"]: bytes(r["html"])
+        for r in warc_to_pages(
+            spark, str(tmp_path / "bare"), wire_decode=True
+        ).collect()
+    }
+    assert bare == want
