@@ -52,6 +52,7 @@ def prepare_training_corpus(
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.5,
     line_max_occurrences: int = 1000,
+    dedup_paragraphs: bool = False,
     neardup_threshold: float = 0.8,
     split_weights: dict[str, float] | None = None,
     apply_c4: bool = True,
@@ -86,6 +87,10 @@ def prepare_training_corpus(
        pre-cleaned text) — rewrites text, drops gated docs;
     2. CCNet line-level boilerplate removal corpus-wide
        (``line_max_occurrences``);
+    2a. optional keep-first exact paragraph dedup
+       (``dedup_paragraphs=True``, RefinedWeb family): repeated
+       paragraphs survive only at their first corpus occurrence; docs
+       left with zero paragraphs drop;
     2b. optional exact-substring span removal (Lee et al. ExactSubstr,
        ``substring_ngram`` tokens, >= ``substring_min_count``
        occurrences corpus-wide) — catches verbatim boilerplate that
@@ -174,6 +179,14 @@ def prepare_training_corpus(
     staged = line_dedup(staged, max_occurrences=line_max_occurrences).select(
         "doc_id", "text"
     )
+    if dedup_paragraphs:
+        from pathik_spark.operators.linedup import paragraph_dedup
+
+        staged = (
+            paragraph_dedup(staged)
+            .filter(F.col("n_kept") > 0)
+            .select("doc_id", "text")
+        )
     if substring_ngram is not None:
         from pathik_spark.operators.substring import (
             duplicated_spans,

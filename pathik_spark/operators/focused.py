@@ -141,3 +141,43 @@ def focused_frontier_scores(
             ),
         )
     )
+
+
+def frontier_from_scores(
+    scores: DataFrame, n_tiers: int = 8, max_score_micro: int | None = None
+) -> DataFrame:
+    """Turn focused scores into CrawlRun-ready seeds (url, seq,
+    priority): top-scoring URLs get priority 0, zero-score URLs the
+    last tier. Tiers are fixed score bands (linear over
+    [0, max_score_micro], which defaults to the topic profile's
+    plausible per-URL ceiling estimated as a broadcast 1-row MAX) —
+    banding keeps the mapping scan-local instead of a global
+    percentile sort. ``seq`` is the portable 60-bit url hash, the
+    scheduler's partitioning-independent FIFO tie-break (same idiom as
+    discover.discover_seeds).
+    """
+    from pathik_spark.operators.dedup import portable_hash64
+
+    if max_score_micro is None:
+        top = F.broadcast(
+            scores.groupBy().agg(F.max("score_micro").alias("_top"))
+        )
+        scored = scores.crossJoin(top)
+    else:
+        scored = scores.withColumn("_top", F.lit(int(max_score_micro)))
+    band = F.when(
+        (F.col("score_micro") <= 0) | (F.col("_top") <= 0),
+        F.lit(n_tiers - 1),
+    ).otherwise(
+        F.least(
+            F.lit(n_tiers - 2),
+            ((F.lit(n_tiers - 1))
+             * (F.col("_top") - F.col("score_micro"))
+             / F.col("_top")).cast("int"),
+        )
+    )
+    return scored.select(
+        "url",
+        portable_hash64(F.col("url")).alias("seq"),
+        band.cast("int").alias("priority"),
+    )

@@ -70,3 +70,40 @@ def test_host_tokens_do_not_score(spark):
         [("spark", 10)],
     )
     assert got["https://spark.example/page"] == (0, 0, 0, 0)
+
+
+def test_frontier_from_scores_tiers_and_seeds_contract(spark):
+    from pyspark.sql import Row
+
+    from pathik_spark.operators.focused import frontier_from_scores
+
+    scores = spark.createDataFrame(
+        [
+            Row(url="https://h/top", score_micro=100),
+            Row(url="https://h/mid", score_micro=50),
+            Row(url="https://h/low", score_micro=1),
+            Row(url="https://h/zero", score_micro=0),
+        ],
+        "url string, score_micro bigint",
+    )
+    got = {
+        r["url"]: r["priority"]
+        for r in frontier_from_scores(scores, n_tiers=8).collect()
+    }
+    assert got["https://h/top"] == 0
+    assert got["https://h/mid"] == 3
+    assert got["https://h/zero"] == 7
+    assert 0 < got["https://h/low"] <= 6
+    # the seeds contract feeds the crawl loop directly
+    from pathik_spark.operators.frontier import prepare_frontier
+
+    fr = prepare_frontier(
+        frontier_from_scores(scores, n_tiers=8)
+    )
+    assert {"url", "seq", "priority"} <= set(fr.columns)
+    # all-zero scores: everything lands in the last tier, not div/0
+    zeros = spark.createDataFrame(
+        [Row(url="https://h/a", score_micro=0)],
+        "url string, score_micro bigint",
+    )
+    assert frontier_from_scores(zeros).collect()[0]["priority"] == 7

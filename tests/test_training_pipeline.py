@@ -283,3 +283,24 @@ def test_prepare_training_corpus_plan_shape(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prepare_training_corpus_paragraph_dedup_stage(spark):
+    # two docs sharing a paragraph: the later doc loses its copy but
+    # keeps its unique paragraph; pipeline output reflects the strip
+    shared = "Shared cross-posted paragraph about the golden harbor."
+    rows = [
+        (0, _line(0, 0) + "\n\n" + shared),
+        (1, shared + "\n\n" + _line(1, 1)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, _ = pathik_spark.prepare_training_corpus(
+        docs,
+        apply_c4=False,
+        min_quality=0.0,
+        line_max_occurrences=100,
+        dedup_paragraphs=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert shared in got[0]
+    assert shared not in got[1] and _line(1, 1) in got[1]
