@@ -254,6 +254,7 @@ def discover_seeds(
     feed_urls: DataFrame | None = None,
     robots_sitemaps: DataFrame | None = None,
     now=None,
+    canonical_links: DataFrame | None = None,
 ) -> DataFrame:
     """Unified seed intake: one CrawlRun-ready (url, seq, priority)
     table from the standing discovery channels —
@@ -266,7 +267,12 @@ def discover_seeds(
       content, so entries default to tier 1;
     - ``robots_sitemaps`` (robots_sitemap_urls output): sitemap
       archives to FETCH, tier 0 — crawling them unlocks everything
-      they list.
+      they list;
+    - ``canonical_links`` (aliases.extract_canonical_links output):
+      rel=canonical targets DIFFERENT from the declaring page — the
+      site says the preferred representation lives there, so content
+      is known to exist: tier 1. Self-canonical and undeclared rows
+      contribute nothing.
 
     ``seq`` (the scheduler's FIFO tie-break) is the portable 60-bit
     hash of the url — deterministic and partitioning-independent
@@ -302,6 +308,15 @@ def discover_seeds(
         parts.append(feed_urls.select("url", F.lit(1).alias("priority")))
     if robots_sitemaps is not None:
         parts.append(robots_sitemaps.select("url", F.lit(0).alias("priority")))
+    if canonical_links is not None:
+        parts.append(
+            canonical_links.filter(
+                (F.col("canonical_url") != "")
+                & (F.col("canonical_url") != F.col("url"))
+            ).select(
+                F.col("canonical_url").alias("url"), F.lit(1).alias("priority")
+            )
+        )
     if not parts:
         raise ValueError("discover_seeds: no discovery channel given")
     out = parts[0]

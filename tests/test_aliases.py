@@ -92,3 +92,20 @@ def test_collapse_prefers_canonical_page_then_min_alias(spark):
         "https://h/gone": (2, "https://h/z1"),
         "https://h/s": (1, "https://h/s"),
     }
+
+
+def test_canonical_channel_in_discover_seeds(spark):
+    from pyspark.sql import Row
+
+    from pathik_spark.operators.discover import discover_seeds
+
+    links = spark.createDataFrame(
+        [
+            Row(url="https://h/print", canonical_url="https://h/a"),
+            Row(url="https://h/self", canonical_url="https://h/self"),
+            Row(url="https://h/none", canonical_url=""),
+        ],
+        "url string, canonical_url string",
+    )
+    got = {r["url"]: r["priority"] for r in discover_seeds(canonical_links=links).collect()}
+    assert got == {"https://h/a": 1}
