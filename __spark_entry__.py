@@ -714,6 +714,42 @@ def _q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focused_frontier_scores(anchors, topic)
 
 
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical URL keys (the web-archive ecosystem's sort key):
+    the real expression vs the same transform in DuckDB, over the
+    validated URLS_CTE strata."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.functions.urls import is_valid_url_expr, surt_key_expr
+
+    _register_views(spark, sf_dir)
+    urls = spark.sql(
+        f"WITH {URLS_CTE.strip()} SELECT id, url FROM urls_cte"
+    ).filter(is_valid_url_expr(F.col("url")))
+    return urls.select("id", surt_key_expr(F.col("url")).alias("surt"))
+
+
+def _q_cdxj_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl CDXJ index-line parsing: the real read-side
+    expressions (split + get_json_object, typed fields) vs split_part
+    + json_extract_string in DuckDB."""
+    from pathik_spark.entry_queries import CDXJ_LINES_CTE
+    from pathik_spark.sources.cdxj import parse_cdxj_lines
+
+    _register_views(spark, sf_dir)
+    lines = spark.sql(
+        f"WITH {CDXJ_LINES_CTE.strip()} SELECT * FROM cdxj_lines"
+    )
+    parsed = parse_cdxj_lines(lines)
+    # comparison-boundary normalization: the operator keeps NULL for
+    # absent JSON fields; the oracle surface avoids NULLs (ordering)
+    return parsed.select(
+        "urlkey", "ts", "url", "filename", "offset", "length",
+        F.coalesce("mime", F.lit("")).alias("mime"),
+        F.coalesce("status", F.lit(-1)).alias("status"),
+        F.coalesce("digest", F.lit("")).alias("digest"),
+    )
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first exact paragraph dedup (RefinedWeb family): the real
     packed-id winner operator vs the same split/hash/min/reassembly in
@@ -1847,6 +1883,8 @@ ENGINE_ORACLE_QUERIES = {
     "transfer_meta": _q_transfer_meta,
     "http_body_decode": _q_http_body_decode,
     "paragraph_dedup": _q_paragraph_dedup,
+    "surt_keys": _q_surt_keys,
+    "cdxj_parse": _q_cdxj_parse,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

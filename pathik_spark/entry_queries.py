@@ -2208,6 +2208,82 @@ FROM documents WHERE doc_id < 240 AND text IS NOT NULL
 """
 
 
+def duck_surt_keys_sql() -> str:
+    """DuckDB twin of functions/urls.surt_key_expr over the URLS_CTE
+    strata (mixed case, default + nonstandard ports, query reorder,
+    fragment, empty path): lowercase, drop scheme/userinfo/fragment
+    and default ports, reverse host labels, '/' for the empty path,
+    bytewise-sorted query parameters."""
+    u = "regexp_replace(lower(trim(url)), '#.*$', '')"
+    netloc = f"coalesce(regexp_extract({u}, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '')"
+    return f"""
+WITH {URLS_CTE.strip()},
+valid AS (SELECT id, url FROM urls_cte WHERE {_valid_pred(DUCK)}),
+parts AS (
+  SELECT id,
+    regexp_replace(regexp_replace({netloc}, '^[^@]*@', ''), ':[0-9]*$', '') AS host,
+    coalesce(regexp_extract(regexp_replace({netloc}, '^[^@]*@', ''), ':([0-9]+)$', 1), '') AS port,
+    coalesce(regexp_extract({u}, '^([a-z][a-z0-9+.-]*)://', 1), '') AS scheme,
+    coalesce(regexp_extract({u}, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+    coalesce(regexp_extract({u}, '\\?([^#]*)', 1), '') AS query
+  FROM valid
+)
+SELECT id,
+  array_to_string(list_reverse(string_split(host, '.')), ',')
+  || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END
+  || ')'
+  || CASE WHEN path = '' THEN '/' ELSE path END
+  || CASE WHEN query = '' THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+  AS surt
+FROM parts
+"""
+
+
+# CDXJ line corpus (shared dialect): key + 14-digit ts + JSON block;
+# doc_id%3==0 rows carry the full CC field set, %3==1 the minimal set
+# (mime/status/digest must come back NULL), %3==2 a different month and
+# a 3xx status.
+CDXJ_LINES_CTE = """
+cdxj_lines AS (
+  SELECT 'com,site' || CAST(doc_id % 9 AS STRING) || ')/p/' || CAST(doc_id AS STRING)
+    || ' ' || CASE WHEN doc_id % 3 = 2 THEN '2024041512300' ELSE '2024030112000' END || CAST(doc_id % 10 AS STRING)
+    || ' {"url": "https://site' || CAST(doc_id % 9 AS STRING) || '.com/p/' || CAST(doc_id AS STRING) || '"'
+    || ', "filename": "crawl/seg' || CAST(doc_id % 4 AS STRING) || '/a.warc.gz"'
+    || ', "offset": "' || CAST(doc_id * 1021 AS STRING) || '"'
+    || ', "length": "' || CAST(300 + doc_id % 700 AS STRING) || '"'
+    || CASE WHEN doc_id % 3 = 0 THEN ', "mime": "text/html", "status": "200", "digest": "SHA1' || CAST(doc_id AS STRING) || '"'
+            WHEN doc_id % 3 = 2 THEN ', "status": "301"'
+            ELSE '' END
+    || '}' AS line
+  FROM documents WHERE doc_id < 210
+)
+"""
+
+
+def duck_cdxj_parse_sql() -> str:
+    """DuckDB twin of sources/cdxj.parse_cdxj_lines over
+    CDXJ_LINES_CTE: two space-split key fields, strptime'd ts14, JSON
+    field extraction with typed offset/length/status and NULL for
+    absent fields."""
+    js = "coalesce(regexp_extract(line, '^[^ ]+ [^ ]+ (.*)$', 1), '')"
+    return f"""
+WITH {CDXJ_LINES_CTE.strip()}
+SELECT split_part(line, ' ', 1) AS urlkey,
+  strptime(split_part(line, ' ', 2), '%Y%m%d%H%M%S') AS ts,
+  json_extract_string({js}, '$.url') AS url,
+  json_extract_string({js}, '$.filename') AS filename,
+  CAST(json_extract_string({js}, '$.offset') AS BIGINT) AS offset,
+  CAST(json_extract_string({js}, '$.length') AS BIGINT) AS length,
+  coalesce(json_extract_string({js}, '$.mime'), '') AS mime,
+  coalesce(CAST(json_extract_string({js}, '$.status') AS INT), -1) AS status,
+  coalesce(json_extract_string({js}, '$.digest'), '') AS digest
+FROM cdxj_lines
+"""
+
+
 def duck_exact_k_sample_sql(k: int = 150) -> str:
     """DuckDB twin of exact_k_sample (operators/sampling.py): the k
     smallest salted portable hashes over the documents keys."""
@@ -4856,6 +4932,8 @@ ENGINE_ORACLE_SQL = {
     "transfer_meta": duck_transfer_meta_sql,
     "http_body_decode": duck_http_body_decode_sql,
     "paragraph_dedup": duck_paragraph_dedup_sql,
+    "surt_keys": duck_surt_keys_sql,
+    "cdxj_parse": duck_cdxj_parse_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

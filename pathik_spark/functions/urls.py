@@ -258,3 +258,49 @@ def domain_name_udf(urls: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def sanitize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(K.sanitize_url)
+
+
+def surt_key_expr(url: Column) -> Column:
+    """SURT form (Sort-friendly URI Reordering Transform) — the
+    canonical URL KEY of the web-archive ecosystem: Common Crawl's CDX
+    index, Heritrix dedup, and Wayback lookups all sort on it, because
+    reversing the host labels makes one site's URLs (and one
+    organization's sites) a contiguous key range.
+
+    ``https://WWW.Example.COM:443/a/B?z=1&a=2#f``
+        -> ``com,example,www)/a/b?a=2&z=1``
+
+    Canonicalization applied (declared, deterministic): whole URL
+    lowercased; scheme, userinfo, fragment dropped; default ports
+    (http:80 / https:443) dropped, others kept; host labels reversed
+    comma-joined; empty path becomes ``/``; query parameters sorted
+    bytewise (the ?b=2&a=1 variant collides with ?a=1&b=2 — the point
+    of a key). ``www`` labels are KEPT (the transform stays invertible;
+    strip-www is a policy layered above, not baked into the key).
+    Pure codegen expressions — no UDF.
+    """
+    u = F.regexp_replace(F.lower(F.trim(url)), r"#.*$", "")
+    netloc = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    no_user = F.regexp_replace(netloc, r"^[^@]*@", "")
+    host = F.regexp_replace(no_user, r":\d*$", "")
+    port = F.regexp_extract(no_user, r":(\d+)$", 1)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1)
+    default_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev_host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
