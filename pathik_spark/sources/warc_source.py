@@ -247,3 +247,31 @@ def warc_to_pages(
     return decode_http_bodies(pages, passthrough=("warc_ts",)).select(
         "url", "warc_ts", F.col("body").alias("html")
     )
+
+
+def wet_to_documents(
+    spark: SparkSession, path: str, id_from_hash: bool = True
+) -> DataFrame:
+    """WET ingest: Common Crawl's extracted-text sidecar archives
+    (``conversion`` records, text/plain payloads) -> the documents
+    shape (doc_id, url, warc_ts, text) the cleaning/dedup family
+    consumes. Many corpus builds START here — CC has already run
+    extraction, so the pipeline is WET -> clean -> dedup -> export.
+
+    ``doc_id`` is the portable 60-bit url hash by default (stable
+    across runs and clusters; pass False to keep no id and assign
+    ingest sequence downstream). UTF-8 payload decode happens in the
+    JVM cast with replacement semantics — a stray invalid byte in a
+    100 TB dump is data, not an exception."""
+    from pathik_spark.operators.dedup import portable_hash64
+
+    recs = read_warc_archives(spark, path, warc_types=("conversion",))
+    out = recs.select(
+        "url", "warc_ts", F.col("html").cast("string").alias("text")
+    )
+    if id_from_hash:
+        out = out.select(
+            portable_hash64(F.col("url")).alias("doc_id"),
+            "url", "warc_ts", "text",
+        )
+    return out

@@ -237,3 +237,23 @@ def test_wire_decode_strips_http_layer_and_passes_bare_entities(spark, tmp_path)
         ).collect()
     }
     assert bare == want
+
+
+def test_wet_to_documents(spark, tmp_path):
+    from pathik_spark.sources.sinks import wet_record_rows, write_warc_files
+    from pathik_spark.sources.warc_source import wet_to_documents
+
+    arts = spark.createDataFrame(
+        [
+            ("https://a.example/x", datetime.datetime(2024, 1, 1), "alpha text", "fetched"),
+            ("https://b.example/y", datetime.datetime(2024, 1, 2), "beta text", "fetched"),
+        ],
+        "url string, warc_ts timestamp, text string, status string",
+    )
+    recs = wet_record_rows(arts)
+    write_warc_files(recs, str(tmp_path), prefix="wet")
+    docs = wet_to_documents(spark, str(tmp_path))
+    got = {r["url"]: (r["text"], r["doc_id"]) for r in docs.collect()}
+    assert got["https://a.example/x"][0] == "alpha text"
+    assert got["https://b.example/y"][0] == "beta text"
+    assert all(isinstance(v[1], int) for v in got.values())
