@@ -11,6 +11,9 @@ lowest discovery priority.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -326,4 +329,42 @@ def discover_seeds(
         "url",
         F.pmod(portable_hash64(F.col("url")), F.lit(1_000_000_000_000)).alias("seq"),
         F.col("priority").cast("int").alias("priority"),
+    )
+
+
+def decode_sitemap_payloads(
+    sitemaps: DataFrame,
+    content_col: str = "sitemap_xml",
+    out_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Fetched sitemap payloads -> XML text. Real sitemaps ship as
+    ``sitemap.xml.gz`` at least as often as plain XML (the protocol
+    caps a file at 50 MB uncompressed, so large sites always gzip);
+    this decodes gzip-magic payloads (multi-member tolerated, same
+    decoder as the WARC source) and passes plain bytes/text through,
+    with replacement-character UTF-8 decoding — a malformed byte in
+    one sitemap is data, not a task failure. Feed the result to
+    extract_sitemap_urls / extract_sitemap_entries / classify_*."""
+    from pyspark.sql import types as T
+
+    col_type = sitemaps.schema[content_col].dataType
+    if isinstance(col_type, T.StringType):
+        return sitemaps.withColumnRenamed(content_col, out_col) \
+            if content_col != out_col else sitemaps
+
+    @F.pandas_udf(T.StringType())
+    def _decode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from pathik_spark.sources.warc_source import gunzip_members
+
+        for s in it:
+            out = []
+            for b in s:
+                raw = bytes(b or b"")
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gunzip_members(raw)
+                out.append(raw.decode("utf-8", errors="replace"))
+            yield pd.Series(out)
+
+    return sitemaps.withColumn(out_col, _decode(F.col(content_col))).drop(
+        *([content_col] if content_col != out_col else [])
     )

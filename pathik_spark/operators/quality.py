@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pathik_spark.operators.dedup import normalized_text
 
@@ -545,4 +546,72 @@ def filter_soft404s(pages: DataFrame, text_col: str = "text") -> DataFrame:
     out = soft404_signals(pages, text_col=text_col)
     return out.filter(F.col("is_soft404") == 0).drop(
         "has_marker", "tiny", "is_soft404"
+    )
+
+
+COMPRESSION_LEVEL = 6  # fixed: the ratio is part of the data contract
+MIN_COMPRESSIBLE_BYTES = 64  # below this the zlib header dominates
+
+
+def compression_signals(
+    docs: DataFrame,
+    max_ratio: float = 0.98,
+    min_ratio: float = 0.30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compression-ratio quality signal (the RedPajama-v2 /
+    DataComp-LM family): deflate the UTF-8 text at a FIXED level and
+    report compressed/raw sizes. Near-incompressible text (ratio ->
+    1.0) is typically already-compressed junk or random strings;
+    extremely compressible text (ratio -> 0) is repetition spam that
+    n-gram signals can miss when the period is long. ``keep`` is the
+    band verdict; tiny docs (< MIN_COMPRESSIBLE_BYTES) keep
+    unconditionally — the zlib header noise would dominate their ratio.
+
+    Integer byte counts, fixed zlib level -> deterministic on any
+    cluster. One Arrow batch pass (zlib is C-speed; the UDF cost is
+    the bytes, not Python). Returns (doc_id, raw_len, compressed_len,
+    ratio_micro, keep); ratio_micro = round(1e6 * compressed/raw) —
+    integer, hash-stable."""
+    import pandas as pd
+    from typing import Iterator
+
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", src.schema["doc_id"].dataType),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("compressed_len", T.LongType()),
+        ]
+    )
+
+    def _measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raws, comps = [], []
+            for t in pdf["_text"]:
+                b = (t or "").encode("utf-8")
+                raws.append(len(b))
+                comps.append(len(zlib.compress(b, COMPRESSION_LEVEL)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "raw_len": raws, "compressed_len": comps}
+            )
+
+    sizes = src.mapInPandas(_measure, schema)
+    ratio_micro = F.when(
+        F.col("raw_len") > 0,
+        F.round(F.col("compressed_len") * 1_000_000 / F.col("raw_len")).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0))
+    keep = (F.col("raw_len") < MIN_COMPRESSIBLE_BYTES) | (
+        (F.col("ratio_micro") >= int(min_ratio * 1_000_000))
+        & (F.col("ratio_micro") <= int(max_ratio * 1_000_000))
+    )
+    return sizes.withColumn("ratio_micro", ratio_micro).withColumn(
+        "keep", keep
     )

@@ -82,3 +82,35 @@ def test_feed_extraction_case_insensitive(spark):
     )
     urls = {r["url"] for r in extract_feed_urls(docs, content_col="feed_xml").collect()}
     assert urls == {"https://up.example/post1", "https://up.example/post2"}
+
+
+def test_decode_sitemap_payloads_gzip_and_plain(spark):
+    import gzip
+
+    from pyspark.sql import Row
+
+    from pathik_spark.operators.discover import (
+        decode_sitemap_payloads,
+        extract_sitemap_urls,
+    )
+
+    xml = (
+        '<urlset><url><loc>https://h.example/a</loc></url>'
+        '<url><loc>https://h.example/b</loc></url></urlset>'
+    )
+    rows = [
+        Row(host="h.example", sitemap_xml=gzip.compress(xml.encode(), mtime=0)),
+        Row(host="p.example", sitemap_xml=xml.replace("h.example", "p.example").encode()),
+    ]
+    df = spark.createDataFrame(rows, "host string, sitemap_xml binary")
+    decoded = decode_sitemap_payloads(df)
+    assert dict(decoded.dtypes)["sitemap_xml"] == "string"
+    got = {
+        (r["host"], r["url"]) for r in extract_sitemap_urls(decoded).collect()
+    }
+    assert got == {
+        ("h.example", "https://h.example/a"),
+        ("h.example", "https://h.example/b"),
+        ("p.example", "https://p.example/a"),
+        ("p.example", "https://p.example/b"),
+    }

@@ -552,3 +552,34 @@ def test_soft404_plan_is_scan_local(spark):
         soft404_signals(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure expressions, no shuffle
+
+
+def test_compression_signals_exact_and_band(spark):
+    import zlib
+
+    from pathik_spark.operators.quality import (
+        COMPRESSION_LEVEL,
+        compression_signals,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumped over a lazy dog while seventeen "
+            "musicians rehearsed quietly behind the old library, and nobody "
+            "expected the harbor master to arrive early with fresh charts "
+            "of unexplored coastline or bring gifts from distant ports."),
+        (2, "ab" * 4000),                       # long-period repetition spam
+        (3, "x" * 30),                          # tiny: keeps unconditionally
+        (4, ""),                                # empty: ratio 0, tiny-keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_signals(docs).collect()}
+    # exact parity with an in-test reference at the pinned level
+    for doc_id, text in rows:
+        b = text.encode("utf-8")
+        assert got[doc_id]["raw_len"] == len(b)
+        assert got[doc_id]["compressed_len"] == len(
+            zlib.compress(b, COMPRESSION_LEVEL)
+        )
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ratio_micro"] < 300_000
+    assert got[3]["keep"] is True and got[4]["keep"] is True
