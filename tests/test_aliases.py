@@ -109,3 +109,20 @@ def test_canonical_channel_in_discover_seeds(spark):
     )
     got = {r["url"]: r["priority"] for r in discover_seeds(canonical_links=links).collect()}
     assert got == {"https://h/a": 1}
+
+
+def test_collapse_plan_single_shuffle_partial_agg(spark):
+    """canonical_collapse: exactly one Exchange (the group on the
+    canonical key), with a partial aggregate below it."""
+    links = spark.createDataFrame(
+        [("https://h/a", ""), ("https://h/b", "https://h/a")],
+        "url string, canonical_url string",
+    )
+    plan = (
+        canonical_collapse(links)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan or "HashAggregate" in plan

@@ -107,3 +107,27 @@ def test_frontier_from_scores_tiers_and_seeds_contract(spark):
         "url string, score_micro bigint",
     )
     assert frontier_from_scores(zeros).collect()[0]["priority"] == 7
+
+
+def test_focused_plan_broadcasts_topic_no_cartesian_blowup(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import Row
+
+    from pathik_spark.operators.focused import focused_frontier_scores
+
+    a = spark.createDataFrame(
+        [Row(dst_url=f"https://h/{i}", anchor=f"spark tip {i}") for i in range(50)],
+        "dst_url string, anchor string",
+    )
+    t = spark.createDataFrame([("spark", 10)], "term string, weight_micro bigint")
+    df = focused_frontier_scores(a, t)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # term joins and the 1-row term-set join are all broadcast;
+    # nothing data-sized nested-loops
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

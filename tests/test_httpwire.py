@@ -133,3 +133,21 @@ def test_decode_http_bodies_and_meta(spark):
     assert meta["u2"]["content_encoding"] == "gzip"
     assert meta["u3"]["chunked"] and meta["u3"]["content_encoding"] == "deflate"
     assert meta["u4"]["content_encoding"] == "br"
+
+
+def test_decode_plan_is_scan_local(spark):
+    """decode_http_bodies must add no Exchange: the Python pass runs
+    inside the scan that carries the records."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(url="u", html=b"HTTP/1.1 200 OK\r\n\r\nx")],
+        "url string, html binary",
+    )
+    plan = (
+        decode_http_bodies(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
