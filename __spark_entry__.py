@@ -1966,10 +1966,27 @@ ENGINE_ORACLE_QUERIES = {
     "embedding_neardup": _q_embedding_neardup,
 }
 
+def _q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (SentencePiece family): EM-trained piece
+    probabilities (driver loop over the oracled word-count stage),
+    Viterbi encode. Rows-only: float EM is not SQL-expressible; the
+    forward-backward core is equality-tested against an independent
+    brute-force reference (tests/test_unigram.py)."""
+    from pathik_spark.operators.unigram import train_unigram, unigram_encode
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    )
+    model = train_unigram(docs, vocab_size=512)
+    return unigram_encode(docs, model).select("doc_id", "n_unigram_tokens")
+
+
 # Genuinely non-SQL-expressible (iterative driver loop, binary decode,
 # float-order-sensitive k-means): rows-only here, each with a pytest
 # oracle (sim-oracle equality / golden fixtures / recall bounds).
 ROWS_ONLY_QUERIES = {
+    "unigram_encode": _q_unigram_encode,
     "crawl_flagship_round": _q_crawl_flagship,
     "multimodal_features": _q_multimodal_features,
     "image_neardup": _q_image_neardup,
