@@ -725,3 +725,100 @@ def analyze_http_responses(records: DataFrame, max_hops: int = 10):
     ttls = cache_ttl_hours(meta)
     delays = retry_after_delays(records)
     return meta, chains, ttls, delays
+
+
+def export_tokenized_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    tokenizer: str = "bpe",
+    vocab_size: int = 8000,
+    n_merges: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Corpus -> trainer files, one call: train a tokenizer (``bpe`` or
+    ``unigram``), encode every document scan-locally, map pieces to
+    contiguous ids, and write Megatron/Fairseq ``.bin``/``.idx`` shards
+    plus a ``vocab.json`` sidecar (piece -> id, in id order).
+
+    Piece-id assignment is deterministic: BPE uses the merge-order
+    vocabulary (operators/bpe.bpe_vocab — the order every BPE runtime
+    uses); unigram sorts by (probability desc, piece). The id mapping
+    rides the SAME mapInPandas pass as shard writing would read — one
+    extra scan-local hop, no shuffle beyond the exporter's single
+    deterministic repartition. Returns {'vocab_size', 'vocab_path',
+    'shards': [(path, n_docs, n_tokens)], 'tokenizer'}.
+    """
+    import json
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pathik_spark.sources.indexed_dataset import (
+        write_indexed_token_shards,
+    )
+
+    if tokenizer == "bpe":
+        from pathik_spark.operators.bpe import (
+            bpe_encode,
+            bpe_vocab,
+            train_bpe,
+        )
+
+        merges = train_bpe(docs, n_merges=n_merges, text_col=text_col)
+        base = sorted(
+            {ch for a, b in merges for ch in (a + b)} | set("abcdefghijklmnopqrstuvwxyz0123456789")
+        )
+        pieces = bpe_vocab(merges, base)
+        encoded = bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    elif tokenizer == "unigram":
+        from pathik_spark.operators.unigram import (
+            train_unigram,
+            unigram_encode,
+        )
+
+        model = train_unigram(docs, vocab_size=vocab_size, text_col=text_col)
+        pieces = [p for p, _ in sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))]
+        encoded = unigram_encode(docs, model, text_col=text_col, id_col=id_col)
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+
+    ids_of = {p: i for i, p in enumerate(pieces)}
+    unk = len(ids_of)  # one reserved id for out-of-vocab pieces
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _to_ids(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "token_ids": [
+                        [ids_of.get(t, unk) for t in toks]
+                        for toks in pdf["tokens"]
+                    ],
+                }
+            )
+
+    ids = encoded.select("doc_id", "tokens").mapInPandas(_to_ids, schema)
+    summary = write_indexed_token_shards(
+        ids, out_dir, n_shards=n_shards, vocab_size=unk + 1
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    vocab_path = os.path.join(out_dir, "vocab.json")
+    with open(vocab_path, "w") as f:
+        json.dump({p: i for i, p in enumerate(pieces)} | {"<unk>": unk}, f)
+    return {
+        "tokenizer": tokenizer,
+        "vocab_size": unk + 1,
+        "vocab_path": vocab_path,
+        "shards": [(s["path"], s["n_docs"], s["n_tokens"]) for s in summary],
+    }

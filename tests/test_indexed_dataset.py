@@ -101,3 +101,38 @@ def test_idx_header_fields(spark, tmp_path):
     assert all(
         pointers[i] == pointers[i - 1] + 2 * sizes[i - 1] for i in range(1, n)
     )
+
+
+def test_export_tokenized_corpus_end_to_end(spark, tmp_path):
+    import json
+
+    from pathik_spark.api import export_tokenized_corpus
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the band ran and ran to the banana stand") for i in range(12)],
+        "doc_id long, text string",
+    )
+    for tok in ("bpe", "unigram"):
+        out = str(tmp_path / tok)
+        res = export_tokenized_corpus(
+            docs, out, tokenizer=tok, vocab_size=64, n_merges=16, n_shards=2
+        )
+        assert res["tokenizer"] == tok
+        vocab = json.load(open(res["vocab_path"]))
+        assert vocab["<unk>"] == res["vocab_size"] - 1
+        assert len(vocab) == res["vocab_size"]
+        total_docs = sum(n for _, n, _ in res["shards"])
+        assert total_docs == 12
+        # read the shards back: ids are in-vocab, every doc non-empty
+        inv = {i: p for p, i in vocab.items()}
+        seqs = [
+            s
+            for base, n, _ in res["shards"]
+            for s in read_indexed_dataset(base)
+        ]
+        assert len(seqs) == 12
+        assert all(len(s) > 0 for s in seqs)
+        assert all(int(t) in inv for s in seqs for t in s)
+        # decode one sequence back to the normalized text (no spaces)
+        joined = "".join(inv[int(t)] for t in seqs[0]).replace("</w>", "")
+        assert "banana" in joined
