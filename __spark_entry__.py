@@ -728,6 +728,30 @@ def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select("id", surt_key_expr(F.col("url")).alias("surt"))
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene split-leakage audit: the real hash_split + report
+    operators over a host-cycled corpus vs the oracle's md5 lattice and
+    per-(host, split) rollup."""
+    from pathik_spark.operators.sampling import hash_split, split_leakage_report
+
+    _register_views(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("leak"), (F.col("doc_id") % 23).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+        )
+    )
+    labeled = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    )
+    return split_leakage_report(labeled)
+
+
 def _q_cdxj_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl CDXJ index-line parsing: the real read-side
     expressions (split + get_json_object, typed fields) vs split_part
@@ -1885,6 +1909,7 @@ ENGINE_ORACLE_QUERIES = {
     "paragraph_dedup": _q_paragraph_dedup,
     "surt_keys": _q_surt_keys,
     "cdxj_parse": _q_cdxj_parse,
+    "split_leakage": _q_split_leakage,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

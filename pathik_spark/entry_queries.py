@@ -4330,6 +4330,33 @@ FROM documents
 """
 
 
+def duck_split_leakage_sql() -> str:
+    """DuckDB twin of sampling.split_leakage_report over a url-keyed
+    hash_split: hosts cycle mod 23 so most span splits; the report
+    states spanning hosts with sorted split lists and row totals."""
+    key = "'split:' || CAST(doc_id AS STRING)"
+    bucket = DUCK["HASH60"](key) + " % 1000000"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, 'leak' || CAST(doc_id % 23 AS STRING) || '.example' AS host
+  FROM documents WHERE doc_id < 400
+),
+labeled AS (
+  SELECT host,
+    CASE WHEN {bucket} < 800000 THEN 'train'
+         WHEN {bucket} < 900000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM docs
+),
+per AS (SELECT host, split, COUNT(*) AS n FROM labeled GROUP BY host, split)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_splits,
+  array_to_string(list_sort(list(split)), ',') AS splits,
+  CAST(SUM(n) AS BIGINT) AS n_rows
+FROM per GROUP BY host HAVING COUNT(*) > 1
+"""
+
+
 SUBSTR_NGRAM = 8
 SUBSTR_MIN_COUNT = 2
 SUBSTR_DOCS = 300
@@ -4934,6 +4961,7 @@ ENGINE_ORACLE_SQL = {
     "paragraph_dedup": duck_paragraph_dedup_sql,
     "surt_keys": duck_surt_keys_sql,
     "cdxj_parse": duck_cdxj_parse_sql,
+    "split_leakage": duck_split_leakage_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,

@@ -341,3 +341,34 @@ def exact_k_sample(
     # — NEVER Python hash(), which is randomized per process
     h = portable_hash64(F.col(key_col).cast("string"), salt=salt)
     return df.withColumn("_h", h).orderBy("_h").limit(int(k)).drop("_h")
+
+
+def split_leakage_report(
+    df: DataFrame, group_col: str = "host", split_col: str = "split"
+) -> DataFrame:
+    """Eval-hygiene audit for hash_split outputs: GROUPS that span more
+    than one split. A held-out set only measures generalization if its
+    content is independent of training — but web corpora correlate
+    heavily WITHIN a site (templates, topics, near-dups), so a domain
+    with pages in both train and test leaks. Key ``df`` by url and this
+    report quantifies the leak; key the SPLIT by the group instead
+    (hash_split(key_col=domain)) and the report comes back empty — the
+    fix it exists to motivate. Use attach_registrable_domain for the
+    group at web scale.
+
+    Returns one row per spanning group: (group, n_splits, splits
+    — comma-joined sorted split names — and n_rows). Two map-side-
+    combinable groupBys; the second runs over one row per
+    (group, split) — tiny at any scale."""
+    per = df.groupBy(group_col, split_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_list(split_col)), ","
+            ).alias("splits"),
+            F.sum("_n").cast("long").alias("n_rows"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -151,3 +151,46 @@ def test_decode_plan_is_scan_local(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# --- fuzz (same discipline as the HTTP status-line parser fuzz) -------------
+
+
+def test_decode_total_over_garbage():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=2048))
+    def prop(payload):
+        body, applied, ok = W.decode_body(payload)
+        assert isinstance(body, bytes)
+        assert isinstance(applied, str) and isinstance(ok, bool)
+        assert len(body) <= max(len(payload), W.FETCH_CAP)
+
+    prop()
+
+
+def test_decode_total_over_hostile_http_shells():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    header = st.sampled_from(
+        [
+            b"Content-Encoding: gzip",
+            b"Content-Encoding: deflate",
+            b"Content-Encoding: br, gzip",
+            b"Transfer-Encoding: chunked",
+            b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip",
+            b"Content-Encoding: " + b"gzip, " * 10 + b"gzip",
+        ]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(header, st.binary(max_size=1024))
+    def prop(hdr, body):
+        payload = b"HTTP/1.1 200 OK\r\n" + hdr + b"\r\n\r\n" + body
+        out, applied, ok = W.decode_body(payload)
+        assert isinstance(out, bytes) and isinstance(ok, bool)
+
+    prop()

@@ -583,3 +583,22 @@ def test_compression_signals_exact_and_band(spark):
     assert got[1]["keep"] is True
     assert got[2]["keep"] is False and got[2]["ratio_micro"] < 300_000
     assert got[3]["keep"] is True and got[4]["keep"] is True
+
+
+def test_split_leakage_report_and_domain_keyed_fix(spark):
+    from pathik_spark.operators.sampling import hash_split, split_leakage_report
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 5}.example") for i in range(200)],
+        "doc_id long, host string",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    # url-keyed split: every host spans splits (5 hosts, 40 docs each)
+    leaky = split_leakage_report(hash_split(docs, w, key_col="doc_id"))
+    rows = leaky.collect()
+    assert len(rows) == 5
+    assert all(r["n_splits"] >= 2 and r["n_rows"] == 40 for r in rows)
+    assert all(r["splits"] == ",".join(sorted(r["splits"].split(","))) for r in rows)
+    # the fix the report motivates: key the split by the GROUP
+    fixed = split_leakage_report(hash_split(docs, w, key_col="host"))
+    assert fixed.count() == 0
