@@ -728,6 +728,20 @@ def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select("id", surt_key_expr(F.col("url")).alias("surt"))
 
 
+def _q_article_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication dating (JSON-LD > OpenGraph > <time> precedence):
+    the real expression operator — including the malformed-JSON
+    fall-through — vs the json_valid-guarded restatement in DuckDB."""
+    from pathik_spark.entry_queries import DATED_DOCS_CTE
+    from pathik_spark.operators.dating import article_dates
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {DATED_DOCS_CTE.strip()} SELECT * FROM dated_docs"
+    )
+    return article_dates(docs)
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-hygiene split-leakage audit: the real hash_split + report
     operators over a host-cycled corpus vs the oracle's md5 lattice and
@@ -1910,6 +1924,7 @@ ENGINE_ORACLE_QUERIES = {
     "surt_keys": _q_surt_keys,
     "cdxj_parse": _q_cdxj_parse,
     "split_leakage": _q_split_leakage,
+    "article_dates": _q_article_dates,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,

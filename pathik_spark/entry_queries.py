@@ -4357,6 +4357,66 @@ FROM per GROUP BY host HAVING COUNT(*) > 1
 """
 
 
+# Article-dating corpus (shared dialect): JSON-LD / OpenGraph / <time>
+# channels, precedence collisions, malformed JSON-LD (must fall through,
+# not error), reversed OG attribute order, and a no-signal page.
+DATED_DOCS_CTE = """
+dated_docs AS (
+  SELECT 'https://news' || CAST(h % 5 AS STRING) || '.example/a/' || CAST(h AS STRING) AS url,
+    CASE h % 8
+      WHEN 0 THEN '<head><script type="application/ld+json">{"@type": "NewsArticle", "datePublished": "2024-01-0' || CAST(h % 9 + 1 AS STRING) || 'T08:30:00Z"}</script></head><body>x</body>'
+      WHEN 1 THEN '<head><meta property="article:published_time" content="2023-06-15T10:00:00Z"></head><body>x</body>'
+      WHEN 2 THEN '<body><time datetime="2022-12-0' || CAST(h % 9 + 1 AS STRING) || '">then</time></body>'
+      WHEN 3 THEN '<head><script type="application/ld+json">{"@type": "Article"}</script><meta property="article:published_time" content="2021-03-03"></head>'
+      WHEN 4 THEN '<body>undated page ' || CAST(h AS STRING) || '</body>'
+      WHEN 5 THEN '<head><script type="application/ld+json">{broken json</script></head><body><time datetime="2020-05-05T00:00:00">t</time></body>'
+      WHEN 6 THEN '<head><script type="application/ld+json">{"datePublished": "2019-07-07"}</script><meta property="article:published_time" content="2018-01-01"></head>'
+      ELSE '<head><META CONTENT="2017-09-3' || CAST(h % 2 AS STRING) || '" PROPERTY="article:published_time"></head>'
+    END AS html
+  FROM (SELECT DISTINCT o_orderkey % 64 AS h FROM orders)
+)
+"""
+
+
+def duck_article_dates_sql() -> str:
+    """DuckDB twin of operators/dating.article_dates over
+    DATED_DOCS_CTE: same regexes, json_valid-guarded datePublished
+    (DuckDB errors on malformed JSON where Spark returns NULL — the
+    guard states the same fall-through), 10-char date prefix validated
+    by try_cast to DATE, jsonld > og > time precedence."""
+    ld_block = (
+        "coalesce(regexp_extract(html,"
+        " '(?is)<script[^>]*type=\"application/ld\\+json\"[^>]*>(.*?)</script>', 1), '')"
+    )
+    ld_raw = (
+        f"CASE WHEN {ld_block} <> '' AND json_valid({ld_block})"
+        f" THEN json_extract_string({ld_block}, '$.datePublished') END"
+    )
+    og1 = "regexp_extract(html, '(?i)<meta[^>]*property=\"article:published_time\"[^>]*content=\"([^\"]*)\"', 1)"
+    og2 = "regexp_extract(html, '(?i)<meta[^>]*content=\"([^\"]*)\"[^>]*property=\"article:published_time\"', 1)"
+    og_raw = f"nullif(coalesce(nullif(coalesce({og1}, ''), ''), coalesce({og2}, '')), '')"
+    time_raw = "nullif(coalesce(regexp_extract(html, '(?i)<time[^>]*datetime=\"([^\"]*)\"', 1), ''), '')"
+
+    def d10(raw: str) -> str:
+        return (
+            f"coalesce(CAST(try_cast(nullif(substr(trim({raw}), 1, 10), '')"
+            f" AS DATE) AS VARCHAR), '')"
+        )
+
+    return f"""
+WITH {DATED_DOCS_CTE.strip()},
+chans AS (
+  SELECT url, {d10(ld_raw)} AS ld, {d10(og_raw)} AS og, {d10(time_raw)} AS tm
+  FROM dated_docs
+)
+SELECT url,
+  CASE WHEN ld <> '' THEN ld WHEN og <> '' THEN og ELSE tm END AS date_published,
+  CASE WHEN ld <> '' THEN 'jsonld' WHEN og <> '' THEN 'og'
+       WHEN tm <> '' THEN 'time' ELSE '' END AS date_source
+FROM chans
+"""
+
+
 SUBSTR_NGRAM = 8
 SUBSTR_MIN_COUNT = 2
 SUBSTR_DOCS = 300
@@ -4962,6 +5022,7 @@ ENGINE_ORACLE_SQL = {
     "surt_keys": duck_surt_keys_sql,
     "cdxj_parse": duck_cdxj_parse_sql,
     "split_leakage": duck_split_leakage_sql,
+    "article_dates": duck_article_dates_sql,
     "host_components": duck_host_components_sql,
     "bucket_balanced": duck_bucket_balanced_sql,
     "sitemap_urls": duck_sitemap_urls_sql,
