@@ -2081,6 +2081,17 @@ _SWEEP_PRIORITY = [
     "extract_links_discovery", "image_neardup", "ivf_ann_topk", "bpe_merges",
 ]
 
+# ROUND 5: rebuild this list FIRST THING — front-load the round-4
+# additions that this round's sweep cannot reach (all oracled, all
+# green in the local replica gate at sf0.001 AND sf0.01):
+#   canonical_links, canonical_collapse, focused_frontier,
+#   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
+#   cdxj_parse, split_leakage, article_dates
+# plus extract_links_discovery (r1 row predates its oracle) and the
+# rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
+# fill the rest with oldest-verified rotation. Do NOT edit the active
+# list mid-round: the driver sweeps the committed ordering at round end.
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
