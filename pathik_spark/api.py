@@ -596,6 +596,8 @@ def dedup_corpus(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     max_hamming: int = 3,
+    html_col: str = "html",
+    url_col: str = "url",
 ):
     """One-call corpus deduplication: every dedup family the engine
     implements behind one switch, each returning the same
@@ -611,7 +613,11 @@ def dedup_corpus(
     - ``cdc``       — content-defined-chunk containment >= threshold
                       (edit-robust: catches insert/delete edits);
     - ``semantic``  — SemDeDup over ``vec_col`` embeddings, cosine >=
-                      threshold within coarse clusters.
+                      threshold within coarse clusters;
+    - ``canonical`` — the page-DECLARED groups: rel=canonical targets
+                      (RFC 6596, operators/aliases) over ``html_col``/
+                      ``url_col`` — zero content hashing, the cheapest
+                      first pass when raw HTML is still around.
 
     Every arm is pair-generation (blocked/banded, never all-pairs) +
     connected components + canonical-min keep — the same 100 TB shapes
@@ -638,6 +644,34 @@ def dedup_corpus(
             F.col("content_hash").alias("cluster_id"),
             F.col("group_size").alias("cluster_size"),
             "is_canonical",
+        )
+    elif method == "canonical":
+        from pathik_spark.operators.aliases import (
+            canonical_collapse,
+            extract_canonical_links,
+        )
+
+        links = extract_canonical_links(base, html_col=html_col, url_col=url_col)
+        groups = canonical_collapse(links)
+        key = F.coalesce(
+            F.nullif(F.col("canonical_url"), F.lit("")), F.col("url")
+        )
+        ids = base.select("doc_id", F.col(url_col).alias("url"))
+        clusters = (
+            links.withColumn("cluster_id", key)
+            .join(ids, "url")
+            .join(
+                groups.withColumnRenamed("canonical_url", "cluster_id"),
+                "cluster_id",
+            )
+            .select(
+                "doc_id",
+                "cluster_id",
+                F.col("n_aliases").alias("cluster_size"),
+                (F.col("url") == F.col("representative_url")).alias(
+                    "is_canonical"
+                ),
+            )
         )
     elif method == "semantic":
         from pathik_spark.operators.ann import semdedup_keep
@@ -673,7 +707,8 @@ def dedup_corpus(
             ).select("doc_a", "doc_b")
         else:
             raise ValueError(
-                f"method must be exact|minhash|simhash|cdc|semantic, got {method!r}"
+                "method must be exact|minhash|simhash|cdc|semantic|canonical,"
+                f" got {method!r}"
             )
         clusters = dedup_clusters(base, pairs).select(
             "doc_id",

@@ -193,3 +193,25 @@ def test_dedup_corpus_semantic_and_bad_method(spark):
     assert kept.count() <= 60 and kept.count() > 0
     with _pytest.raises(ValueError):
         pathik_spark.dedup_corpus(emb, method="nope")
+
+
+def test_dedup_corpus_canonical_method(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://h/a",
+                html='<head><link rel="canonical" href="https://h/a"></head>'),
+            Row(doc_id=2, url="https://h/a?utm=x",
+                html='<head><link rel="canonical" href="https://h/a"></head>'),
+            Row(doc_id=3, url="https://h/b", html="<head></head>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    kept, clusters = pathik_spark.dedup_corpus(docs, method="canonical")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    labeled = {r["doc_id"]: r for r in clusters.collect()}
+    assert labeled[1]["cluster_id"] == labeled[2]["cluster_id"] == "https://h/a"
+    assert labeled[1]["is_canonical"] and not labeled[2]["is_canonical"]
+    assert labeled[1]["cluster_size"] == 2
+    assert labeled[3]["is_canonical"] and labeled[3]["cluster_size"] == 1
