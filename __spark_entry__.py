@@ -742,6 +742,38 @@ def _q_article_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return article_dates(docs)
 
 
+def _q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual hreflang declarations with mutual confirmation
+    (operators/multilingual.hreflang_alternates): scan-local tag parse
+    + shared RFC 3986 resolver + F1 gate + pair-reversal join, vs the
+    same parse, resolution, and EXISTS check in DuckDB."""
+    from pathik_spark.entry_queries import HREFLANG_DOCS_CTE
+    from pathik_spark.operators.multilingual import hreflang_alternates
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {HREFLANG_DOCS_CTE.strip()} SELECT * FROM hreflang_docs"
+    )
+    return hreflang_alternates(docs)
+
+
+def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual page families from mutual declarations: the real
+    large-star/small-star connected-components loop vs a recursive
+    min-label-propagation CTE."""
+    from pathik_spark.entry_queries import HREFLANG_DOCS_CTE
+    from pathik_spark.operators.multilingual import (
+        hreflang_alternates,
+        hreflang_clusters,
+    )
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {HREFLANG_DOCS_CTE.strip()} SELECT * FROM hreflang_docs"
+    )
+    return hreflang_clusters(hreflang_alternates(docs))
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-hygiene split-leakage audit: the real hash_split + report
     operators over a host-cycled corpus vs the oracle's md5 lattice and
@@ -1925,6 +1957,8 @@ ENGINE_ORACLE_QUERIES = {
     "cdxj_parse": _q_cdxj_parse,
     "split_leakage": _q_split_leakage,
     "article_dates": _q_article_dates,
+    "hreflang_alternates": _q_hreflang_alternates,
+    "hreflang_clusters": _q_hreflang_clusters,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
@@ -2086,7 +2120,8 @@ _SWEEP_PRIORITY = [
 # green in the local replica gate at sf0.001 AND sf0.01):
 #   canonical_links, canonical_collapse, focused_frontier,
 #   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
-#   cdxj_parse, split_leakage, article_dates
+#   cdxj_parse, split_leakage, article_dates, hreflang_alternates,
+#   hreflang_clusters
 # plus extract_links_discovery (r1 row predates its oracle) and the
 # rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
 # fill the rest with oldest-verified rotation. Do NOT edit the active

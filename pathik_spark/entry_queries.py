@@ -4967,6 +4967,127 @@ SELECT host, url FROM verdicts WHERE dlen <= alen
 """
 
 
+# hreflang corpus (shared dialect): 72 pages in 24 three-language
+# groups (en/fr/de). Strata by group: full mutual trios with self +
+# x-default tags; one-way declarations; a relative-href mutual pair;
+# malformed declarations (bad language tags, empty/mailto hrefs,
+# missing rel=alternate, an uppercase tag); hreflang-free pages; and
+# duplicated tags + uppercase language values + a cross-label mutual
+# pair (fr page answers the en page's "fr" with "en-gb").
+HREFLANG_DOCS_CTE = """
+hl_base AS (
+  SELECT CAST(FLOOR(h / 3.0) AS INT) AS g, h % 3 AS r
+  FROM (SELECT DISTINCT o_orderkey % 72 AS h FROM orders)
+),
+hl_pages AS (
+  SELECT g, r,
+    CASE r WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lng,
+    'https://site' || CAST(g % 7 AS STRING) || '.example' AS site,
+    '/p' || CAST(g AS STRING) AS tail
+  FROM hl_base
+),
+hreflang_docs AS (
+  SELECT site || '/' || lng || tail AS url,
+    CASE g % 6
+      WHEN 0 THEN '<head><link rel="alternate" hreflang="en" href="' || site || '/en' || tail
+        || '"><link rel="alternate" hreflang="fr" href="' || site || '/fr' || tail
+        || '"><link rel="alternate" hreflang="de" href="' || site || '/de' || tail
+        || '"><link rel="alternate" hreflang="x-default" href="' || site || '/en' || tail || '"></head>'
+      WHEN 1 THEN CASE WHEN r = 0
+        THEN '<head><link rel="alternate" hreflang="fr" href="' || site || '/fr' || tail
+          || '"><link rel="alternate" hreflang="de" href="' || site || '/de' || tail || '"></head>'
+        ELSE '<body>no declarations</body>' END
+      WHEN 2 THEN CASE
+        WHEN r = 0 THEN '<head><link rel="alternate" hreflang="fr" href="../fr' || tail || '"></head>'
+        WHEN r = 1 THEN '<head><link hreflang="en" rel="alternate" href="' || site || '/en' || tail || '"></head>'
+        ELSE '<body>x</body>' END
+      WHEN 3 THEN '<head><link rel="alternate" hreflang="english" href="' || site || '/bad1'
+        || '"><link rel="alternate" hreflang="en_US" href="' || site || '/bad2'
+        || '"><link rel="alternate" hreflang="es" href="'
+        || '"><link rel="alternate" hreflang="pt" href="mailto:a@b.example'
+        || '"><link hreflang="it" href="' || site || '/no-rel'
+        || '"><LINK REL="ALTERNATE" HREFLANG="EN-GB" HREF="' || site || '/en-gb' || tail || '"></head>'
+      WHEN 4 THEN '<head><link rel="stylesheet" href="/s.css"></head><body>plain</body>'
+      ELSE '<head><link rel="alternate" hreflang="FR" href="' || site || '/fr' || tail
+        || '"><link rel="alternate" hreflang="fr" href="' || site || '/fr' || tail
+        || '"><link rel="alternate" hreflang="en-gb" href="' || site || '/en' || tail || '"></head>'
+    END AS html
+  FROM hl_pages
+)
+"""
+
+_HREFLANG_LANG_OK = "^([a-z]{2,3}(-[a-z0-9]{2,8})*|x-default)$"
+
+
+def _duck_hreflang_links_ctes() -> str:
+    """links(url, lang, alt_url) + pairs — DuckDB twin of
+    operators/multilingual.extract_hreflang_links over
+    HREFLANG_DOCS_CTE: per-tag extract_all, rel=alternate gate checked
+    on the tag (attribute-order-free), lowercased BCP 47-shaped lang
+    gate, shared-resolver resolution, F1 validity."""
+    return f"""{HREFLANG_DOCS_CTE.strip()},
+hl_tags AS (
+  SELECT url, unnest(regexp_extract_all(html,
+    '(?i)<link[^>]*hreflang="[^"]*"[^>]*>')) AS tag
+  FROM hreflang_docs
+),
+hl_decl AS (
+  SELECT url,
+    lower(trim(coalesce(regexp_extract(tag, '(?i)hreflang="([^"]*)"', 1), ''))) AS lang,
+    trim(coalesce(regexp_extract(tag, '(?i)href="([^"]*)"', 1), '')) AS href
+  FROM hl_tags WHERE regexp_matches(tag, '(?i)rel="alternate"')
+),
+hl_resolved AS (
+  SELECT url AS page_url, lang, href, {_duck_resolve('url', 'href')} AS url
+  FROM hl_decl
+),
+links AS (
+  SELECT DISTINCT page_url AS url, lang, url AS alt_url
+  FROM hl_resolved
+  WHERE regexp_matches(lang, '{_HREFLANG_LANG_OK}')
+    AND href <> '' AND {_valid_pred(DUCK)}
+),
+pairs AS (SELECT DISTINCT url, alt_url FROM links)"""
+
+
+def duck_hreflang_alternates_sql() -> str:
+    """DuckDB twin of operators/multilingual.hreflang_alternates:
+    the declaration table with the bidirectional-confirmation flag
+    (self-references mutual by definition)."""
+    return f"""
+WITH {_duck_hreflang_links_ctes()}
+SELECT l.url, l.lang, l.alt_url,
+  CAST(CASE WHEN l.url = l.alt_url OR EXISTS (
+      SELECT 1 FROM pairs p WHERE p.url = l.alt_url AND p.alt_url = l.url)
+    THEN 1 ELSE 0 END AS INT) AS mutual
+FROM links l
+"""
+
+
+def duck_hreflang_clusters_sql() -> str:
+    """DuckDB twin of operators/multilingual.hreflang_clusters:
+    recursive min-label propagation over the MUTUAL cross-page pairs
+    (same labeling the engine's large-star/small-star loop computes)."""
+    return f"""
+WITH RECURSIVE {_duck_hreflang_links_ctes()},
+hl_mut AS (
+  SELECT l.url AS u, l.alt_url AS v FROM links l
+  WHERE l.url <> l.alt_url AND EXISTS (
+    SELECT 1 FROM pairs p WHERE p.url = l.alt_url AND p.alt_url = l.url)
+),
+hl_sym AS (
+  SELECT u, v FROM hl_mut UNION SELECT v AS u, u AS v FROM hl_mut
+),
+hl_nodes AS (SELECT DISTINCT u AS n FROM hl_sym),
+hl_reach AS (
+  SELECT n AS u, n AS label FROM hl_nodes
+  UNION
+  SELECT s.u, r.label FROM hl_sym s JOIN hl_reach r ON s.v = r.u
+)
+SELECT u AS url, MIN(label) AS cluster_id FROM hl_reach GROUP BY u
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
@@ -5070,6 +5191,8 @@ ENGINE_ORACLE_SQL = {
     "random_projection": duck_random_projection_sql,
     "bigram_lm_score": duck_bigram_lm_score_sql,
     "best_per_group": duck_best_per_group_sql,
+    "hreflang_alternates": duck_hreflang_alternates_sql,
+    "hreflang_clusters": duck_hreflang_clusters_sql,
 }
 
 
