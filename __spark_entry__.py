@@ -774,6 +774,20 @@ def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(hreflang_alternates(docs))
 
 
+def _q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST parameter mining (Bar-Yossef et al. 2007 family): the real
+    array-expression residual-key evidence operator vs the same parse,
+    list_filter residual, and dust rule in DuckDB."""
+    from pathik_spark.entry_queries import DUST_URLS_CTE
+    from pathik_spark.operators.dust import dust_params
+
+    _register_views(spark, sf_dir)
+    pages = spark.sql(
+        f"WITH {DUST_URLS_CTE.strip()} SELECT * FROM dust_urls"
+    )
+    return dust_params(pages)
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-hygiene split-leakage audit: the real hash_split + report
     operators over a host-cycled corpus vs the oracle's md5 lattice and
@@ -1959,6 +1973,7 @@ ENGINE_ORACLE_QUERIES = {
     "article_dates": _q_article_dates,
     "hreflang_alternates": _q_hreflang_alternates,
     "hreflang_clusters": _q_hreflang_clusters,
+    "dust_params": _q_dust_params,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
@@ -2121,7 +2136,7 @@ _SWEEP_PRIORITY = [
 #   canonical_links, canonical_collapse, focused_frontier,
 #   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
 #   cdxj_parse, split_leakage, article_dates, hreflang_alternates,
-#   hreflang_clusters
+#   hreflang_clusters, dust_params
 # plus extract_links_discovery (r1 row predates its oracle) and the
 # rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
 # fill the rest with oldest-verified rotation. Do NOT edit the active

@@ -5088,6 +5088,99 @@ SELECT u AS url, MIN(label) AS cluster_id FROM hl_reach GROUP BY u
 """
 
 
+# DUST corpus (shared dialect): (host, url, content_hash) rows.
+# Arm A: sessionid varies, content constant, 3 groups per host -> dust
+# on two hosts. Arm B: page selects content -> tested, never collapses.
+# Arm C: utm_source varies (mixed query order — residual keys must be
+# order-insensitive) over constant content while page varies it -> utm
+# dust, page not. Arm D: sort collapses on one path but changes
+# content on the other -> single counterexample vetoes. Arm E: one
+# tested group only -> below min_groups. Arm F: no query string.
+DUST_URLS_CTE = """
+dust_urls AS (
+  SELECT 'h' || CAST(h % 2 AS STRING) || '.example' AS host,
+    'https://h' || CAST(h % 2 AS STRING) || '.example/a'
+      || CAST(CAST(FLOOR(h / 2.0) AS INT) % 3 AS STRING)
+      || '?sessionid=s' || CAST(CAST(FLOOR(h / 6.0) AS INT) AS STRING) AS url,
+    'A' || CAST(h % 2 AS STRING)
+      || CAST(CAST(FLOOR(h / 2.0) AS INT) % 3 AS STRING) AS content_hash
+  FROM (SELECT DISTINCT o_orderkey % 18 AS h FROM orders)
+  UNION ALL
+  SELECT 'hb.example',
+    'https://hb.example/b' || CAST(h % 2 AS STRING)
+      || '?page=' || CAST(CAST(FLOOR(h / 2.0) AS INT) AS STRING),
+    'B' || CAST(h % 2 AS STRING) || CAST(CAST(FLOOR(h / 2.0) AS INT) AS STRING)
+  FROM (SELECT DISTINCT o_orderkey % 6 AS h FROM orders)
+  UNION ALL
+  SELECT 'hc.example',
+    CASE WHEN CAST(FLOOR(h / 2.0) AS INT) = 0
+      THEN 'https://hc.example/c?page=' || CAST(h % 2 AS STRING) || '&utm_source=a'
+      ELSE 'https://hc.example/c?utm_source=b&page=' || CAST(h % 2 AS STRING) END,
+    'C' || CAST(h % 2 AS STRING)
+  FROM (SELECT DISTINCT o_orderkey % 4 AS h FROM orders)
+  UNION ALL
+  SELECT 'hd.example',
+    'https://hd.example/d' || CAST(h % 2 AS STRING)
+      || '?sort=' || CAST(CAST(FLOOR(h / 2.0) AS INT) AS STRING),
+    CASE WHEN h % 2 = 0 THEN 'D0'
+         ELSE 'D1-' || CAST(CAST(FLOOR(h / 2.0) AS INT) AS STRING) END
+  FROM (SELECT DISTINCT o_orderkey % 4 AS h FROM orders)
+  UNION ALL
+  SELECT 'he.example', 'https://he.example/e?ref=r' || CAST(h AS STRING), 'E'
+  FROM (SELECT DISTINCT o_orderkey % 2 AS h FROM orders)
+  UNION ALL
+  SELECT 'hf.example', 'https://hf.example/plain' || CAST(h AS STRING),
+    'F' || CAST(h AS STRING)
+  FROM (SELECT DISTINCT o_orderkey % 3 AS h FROM orders)
+)
+"""
+
+
+def duck_dust_params_sql(min_groups: int = 2) -> str:
+    """DuckDB twin of operators/dust.dust_params over DUST_URLS_CTE:
+    same query-string parse, distinct-kv explode, order-insensitive
+    residual key (sorted list_filter by param name), group evidence
+    (n_urls >= 2 tests, n_contents = 1 collapses), and the
+    all-collapsed + min_groups dust rule."""
+    qre = r"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)'"
+    bre = r"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*)'"
+    tested = "CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END"
+    collapsed = "CASE WHEN n_urls >= 2 AND n_contents = 1 THEN 1 ELSE 0 END"
+    return f"""
+WITH {DUST_URLS_CTE.strip()},
+du AS (
+  SELECT host, url, content_hash,
+    coalesce(regexp_extract(url, {qre}, 1), '') AS qs,
+    coalesce(regexp_extract(url, {bre}, 1), '') AS base
+  FROM dust_urls
+),
+ex AS (
+  SELECT host, url, content_hash, base, str_split(qs, '&') AS pairs,
+         unnest(list_distinct(str_split(qs, '&'))) AS kv
+  FROM du WHERE qs <> ''
+),
+res AS (
+  SELECT host, url, content_hash, split_part(kv, '=', 1) AS param,
+    base || '?' || coalesce(array_to_string(list_sort(list_filter(pairs,
+      x -> split_part(x, '=', 1) <> split_part(kv, '=', 1))), '&'), '') AS residual_key
+  FROM ex WHERE split_part(kv, '=', 1) <> ''
+),
+ev AS (
+  SELECT host, param, residual_key,
+         COUNT(DISTINCT url) AS n_urls,
+         COUNT(DISTINCT content_hash) AS n_contents
+  FROM res GROUP BY host, param, residual_key
+)
+SELECT host, param,
+  CAST(SUM({tested}) AS BIGINT) AS groups_tested,
+  CAST(SUM({collapsed}) AS BIGINT) AS groups_collapsed,
+  CAST(CASE WHEN SUM({tested}) >= {min_groups}
+             AND SUM({tested}) = SUM({collapsed})
+       THEN 1 ELSE 0 END AS INT) AS is_dust
+FROM ev GROUP BY host, param
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
@@ -5193,6 +5286,7 @@ ENGINE_ORACLE_SQL = {
     "best_per_group": duck_best_per_group_sql,
     "hreflang_alternates": duck_hreflang_alternates_sql,
     "hreflang_clusters": duck_hreflang_clusters_sql,
+    "dust_params": duck_dust_params_sql,
 }
 
 
