@@ -788,6 +788,20 @@ def _q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dust_params(pages)
 
 
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality over the weight-sparsified host graph:
+    the real iterative-BFS operator (first-arrival anti-join hops) vs
+    a recursive bounded-walk MIN(d) twin in DuckDB."""
+    from pathik_spark.entry_queries import HOST_EDGES_CTE
+    from pathik_spark.operators.centrality import harmonic_centrality
+
+    _register_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {HOST_EDGES_CTE} SELECT * FROM edges").filter(
+        F.col("weight") >= 3
+    )
+    return harmonic_centrality(edges)
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-hygiene split-leakage audit: the real hash_split + report
     operators over a host-cycled corpus vs the oracle's md5 lattice and
@@ -1974,6 +1988,7 @@ ENGINE_ORACLE_QUERIES = {
     "hreflang_alternates": _q_hreflang_alternates,
     "hreflang_clusters": _q_hreflang_clusters,
     "dust_params": _q_dust_params,
+    "harmonic_centrality": _q_harmonic_centrality,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
@@ -2136,7 +2151,7 @@ _SWEEP_PRIORITY = [
 #   canonical_links, canonical_collapse, focused_frontier,
 #   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
 #   cdxj_parse, split_leakage, article_dates, hreflang_alternates,
-#   hreflang_clusters, dust_params
+#   hreflang_clusters, dust_params, harmonic_centrality
 # plus extract_links_discovery (r1 row predates its oracle) and the
 # rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
 # fill the rest with oldest-verified rotation. Do NOT edit the active

@@ -5181,6 +5181,36 @@ FROM ev GROUP BY host, param
 """
 
 
+def duck_harmonic_centrality_sql(
+    min_weight: int = 3, max_iters: int = 20
+) -> str:
+    """DuckDB twin of operators/centrality.harmonic_centrality over
+    HOST_EDGES_CTE (weight >= min_weight sparsification): recursive
+    bounded-walk enumeration -> MIN(d) shortest distances (identical
+    to the engine's first-arrival BFS whenever max_iters >= diameter,
+    which 20 guarantees on the <= 40-host corpus at every SF) ->
+    floor-micro harmonic sum over incoming distances."""
+    return f"""
+WITH RECURSIVE {HOST_EDGES_CTE.strip()},
+hc_fil AS (
+  SELECT DISTINCT src_host AS u, dst_host AS v FROM edges
+  WHERE weight >= {min_weight}
+),
+hc_nodes AS (SELECT u AS n FROM hc_fil UNION SELECT v FROM hc_fil),
+hc_walk AS (
+  SELECT n AS s, n AS v, 0 AS d FROM hc_nodes
+  UNION
+  SELECT w.s, e.v, w.d + 1 FROM hc_walk w JOIN hc_fil e ON e.u = w.v
+  WHERE w.d < {max_iters}
+),
+hc_dist AS (SELECT s, v, MIN(d) AS d FROM hc_walk GROUP BY s, v)
+SELECT v AS host,
+  CAST(SUM(CAST(FLOOR(1000000.0 / d) AS BIGINT)) AS BIGINT) AS harmonic_micro,
+  CAST(COUNT(*) AS BIGINT) AS n_sources
+FROM hc_dist WHERE d > 0 GROUP BY v
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
@@ -5287,6 +5317,7 @@ ENGINE_ORACLE_SQL = {
     "hreflang_alternates": duck_hreflang_alternates_sql,
     "hreflang_clusters": duck_hreflang_clusters_sql,
     "dust_params": duck_dust_params_sql,
+    "harmonic_centrality": duck_harmonic_centrality_sql,
 }
 
 
