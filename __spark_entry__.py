@@ -802,6 +802,21 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(edges)
 
 
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (the coarse router in front of
+    language ID): the real regexp_count expressions + struct-greatest
+    tie-break vs the same counts and a CASE-chain dominance rule in
+    DuckDB (RE2 class spellings of the same code-point ranges)."""
+    from pathik_spark.entry_queries import SCRIPT_DOCS_CTE
+    from pathik_spark.functions.script import script_profile
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {SCRIPT_DOCS_CTE.strip()} SELECT * FROM script_docs"
+    )
+    return script_profile(docs)
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-hygiene split-leakage audit: the real hash_split + report
     operators over a host-cycled corpus vs the oracle's md5 lattice and
@@ -1989,6 +2004,7 @@ ENGINE_ORACLE_QUERIES = {
     "hreflang_clusters": _q_hreflang_clusters,
     "dust_params": _q_dust_params,
     "harmonic_centrality": _q_harmonic_centrality,
+    "script_profile": _q_script_profile,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
@@ -2151,7 +2167,7 @@ _SWEEP_PRIORITY = [
 #   canonical_links, canonical_collapse, focused_frontier,
 #   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
 #   cdxj_parse, split_leakage, article_dates, hreflang_alternates,
-#   hreflang_clusters, dust_params, harmonic_centrality
+#   hreflang_clusters, dust_params, harmonic_centrality, script_profile
 # plus extract_links_discovery (r1 row predates its oracle) and the
 # rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
 # fill the rest with oldest-verified rotation. Do NOT edit the active

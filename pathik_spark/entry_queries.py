@@ -5211,6 +5211,82 @@ FROM hc_dist WHERE d > 0 GROUP BY v
 """
 
 
+# Script-profile corpus (shared dialect): pure single-script texts in
+# eight writing systems, a mixed ru/en page with a Latin majority, an
+# empty text, a no-script text (digits/punctuation), and a one-one
+# tie ('aб') that the listing-order rule must hand to latin.
+SCRIPT_DOCS_CTE = """
+script_docs AS (
+  SELECT CAST(h AS BIGINT) AS doc_id,
+    CASE h % 12
+      WHEN 0 THEN 'The quick brown fox jumps over the lazy dog'
+      WHEN 1 THEN 'Съешь же ещё этих мягких французских булок'
+      WHEN 2 THEN 'hello привет world мир overpowering latin majority here'
+      WHEN 3 THEN '这是一个中文句子用于测试脚本检测'
+      WHEN 4 THEN 'هذه جملة عربية لاختبار النص'
+      WHEN 5 THEN 'Αυτή είναι μια ελληνική πρόταση'
+      WHEN 6 THEN '한국어 문장입니다 스크립트 감지'
+      WHEN 7 THEN 'यह एक हिंदी वाक्य है लिपि परीक्षण'
+      WHEN 8 THEN 'これはテストです カタカナ ひらがな'
+      WHEN 9 THEN ''
+      WHEN 10 THEN '12345 ... !!! ???'
+      ELSE 'aб'
+    END AS text
+  FROM (SELECT DISTINCT o_orderkey % 48 AS h FROM orders)
+)
+"""
+
+# RE2 spellings of functions/script.SCRIPT_CLASSES (same code-point
+# ranges; Java literals there, \\x{...} escapes here)
+_DUCK_SCRIPT_CLASSES = [
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("han", r"[\x{4E00}-\x{9FFF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+    ("kana", r"[\x{3040}-\x{30FF}]"),
+]
+
+
+def duck_script_profile_sql() -> str:
+    """DuckDB twin of functions/script.script_profile over
+    SCRIPT_DOCS_CTE: per-class char counts via regexp_extract_all
+    length, dominant-by-listing-order as a >= GREATEST CASE chain,
+    floor-micro dominant fraction over scripted chars."""
+    cnt = {
+        n: f"len(regexp_extract_all(text, '{pat}'))"
+        for n, pat in _DUCK_SCRIPT_CLASSES
+    }
+    names = [n for n, _ in _DUCK_SCRIPT_CLASSES]
+    total = " + ".join(f"n_{n}" for n in names)
+    dom_cases = []
+    for i, n in enumerate(names):
+        rest = [f"n_{m}" for m in names[i + 1:]]
+        cond = f"n_{n} >= GREATEST({', '.join(rest)})" if rest else "TRUE"
+        dom_cases.append(f"WHEN {cond} THEN '{n}'")
+    dom_name = "CASE " + " ".join(dom_cases) + " END"
+    dom_cnt = f"GREATEST({', '.join('n_' + n for n in names)})"
+    counts_sql = ",\n    ".join(
+        f"CAST({cnt[n]} AS INT) AS n_{n}" for n in names
+    )
+    return f"""
+WITH {SCRIPT_DOCS_CTE.strip()},
+sp_counts AS (
+  SELECT doc_id,
+    {counts_sql}
+  FROM script_docs
+)
+SELECT doc_id, {', '.join('n_' + n for n in names)},
+  CASE WHEN ({total}) = 0 THEN 'unknown' ELSE {dom_name} END AS script,
+  CAST(CASE WHEN ({total}) = 0 THEN 0
+       ELSE FLOOR(1000000.0 * {dom_cnt} / ({total})) END AS BIGINT)
+    AS script_frac_micro
+FROM sp_counts
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
@@ -5318,6 +5394,7 @@ ENGINE_ORACLE_SQL = {
     "hreflang_clusters": duck_hreflang_clusters_sql,
     "dust_params": duck_dust_params_sql,
     "harmonic_centrality": duck_harmonic_centrality_sql,
+    "script_profile": duck_script_profile_sql,
 }
 
 
