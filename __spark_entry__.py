@@ -817,6 +817,20 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(docs)
 
 
+def _q_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-family lexicon content gate (ratio form): the real combined
+    word-boundary alternation + shared token_count + flag rule vs the
+    same pattern (shared _term_pattern source) in DuckDB."""
+    from pathik_spark.entry_queries import LEXICON_DOCS_CTE
+    from pathik_spark.operators.lexicon import lexicon_score
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"WITH {LEXICON_DOCS_CTE.strip()} SELECT * FROM lexicon_docs"
+    )
+    return lexicon_score(docs)
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-hygiene split-leakage audit: the real hash_split + report
     operators over a host-cycled corpus vs the oracle's md5 lattice and
@@ -2005,6 +2019,7 @@ ENGINE_ORACLE_QUERIES = {
     "dust_params": _q_dust_params,
     "harmonic_centrality": _q_harmonic_centrality,
     "script_profile": _q_script_profile,
+    "lexicon_gate": _q_lexicon_gate,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
@@ -2167,7 +2182,8 @@ _SWEEP_PRIORITY = [
 #   canonical_links, canonical_collapse, focused_frontier,
 #   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
 #   cdxj_parse, split_leakage, article_dates, hreflang_alternates,
-#   hreflang_clusters, dust_params, harmonic_centrality, script_profile
+#   hreflang_clusters, dust_params, harmonic_centrality, script_profile,
+#   lexicon_gate
 # plus extract_links_discovery (r1 row predates its oracle) and the
 # rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
 # fill the rest with oldest-verified rotation. Do NOT edit the active

@@ -5287,6 +5287,60 @@ FROM sp_counts
 """
 
 
+# Lexicon-gate corpus (shared dialect): clean text; saturated spam;
+# one incidental hit in a long page (ratio below the gate); a short
+# page with a hit (flagged outright); a multi-word term across a
+# whitespace run at exactly-above-gate density; pluralized near-misses
+# the word boundary must NOT match; empty; case-folded hits.
+LEXICON_DOCS_CTE = """
+lexicon_docs AS (
+  SELECT CAST(h AS BIGINT) AS doc_id,
+    CASE h % 8
+      WHEN 0 THEN 'a perfectly ordinary page about gardening tools and the '
+        || 'care of perennial plants in a temperate climate with notes'
+      WHEN 1 THEN 'casino jackpot betting casino jackpot win now'
+      WHEN 2 THEN repeat('filler ', 59) || 'casino'
+      WHEN 3 THEN 'visit our casino'
+      WHEN 4 THEN repeat('pay now ', 19) || 'payday   loan'
+      WHEN 5 THEN 'casinos jackpots viagras escorts are plural near misses'
+      WHEN 6 THEN ''
+      ELSE 'CASINO Jackpot case folding test with several neutral words'
+    END AS text
+  FROM (SELECT DISTINCT o_orderkey % 32 AS h FROM orders)
+)
+"""
+
+
+def duck_lexicon_gate_sql(max_ratio_micro: int = 20_000) -> str:
+    """DuckDB twin of operators/lexicon.lexicon_score over
+    LEXICON_DOCS_CTE: the same combined word-boundary alternation
+    (shared _term_pattern source), the shared token_count convention,
+    floor-micro ratio, and the ratio-or-short-with-hit flag rule."""
+    from pathik_spark.operators.lexicon import DEFAULT_LEXICON, _term_pattern
+
+    pat = "|".join(_term_pattern(t) for t in DEFAULT_LEXICON)
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
+    hits = f"len(regexp_extract_all(lower(text), '{pat}'))"
+    return f"""
+WITH {LEXICON_DOCS_CTE.strip()},
+lx AS (
+  SELECT doc_id, CAST({toks} AS BIGINT) AS n_tokens,
+         CAST({hits} AS BIGINT) AS n_hits
+  FROM lexicon_docs
+)
+SELECT doc_id, n_tokens, n_hits,
+  CAST(CASE WHEN n_tokens = 0 THEN 0
+       ELSE FLOOR(1000000.0 * n_hits / n_tokens) END AS BIGINT)
+    AS hit_ratio_micro,
+  CAST(CASE WHEN (CASE WHEN n_tokens = 0 THEN 0
+                  ELSE FLOOR(1000000.0 * n_hits / n_tokens) END) > {max_ratio_micro}
+             OR (n_hits > 0 AND n_tokens < 5)
+       THEN 1 ELSE 0 END AS INT) AS flagged
+FROM lx
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
@@ -5395,6 +5449,7 @@ ENGINE_ORACLE_SQL = {
     "dust_params": duck_dust_params_sql,
     "harmonic_centrality": duck_harmonic_centrality_sql,
     "script_profile": duck_script_profile_sql,
+    "lexicon_gate": duck_lexicon_gate_sql,
 }
 
 
