@@ -817,6 +817,17 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(docs)
 
 
+def _q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency spectrum (Zipf corpus QA): the real two-groupBy
+    operator with the exact bin()-length log2 bucket vs the same
+    counts and printf('%b') bucket in DuckDB."""
+    from pathik_spark.operators.ngrams import word_frequency_spectrum
+
+    _register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 400)
+    return word_frequency_spectrum(docs)
+
+
 def _q_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-family lexicon content gate (ratio form): the real combined
     word-boundary alternation + shared token_count + flag rule vs the
@@ -2020,6 +2031,7 @@ ENGINE_ORACLE_QUERIES = {
     "harmonic_centrality": _q_harmonic_centrality,
     "script_profile": _q_script_profile,
     "lexicon_gate": _q_lexicon_gate,
+    "freq_spectrum": _q_freq_spectrum,
     "sitemap_urls": _q_sitemap_urls,
     "sitemap_entries": _q_sitemap_entries,
     "url_recrawl_ttl": _q_url_recrawl,
@@ -2183,7 +2195,7 @@ _SWEEP_PRIORITY = [
 #   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
 #   cdxj_parse, split_leakage, article_dates, hreflang_alternates,
 #   hreflang_clusters, dust_params, harmonic_centrality, script_profile,
-#   lexicon_gate
+#   lexicon_gate, freq_spectrum
 # plus extract_links_discovery (r1 row predates its oracle) and the
 # rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
 # fill the rest with oldest-verified rotation. Do NOT edit the active

@@ -58,6 +58,9 @@ def prepare_training_corpus(
     apply_c4: bool = True,
     drop_soft404: bool = True,
     fix_encoding: bool = False,
+    lexicon_gate: bool = False,
+    lexicon_terms: tuple[str, ...] | None = None,
+    max_lexicon_ratio_micro: int = 20_000,
     lm_reference: DataFrame | None = None,
     min_mean_logp: float | None = None,
     drop_ppl_buckets: tuple[str, ...] | None = None,
@@ -79,6 +82,11 @@ def prepare_training_corpus(
     0. soft-404 gate (``drop_soft404``): pages served 200 whose content
        is an error page (head-window phrase match, quality.
        soft404_signals) drop before anything else — scan-local;
+    0a. optional lexicon content gate (``lexicon_gate=True``): the
+       ratio-form bad-words filter (operators/lexicon.py) drops pages
+       whose lexicon-hit density crosses ``max_lexicon_ratio_micro``
+       (pass the production list via ``lexicon_terms``; the built-in
+       category-marker default otherwise) — scan-local, pushes down;
     0b. optional encoding repair (``fix_encoding=True``): mojibake
        (utf-8 read as cp1252) detected by exact char-shrinkage and
        inverted in place (functions/mojibake.py) — scan-local, only
@@ -163,6 +171,17 @@ def prepare_training_corpus(
         from pathik_spark.operators.quality import filter_soft404s
 
         staged = filter_soft404s(staged)
+    if lexicon_gate:
+        from pathik_spark.operators.lexicon import (
+            DEFAULT_LEXICON,
+            filter_by_lexicon,
+        )
+
+        staged = filter_by_lexicon(
+            staged,
+            terms=lexicon_terms or DEFAULT_LEXICON,
+            max_ratio_micro=max_lexicon_ratio_micro,
+        )
     if fix_encoding:
         # exact inversion of utf-8-read-as-cp1252 damage, applied only
         # to flagged rows (scan-local; see functions/mojibake.py)

@@ -99,6 +99,16 @@ class CrawlConfig:
     # robots Crawl-delay (politeness is a floor, never lowered)
     backoff_base_delay_ms: int = 0
     backoff_max_delay_ms: int = 60_000
+    # DUST learning (operators/dust.py): mine each committed round's
+    # artifacts for content-irrelevant query parameters (url-minus-
+    # param groups that served one distinct text hash, >= min_groups
+    # demonstrations, one counterexample vetoes) and strip the learned
+    # (host, param) rules from every later round's seeds BEFORE
+    # canonicalization — so alias variants stop consuming fetch budget.
+    # In-session advisory state like the bloom prebuild: a resume
+    # restarts with an empty rule set and relearns.
+    learn_dust: bool = False
+    dust_min_groups: int = 2
     # page-level REP compliance (robots.meta_robots_directives): when
     # on, artifacts carry noindex/nofollow columns (parsed from the
     # html BEFORE it is dropped), link discovery skips nofollow pages'

@@ -5341,6 +5341,25 @@ FROM lx
 """
 
 
+def duck_freq_spectrum_sql(n_docs: int = 400) -> str:
+    """DuckDB twin of ngrams.word_frequency_spectrum over documents:
+    same word counts (shared tokens CTE; the '' token a DuckDB split
+    of empty text yields is filtered — the engine's empty-guard array
+    produces none), exact-integer log2 bucket via printf('%b') length
+    (the engine uses bin()), two-level rollup."""
+    d = DUCK
+    return f"""
+WITH {_tokens_cte(d, where=f"WHERE doc_id < {n_docs}")},
+wcounts AS (
+  SELECT tok AS word, COUNT(*) AS c FROM tokens WHERE tok <> '' GROUP BY tok
+)
+SELECT CAST(length(printf('%b', c)) - 1 AS INT) AS k_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(c) AS BIGINT) AS n_tokens
+FROM wcounts GROUP BY 1
+"""
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
@@ -5450,6 +5469,7 @@ ENGINE_ORACLE_SQL = {
     "harmonic_centrality": duck_harmonic_centrality_sql,
     "script_profile": duck_script_profile_sql,
     "lexicon_gate": duck_lexicon_gate_sql,
+    "freq_spectrum": duck_freq_spectrum_sql,
 }
 
 

@@ -138,18 +138,29 @@ def strip_dust_params(
     frontier: DataFrame,
     dust: DataFrame,
     url_col: str = "url",
-    host_col: str = "host",
+    host_col: str | None = "host",
 ) -> DataFrame:
     """Rewrite frontier URLs by dropping their host's learned dust
     parameters (broadcast of the tiny (host, param) strip list; the
     frontier never shuffles). Residual query pairs keep their original
     order — this is a *strip*, not a canonicalization; feed the result
-    to the canonicalizer for ordering rules."""
+    to the canonicalizer for ordering rules. With ``host_col=None``
+    the host is derived from the URL in the scan (pre-frontier-prep
+    hook: the crawl driver strips seeds before canonicalization)."""
     strip = (
         dust.filter(F.col("is_dust") == 1)
         .groupBy(F.col("host").alias("_h"))
         .agg(F.collect_set("param").alias("_dust"))
     )
+    derived_host = None
+    if host_col is None:
+        from pathik_spark.functions import urls as U
+
+        host_col = "_dust_host"
+        derived_host = host_col
+        frontier = frontier.withColumn(
+            host_col, U.hostname_of(F.col(url_col))
+        )
     url = F.col(url_col)
     qs = F.regexp_extract(url, QUERY_RE, 1)
     base = F.regexp_extract(url, BASE_RE, 1)
@@ -169,4 +180,7 @@ def strip_dust_params(
     out = frontier.join(
         F.broadcast(strip), frontier[host_col] == strip["_h"], "left"
     )
-    return out.withColumn(url_col, stripped).drop("_h", "_dust")
+    out = out.withColumn(url_col, stripped).drop("_h", "_dust")
+    if derived_host is not None:
+        out = out.drop(derived_host)
+    return out

@@ -94,3 +94,41 @@ def boilerplate_ngrams(
         .filter(F.col("df") >= F.lit(threshold))
         .select("gram", "df", "doc_frac")
     )
+
+
+def word_frequency_spectrum(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(k_bucket, n_types, n_tokens): the word-frequency spectrum —
+    how many distinct words (types) occur with a corpus frequency in
+    [2^k, 2^(k+1)), and how many running tokens those words account
+    for.
+
+    This is the corpus-QA companion to ``top_ngrams``: a healthy
+    natural-language crawl follows Zipf (log-linear spectrum, a long
+    k=0 hapax tail holding ~half the types); template farms and
+    machine-generated spam bend it (hapax collapse, mid-k bulges), and
+    tokenizer planning reads vocabulary-coverage-per-budget straight
+    off the cumulative token column.
+
+    Shapes: the word table is the SAME one distributed stage BPE
+    training consumes (scan-local split/explode, one map-side-combined
+    groupBy on the word); the spectrum reduce is a second tiny groupBy
+    on the bucket. The bucket is ``length(bin(count)) - 1`` — exact
+    integer log2 with no float-at-the-boundary hazard (the DuckDB twin
+    uses printf('%b')).
+    """
+    from pathik_spark.operators.dedup import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    words = docs.select(
+        F.explode(
+            F.when(norm == "", F.array()).otherwise(F.split(norm, " "))
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("c"))
+    bucket = (F.length(F.bin(F.col("c"))) - 1).cast("int")
+    return counts.groupBy(bucket.alias("k_bucket")).agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )

@@ -128,6 +128,10 @@ class CrawlRun:
         # reseeded from the last committed host_metrics on resume
         self._backoff_budgets: DataFrame | None = None
         self._backoff_delays: DataFrame | None = None
+        # learned DUST rules (config.learn_dust): tiny (host, param)
+        # set mined from committed artifacts, applied to later rounds'
+        # seeds pre-canonicalization (operators/dust.strip_dust_params)
+        self._dust_rules: set[tuple[str, str]] = set()
 
     def _table_name(self, suffix: str) -> str:
         import re
@@ -279,6 +283,14 @@ class CrawlRun:
             _timers[name] = round(now - _t0, 2)
             _t0 = now
 
+        if self._dust_rules:
+            from pathik_spark.operators.dust import strip_dust_params
+
+            rules = spark.createDataFrame(
+                [(h, p, 1) for h, p in sorted(self._dust_rules)],
+                "host string, param string, is_dust int",
+            )
+            frontier = strip_dust_params(frontier, rules, host_col=None)
         fr = prepare_frontier(frontier, num_shards=cfg.num_shards)
         if self.blocklist is not None:
             from pathik_spark.operators.blocklist import host_blocklist_filter
@@ -492,6 +504,26 @@ class CrawlRun:
         f_seen = pool.submit(self.store.write_table, round_no, "seen", consumed)
         f_front = pool.submit(_append_frontier_rest)
         f_backoff = pool.submit(_update_backoff) if cfg.adaptive_backoff else None
+
+        def _update_dust():
+            # mine THIS round's artifacts for dust params (docstring in
+            # operators/dust.py); the rule set is tiny by construction
+            # ((host, param) pairs with all-collapsed evidence), so a
+            # driver-side set union is the cheapest cross-round merge
+            from pathik_spark.operators.dust import dust_params
+
+            mined = dust_params(
+                arts.filter(F.col("status") == "fetched").select(
+                    "host", "url",
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))).alias(
+                        "content_hash"
+                    ),
+                ),
+                min_groups=cfg.dust_min_groups,
+            ).filter(F.col("is_dust") == 1)
+            return {(r["host"], r["param"]) for r in mined.collect()}
+
+        f_dust = pool.submit(_update_dust) if cfg.learn_dust else None
         # only the round-(k+1) inputs are waited on here; host_metrics and
         # lineage (off the critical path) keep running and are joined by
         # finalize(), which the NEXT round calls just before its own commit
@@ -502,6 +534,8 @@ class CrawlRun:
             # next round's scheduler input — must land before run_round
             # returns, but its three tiny jobs just overlapped the writes
             self._backoff_budgets, self._backoff_delays = f_backoff.result()
+        if f_dust is not None:
+            self._dust_rules |= f_dust.result()
         art_counts = obs.get  # filled by the seen-delta write's action
         overlap_pool.shutdown(wait=False)
         _tick("derived_writes")

@@ -212,8 +212,15 @@ def main() -> None:
         capture_output=True, text=True, cwd=REPO, timeout=1200,
     )
     ceil_lines = [l for l in ceil_out.stdout.strip().splitlines() if l.startswith("{")]
-    if ceil_lines:
-        hw_speedup = json.loads(ceil_lines[-1])["speedup_4_to_16"]
+    # hw_ceiling.py prints TWO summary records (extraction kernel, then
+    # STREAM-triad bandwidth) — select the kernel one by key, never by
+    # position
+    ceil_recs = [json.loads(l) for l in ceil_lines]
+    kernel_rec = next(
+        (r for r in ceil_recs if "speedup_4_to_16" in r), None
+    )
+    if kernel_rec is not None:
+        hw_speedup = kernel_rec["speedup_4_to_16"]
     else:
         # ceiling measurement failed: report that, never a made-up number
         print("WARNING: hw_ceiling.py produced no output; "

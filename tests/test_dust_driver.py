@@ -1,0 +1,118 @@
+"""CrawlRun(learn_dust=True): DUST rules mined from round-k artifacts
+strip later rounds' discovered seeds (plans/driver.py wiring)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from pathik_spark.config import CrawlConfig
+from pathik_spark.fixtures import (
+    LINKS_SCHEMA,
+    PAGES_SCHEMA,
+    ROBOTS_SCHEMA,
+    SEEDS_SCHEMA,
+)
+from pathik_spark.plans.driver import CrawlRun
+
+H = "https://d.example"
+TS = datetime(2025, 3, 28, tzinfo=timezone.utc)
+
+
+def _page(url, body):
+    html = f"<html><head><title>t</title></head><body><p>{body}</p></body></html>"
+    return (url, TS, html.encode(), body, "en")
+
+
+def _tables(spark):
+    pages = [
+        # sid is dust: per path, every sid variant serves the same body
+        _page(f"{H}/a?sid=1", "alpha content"),
+        _page(f"{H}/a?sid=2", "alpha content"),
+        _page(f"{H}/b?sid=1", "beta content"),
+        _page(f"{H}/b?sid=2", "beta content"),
+        # the stripped forms a crawler would fetch after learning
+        _page(f"{H}/a", "alpha content"),
+        _page(f"{H}/b", "beta content"),
+    ]
+    seeds = [
+        (f"{H}/a?sid=1", 0, 0),
+        (f"{H}/a?sid=2", 1, 0),
+        (f"{H}/b?sid=1", 2, 0),
+        (f"{H}/b?sid=2", 3, 0),
+    ]
+    # round-1 discoveries: fresh dust variants of both paths
+    links = [
+        (f"{H}/a?sid=1", f"{H}/a?sid=9"),
+        (f"{H}/b?sid=1", f"{H}/b?sid=7"),
+    ]
+    robots = [("d.example", 0, [], 100, TS)]
+    return {
+        "pages": spark.createDataFrame(
+            pd.DataFrame(pages, columns=["url", "warc_ts", "html", "text", "lang"]),
+            schema=PAGES_SCHEMA,
+        ),
+        "seeds": spark.createDataFrame(
+            pd.DataFrame(seeds, columns=["url", "seq", "priority"]),
+            schema=SEEDS_SCHEMA,
+        ),
+        "links": spark.createDataFrame(
+            pd.DataFrame(links, columns=["src_url", "dst_url"]),
+            schema=LINKS_SCHEMA,
+        ),
+        "robots": spark.createDataFrame(
+            pd.DataFrame(
+                robots,
+                columns=[
+                    "host", "crawl_delay_ms", "disallow_prefixes",
+                    "max_per_round", "fetched_ts",
+                ],
+            ),
+            schema=ROBOTS_SCHEMA,
+        ),
+    }
+
+
+def test_learned_rules_strip_next_round(spark, tmp_path):
+    t = _tables(spark)
+    run = CrawlRun(
+        spark,
+        pages=t["pages"],
+        robots=t["robots"],
+        links=t["links"],
+        state_dir=str(tmp_path),
+        config=CrawlConfig(run_id="dust", learn_dust=True),
+    )
+    run.run(t["seeds"], n_rounds=2)
+    assert ("d.example", "sid") in run._dust_rules
+    arts1 = spark.read.parquet(
+        str(tmp_path / "dust" / "round=1" / "artifacts.parquet")
+    )
+    urls1 = {r.url for r in arts1.select("url").collect()}
+    # the discovered sid variants were stripped to the bare paths —
+    # which the seen filter then dropped? no: /a and /b themselves were
+    # never crawled in round 0 (only their sid variants), so they fetch
+    assert f"{H}/a" in urls1 and f"{H}/b" in urls1
+    assert not any("sid=9" in u or "sid=7" in u for u in urls1)
+
+
+def test_without_learning_variants_refetch(spark, tmp_path):
+    t = _tables(spark)
+    run = CrawlRun(
+        spark,
+        pages=t["pages"],
+        robots=t["robots"],
+        links=t["links"],
+        state_dir=str(tmp_path),
+        config=CrawlConfig(run_id="nodust", learn_dust=False),
+    )
+    run.run(t["seeds"], n_rounds=2)
+    assert run._dust_rules == set()
+    arts1 = spark.read.parquet(
+        str(tmp_path / "nodust" / "round=1" / "artifacts.parquet")
+    )
+    urls1 = {r.url for r in arts1.select("url").collect()}
+    # the dust variants burn fetch budget (status missing — not in the
+    # pages table — but they were scheduled as distinct URLs)
+    assert any("sid=9" in u for u in urls1)

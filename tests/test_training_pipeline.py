@@ -304,3 +304,20 @@ def test_prepare_training_corpus_paragraph_dedup_stage(spark):
     got = {r["doc_id"]: r["text"] for r in corpus.collect()}
     assert shared in got[0]
     assert shared not in got[1] and _line(1, 1) in got[1]
+
+
+def test_lexicon_gate_stage(spark):
+    docs = _docs(spark)
+    spam = spark.createDataFrame(
+        [(200, "casino jackpot betting casino jackpot " + _line(0, 0))],
+        "doc_id long, text string",
+    )
+    corpus, _ = pathik_spark.prepare_training_corpus(
+        docs.union(spam),
+        line_max_occurrences=5,
+        min_quality=0.2,
+        lexicon_gate=True,
+    )
+    ids = {r["doc_id"] for r in corpus.collect()}
+    assert 200 not in ids          # saturated spam dropped at stage 0a
+    assert len(ids & set(range(24))) == 24  # clean docs unaffected
