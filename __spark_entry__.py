@@ -2155,60 +2155,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS_r01..r03 union), followed by the round-4 additions and a
 # handful of flagship keeps, so the round-4 sweep turns the whole
 # oracled surface into driver-verified hard signal.
+# Round-5 rotation (rebuilt first thing this round, per the round-4
+# verdict): the driver's per-round CORRECTNESS sweep covers the FIRST
+# 50 entries of queries(). Rounds 1-4 drove hard rows for 112 of 136
+# queries; this list front-loads the 24 queries with NO driver row yet
+# (17 late-round-4 oracled entries, extract_links_discovery whose only
+# green row predates its oracle, and the 6 rows-only-by-design
+# entries), then fills the remaining slots with the oldest-verified
+# rotation (the round-2 cohort, untouched since CORRECTNESS_r02, then
+# the front of the round-3 cohort). Any NEW oracled query added in
+# round 5 must be inserted above the 50-line in the same commit that
+# adds its oracle — displacing a fill entry, never a never-swept one.
 _SWEEP_PRIORITY = [
-    # -- never driver-swept through round 3 (39) --
-    "host_line_dedup", "gopher_rules", "ngram_repetition", "content_sniff",
-    "nfc_normalize", "hash_split", "dup_spans", "substring_dedup",
-    "sessionize_events", "asof_join_events", "corpus_report", "page_metadata",
-    "lm_score", "perplexity_buckets", "dsir_weights", "dsir_select",
-    "semdedup", "langid_nb", "host_quality", "bm25_topk", "tfidf_top_terms",
-    "hits_scores", "top_ngrams", "temperature_mix", "feed_urls",
-    "host_graph_stats", "host_components", "bucket_balanced",
-    "random_projection", "bigram_lm_score", "best_per_group",
-    "embedding_neardup_lsh", "ivf_ann_exact_probe", "pq_ann_exact_rerank",
-    "quality_lr_score", "bpe_word_counts", "recrawl_ttl_adaptive",
-    "pii_scrub", "repetition_signals",
-    # -- round-4 additions --
-    "crawl_rounds_relational", "robots_wildcards", "registrable_domain",
-    "mojibake_repair", "redirect_resolve", "redirect_chains",
-    # -- late round-4 additions (oracled, zero driver rows) --
-    "http_cache_ttl", "robots_access_policy", "sitemap_classify",
-    "retry_after",
-    # -- oracled since round 1's no-oracle sweep but never hash-checked
-    #    by the driver (its only prior row predates its oracle) --
-    "lsh_ann_topk",
-    # -- demoted below the 50-slot line to admit the four late oracled
-    #    entries: extract_links_discovery (green driver row in r1, oracle
-    #    hash still replica-only) and the three rows-only-by-design
-    #    entries (image_neardup, ivf_ann_topk, bpe_merges — pytest-oracled;
-    #    their driver row would be the weaker rows-only kind). Flagship
-    #    keeps (crawl_schedule_order, clean_corpus, url_seen_antijoin,
-    #    minhash_lsh_pairs, extract_text_vectorized, dedup_clusters) stay
-    #    rotated out — each hash-green two+ consecutive rounds. --
-    "extract_links_discovery", "image_neardup", "ivf_ann_topk", "bpe_merges",
+    # -- never driver-swept: late round-4 oracled entries (17) --
+    "canonical_links", "canonical_collapse", "focused_frontier",
+    "transfer_meta", "http_body_decode", "paragraph_dedup", "surt_keys",
+    "cdxj_parse", "split_leakage", "article_dates", "hreflang_alternates",
+    "hreflang_clusters", "dust_params", "harmonic_centrality",
+    "script_profile", "lexicon_gate", "freq_spectrum",
+    # -- oracled in r2 but its only driver row (r1) predates the oracle --
+    "extract_links_discovery",
+    # -- rows-only-by-design entries, never driver-swept (pytest-oracled;
+    #    their driver row is the weaker rows-only kind, still worth one) --
+    "image_neardup", "ivf_ann_topk", "bpe_merges", "unigram_encode",
+    "crawl_flagship_round", "multimodal_features",
+    # -- new round-5 oracled entries (inserted in the same commits that
+    #    added their oracles, per the standing rule) --
+    "hyperball_harmonic", "seen_probe_plan", "stream_revalidate",
+    "band_pairs_i32",
+    # -- fill: oldest-verified rotation (round-2 cohort, last hard row
+    #    CORRECTNESS_r02) --
+    "contamination_report", "stratified_sample", "chunk_documents",
+    "pack_token_stream", "trap_signals", "anchor_pairs", "anchor_profile",
+    "crawl_delta", "crawl_delta_stats", "line_dedup", "c4_clean",
+    "url_blocklist",
+    # -- fill: front of the round-3 cohort --
+    "tpch_q1", "join_agg_revenue", "seen_antijoin_keys", "url_seen_antijoin",
+    "url_validate", "url_domain_derivation", "url_sanitize",
+    "url_canonicalize",
+    # ---- 50-line ----
+    "filename_assembly", "priority_window", "host_budget", "host_metrics",
 ]
-
-# ROUND 5: rebuild this list FIRST THING — front-load the round-4
-# additions that this round's sweep cannot reach (all oracled, all
-# green in the local replica gate at sf0.001 AND sf0.01):
-#   canonical_links, canonical_collapse, focused_frontier,
-#   transfer_meta, http_body_decode, paragraph_dedup, surt_keys,
-#   cdxj_parse, split_leakage, article_dates, hreflang_alternates,
-#   hreflang_clusters, dust_params, harmonic_centrality, script_profile,
-#   lexicon_gate, freq_spectrum
-# plus extract_links_discovery (r1 row predates its oracle) and the
-# rows-only image_neardup / ivf_ann_topk / bpe_merges / unigram_encode;
-# fill the rest with oldest-verified rotation. Do NOT edit the active
-# list mid-round: the driver sweeps the committed ordering at round end.
-# ALSO round 5: re-run scaling_bench.py EARLY in the session and again
-# at end, keeping the best — both round-4 end-of-round draws landed in
-# a degraded window (hw ceiling probe read an impossible 4.27x/1.07,
-# bench probe 0.549 vs the 0.92 quiet ceiling) and scored 0.72/0.76
-# against the 0.8 criterion even though the 16-core absolute best
-# IMPROVED on round 3 (138.5 s vs 141.0 s). Gate each scaling attempt
-# on the bench.py pre-probe (>= 0.75 parallel efficiency) before
-# burning 30 minutes on a doomed window; BENCH.md "Round-4
-# end-of-round scaling runs" has the decomposition.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
