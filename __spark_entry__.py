@@ -802,6 +802,31 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(edges)
 
 
+def _q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate harmonic centrality — the arm that
+    actually runs at 100 TB (the exact-BFS arm is diagnostic-scale
+    only). The REAL operator (operators/centrality.hyperball_harmonic:
+    salted two-phase element-wise-max register merges, per-iteration
+    HLL estimates, sequential harmonic accumulation, monotone-checksum
+    early stop) with portable_hash=True vs a DuckDB twin that unrolls
+    the identical register recurrence — exact value parity, not an
+    error-bound check; the parity argument is in
+    entry_queries.duck_hyperball_harmonic_sql's docstring."""
+    from pathik_spark.entry_queries import HOST_EDGES_CTE
+    from pathik_spark.operators.centrality import hyperball_harmonic
+
+    _register_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {HOST_EDGES_CTE} SELECT * FROM edges").filter(
+        F.col("weight") >= 3
+    )
+    res = hyperball_harmonic(edges, log2m=4, max_iters=12, portable_hash=True)
+    return res.select(
+        "host",
+        F.round("harmonic_est", 6).alias("harmonic_r6"),
+        F.round("ball_est", 6).alias("ball_r6"),
+    )
+
+
 def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script profiling (the coarse router in front of
     language ID): the real regexp_count expressions + struct-greatest
@@ -2029,6 +2054,7 @@ ENGINE_ORACLE_QUERIES = {
     "hreflang_clusters": _q_hreflang_clusters,
     "dust_params": _q_dust_params,
     "harmonic_centrality": _q_harmonic_centrality,
+    "hyperball_harmonic": _q_hyperball_harmonic,
     "script_profile": _q_script_profile,
     "lexicon_gate": _q_lexicon_gate,
     "freq_spectrum": _q_freq_spectrum,

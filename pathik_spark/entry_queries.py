@@ -5360,6 +5360,91 @@ FROM wcounts GROUP BY 1
 """
 
 
+def duck_hyperball_harmonic_sql(
+    min_weight: int = 3, log2m: int = 4, max_iters: int = 12
+) -> str:
+    """DuckDB twin of operators/centrality.hyperball_harmonic
+    (portable_hash=True) over HOST_EDGES_CTE: the identical HLL
+    register recurrence stated as unrolled CTE stages.
+
+    Exact cross-engine parity is by construction, not hope: registers
+    come from the shared md5-60-bit hash (integer index/window
+    arithmetic, no float division of the hash); the per-node
+    ``sum(2^-r)`` over m=2^log2m registers is a sum of dyadic rationals
+    whose full bit-span (4+33 bits at log2m=4) fits a double mantissa,
+    so it is EXACT regardless of addition order; the alpha*m^2 constant
+    is computed once in Python and inlined in both dialects; and the
+    harmonic partial sums chain sequentially (hh_k = hh_{k-1} + d_k)
+    in the same order as the engine's loop. The only libm calls are
+    ln(m/zeros) (a finite input set: zeros in 1..m) and
+    floor(log2(w)) on 32-bit integers — both engines agree on these,
+    witnessed by the replica gate at two SFs. The engine's early stop
+    fires only when registers are globally unchanged (monotone
+    max-merge), after which every d_k is 0, so fixed-k unrolling here
+    equals early-stopped iteration there whenever max_iters covers the
+    graph diameter (12 >> the <= 40-host corpus diameter at every SF).
+    """
+    m = 1 << log2m
+    mask = (1 << 32) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c = alpha * m * m
+    w = f"(h // {m}) % {mask + 1}"
+    zeros = "SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END)"
+    raw = f"{c!r} / SUM(power(2.0, -r))"
+    est_expr = (
+        f"CASE WHEN {zeros} > 0 AND {raw} < {2.5 * m!r} "
+        f"THEN {float(m)!r} * ln({float(m)!r} / {zeros}) "
+        f"ELSE {raw} END"
+    )
+    parts = [
+        HOST_EDGES_CTE.strip(),
+        f"""hb_fil AS MATERIALIZED (
+  SELECT DISTINCT src_host AS u, dst_host AS v FROM edges
+  WHERE weight >= {min_weight}
+)""",
+        "hb_nodes AS (SELECT u AS n FROM hb_fil UNION SELECT v FROM hb_fil)",
+        f"""hb_hash AS (
+  SELECT n, CAST(('0x' || substr(md5(n), 1, 15)) AS BIGINT) AS h FROM hb_nodes
+)""",
+        f"""reg0 AS MATERIALIZED (
+  SELECT n AS v, t.i AS i,
+    CASE WHEN t.i = CAST(h % {m} AS INT)
+         THEN CASE WHEN {w} = 0 THEN 33
+              ELSE 32 - CAST(FLOOR(log2(CAST({w} AS DOUBLE))) AS INT) END
+         ELSE 0 END AS r
+  FROM hb_hash CROSS JOIN generate_series(0, {m - 1}) t(i)
+)""",
+        f"""est0 AS (
+  SELECT v, {est_expr} AS n FROM reg0 GROUP BY v
+)""",
+        "hh0 AS (SELECT v, n AS n_prev, 0.0 AS h FROM est0)",
+    ]
+    for k in range(1, max_iters + 1):
+        parts.append(f"""reg{k} AS MATERIALIZED (
+  SELECT v, i, MAX(r) AS r FROM (
+    SELECT v, i, r FROM reg{k - 1}
+    UNION ALL
+    SELECT e.v AS v, s.i AS i, s.r AS r
+    FROM reg{k - 1} s JOIN hb_fil e ON s.v = e.u
+  ) u GROUP BY v, i
+)""")
+        parts.append(f"""est{k} AS (
+  SELECT v, {est_expr} AS n FROM reg{k} GROUP BY v
+)""")
+        parts.append(f"""hh{k} AS (
+  SELECT e.v, e.n AS n_prev,
+         p.h + GREATEST(e.n - p.n_prev, 0.0) / {float(k)!r} AS h
+  FROM est{k} e JOIN hh{k - 1} p ON e.v = p.v
+)""")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT v AS host, ROUND(h, 6) AS harmonic_r6,\n"
+        f"       ROUND(n_prev, 6) AS ball_r6\n"
+        f"FROM hh{max_iters}\n"
+    )
+
+
 ENGINE_ORACLE_SQL = {
     "crawl_schedule_order": duck_schedule_order_sql,
     "registrable_domain": duck_registrable_domain_sql,
@@ -5467,6 +5552,7 @@ ENGINE_ORACLE_SQL = {
     "hreflang_clusters": duck_hreflang_clusters_sql,
     "dust_params": duck_dust_params_sql,
     "harmonic_centrality": duck_harmonic_centrality_sql,
+    "hyperball_harmonic": duck_hyperball_harmonic_sql,
     "script_profile": duck_script_profile_sql,
     "lexicon_gate": duck_lexicon_gate_sql,
     "freq_spectrum": duck_freq_spectrum_sql,

@@ -93,13 +93,26 @@ def harmonic_centrality(
     )
 
 
-def _init_registers(m: int):
-    """Own-hash HLL registers for column ``v``: index = low log2(m)
+def _init_registers(log2m: int, portable_hash: bool = False):
+    """Own-hash HLL registers for column ``v``: index = low log2m
     bits, rho = leading-zero rank of a 32-bit window of the remaining
-    bits (w = 0 → the window's max rank + 1)."""
-    h = F.xxhash64(F.col("v"))
+    bits (w = 0 → the window's max rank + 1). The window is taken with
+    integer bit arithmetic: ``floor(h / m)`` in doubles would drop the
+    low ~10 bits of the 64-bit hash past the 53-bit mantissa and
+    corrupt the high-rho tail.
+
+    ``portable_hash`` swaps xxhash64 for the repo's dual-dialect
+    md5-60-bit hash (entry_queries HASH60) so a DuckDB twin can state
+    the identical registers — oracle harness only; production keeps
+    xxhash64 (one JVM intrinsic vs an md5 + string slice per node).
+    """
+    m = 1 << log2m
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(F.col("v"))
     idx = F.pmod(h, F.lit(m)).cast("int")
-    w = F.pmod(F.floor(h / m), F.lit(1 << 32)).cast("bigint")
+    w = F.shiftrightunsigned(h, log2m).bitwiseAND(F.lit((1 << 32) - 1))
     rho = (
         F.when(w == 0, F.lit(33))
         .otherwise(F.lit(32) - F.floor(F.log2(w.cast("double"))))
@@ -161,15 +174,24 @@ def hyperball_harmonic(
     log2m: int = 8,
     max_iters: int = 16,
     n_salts: int = 32,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(host, harmonic_est, ball_est) — HyperBall approximate harmonic
     centrality and final neighborhood-ball size estimate. Standard
-    error ~ 1.04/sqrt(2^log2m) per count (log2m=8 → ~6.5%)."""
+    error ~ 1.04/sqrt(2^log2m) per count (log2m=8 → ~6.5%).
+
+    Deterministic end to end: registers come from a hash of the node
+    id, merges are element-wise max, and the early stop fires only
+    when the (monotone) global register sum is unchanged — so a
+    fixed-iteration replay produces bit-identical output, which is
+    what the ``hyperball_harmonic`` oracle entry exploits
+    (``portable_hash=True`` + a DuckDB twin of the same recurrence)."""
     m = 1 << log2m
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     state = nodes.select(
-        F.col("u").alias("v"), _init_registers(m).alias("regs")
+        F.col("u").alias("v"),
+        _init_registers(log2m, portable_hash=portable_hash).alias("regs"),
     ).localCheckpoint(eager=True)
     # running per-host accumulators: previous ball estimate N_{k-1}
     # (starts at the k=0 self-ball) and the harmonic partial sum

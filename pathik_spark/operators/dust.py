@@ -52,9 +52,11 @@ def url_param_evidence(
 
     ``residual_key`` is the URL with every occurrence of the parameter
     removed and the remaining query pairs sorted (order-insensitive —
-    ``?a=1&b=2`` and ``?b=2&a=1`` are one residual). Only URLs with a
-    query string participate; a parameter's absence arm joins the
-    group through the residual equality itself.
+    ``?a=1&b=2`` and ``?b=2&a=1`` are one residual). Only URLs that
+    CONTAIN the parameter emit evidence rows for it, so a group tests
+    value variation only (``?id=1`` vs ``?id=2``): present-vs-absent
+    collapse (``?id=1`` vs no query) is deliberately out of scope —
+    URLs lacking the parameter never join its groups.
     """
     url = F.col(url_col)
     qs = F.regexp_extract(url, QUERY_RE, 1)

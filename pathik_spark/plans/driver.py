@@ -130,7 +130,14 @@ class CrawlRun:
         self._backoff_delays: DataFrame | None = None
         # learned DUST rules (config.learn_dust): tiny (host, param)
         # set mined from committed artifacts, applied to later rounds'
-        # seeds pre-canonicalization (operators/dust.strip_dust_params)
+        # seeds pre-canonicalization (operators/dust.strip_dust_params).
+        # _dust_evidence accumulates (groups_tested, groups_collapsed)
+        # across rounds and _dust_rules is RECOMPUTED from the merged
+        # totals each round, so a later round's counterexample group
+        # vetoes a rule that earlier evidence supported (a one-shot set
+        # union would let a false rule strip a content-relevant param
+        # for the rest of the session)
+        self._dust_evidence: dict[tuple[str, str], list[int]] = {}
         self._dust_rules: set[tuple[str, str]] = set()
 
     def _table_name(self, suffix: str) -> str:
@@ -507,9 +514,10 @@ class CrawlRun:
 
         def _update_dust():
             # mine THIS round's artifacts for dust params (docstring in
-            # operators/dust.py); the rule set is tiny by construction
-            # ((host, param) pairs with all-collapsed evidence), so a
-            # driver-side set union is the cheapest cross-round merge
+            # operators/dust.py). Collected rows stay tiny: candidate
+            # rules (all tested groups collapsed) plus counterexample
+            # updates for (host, param) pairs already in the evidence
+            # dict — never the full per-host param vocabulary.
             from pathik_spark.operators.dust import dust_params
 
             mined = dust_params(
@@ -520,8 +528,15 @@ class CrawlRun:
                     ),
                 ),
                 min_groups=cfg.dust_min_groups,
-            ).filter(F.col("is_dust") == 1)
-            return {(r["host"], r["param"]) for r in mined.collect()}
+            ).filter(F.col("groups_tested") >= 1)
+            keep = F.col("groups_collapsed") == F.col("groups_tested")
+            if self._dust_evidence:
+                known = [f"{h}\t{p}" for h, p in self._dust_evidence]
+                keep = keep | F.concat_ws("\t", "host", "param").isin(known)
+            return [
+                (r["host"], r["param"], r["groups_tested"], r["groups_collapsed"])
+                for r in mined.filter(keep).collect()
+            ]
 
         f_dust = pool.submit(_update_dust) if cfg.learn_dust else None
         # only the round-(k+1) inputs are waited on here; host_metrics and
@@ -535,7 +550,17 @@ class CrawlRun:
             # returns, but its three tiny jobs just overlapped the writes
             self._backoff_budgets, self._backoff_delays = f_backoff.result()
         if f_dust is not None:
-            self._dust_rules |= f_dust.result()
+            # merge this round's evidence, then recompute the rule set
+            # from the accumulated totals (counterexamples veto)
+            for host, param, tested, collapsed in f_dust.result():
+                ev = self._dust_evidence.setdefault((host, param), [0, 0])
+                ev[0] += tested
+                ev[1] += collapsed
+            self._dust_rules = {
+                key
+                for key, (tested, collapsed) in self._dust_evidence.items()
+                if tested >= cfg.dust_min_groups and collapsed == tested
+            }
         art_counts = obs.get  # filled by the seen-delta write's action
         overlap_pool.shutdown(wait=False)
         _tick("derived_writes")

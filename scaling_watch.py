@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Probe-gated launcher for scaling_bench.py.
+
+Round-4 lesson (BENCH.md "Round-4 end-of-round scaling runs"): both
+end-of-round draws landed in windows the 2 s pure-CPU probe rated
+0.55-0.59 against a 0.92 quiet ceiling and scored 0.72/0.76 vs the
+>= 0.8 criterion, while the quiet-window 16-core absolute best was an
+all-time record. The fix the verdict asked for: gate every attempt on
+the probe and only burn the ~30 min protocol in a window it rates
+clean.
+
+Loop: every PROBE_INTERVAL_S take best-of-3 probes; when the best
+reaches PROBE_GATE, touch the sentinel (so an interactive session can
+avoid launching concurrent Spark work), run scaling_bench.py once,
+append the probe history + outcome to SCALING_WATCH_LOG, and exit.
+Gives up after MAX_WAIT_S, logging the full probe history as the
+evidence that no clean window existed (the fallback evidence the
+round-4 verdict allows).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (repo-local)
+
+PROBE_GATE = float(os.environ.get("PATHIK_PROBE_GATE", "0.75"))
+PROBE_INTERVAL_S = int(os.environ.get("PATHIK_PROBE_INTERVAL", "150"))
+MAX_WAIT_S = int(os.environ.get("PATHIK_PROBE_MAX_WAIT", str(3 * 3600)))
+SENTINEL = "/tmp/pathik_scaling_running"
+LOG = os.path.join(REPO, "SCALING_WATCH_LOG.jsonl")
+
+
+def best_of(n: int = 3, gap_s: float = 2.0) -> float:
+    best = 0.0
+    for _ in range(n):
+        best = max(best, bench._hw_noise_probe()["hw_probe_parallel_efficiency"])
+        time.sleep(gap_s)
+    return best
+
+
+def main() -> int:
+    t0 = time.time()
+    history: list[tuple[float, float]] = []
+    while time.time() - t0 < MAX_WAIT_S:
+        eff = best_of()
+        history.append((round(time.time() - t0, 1), eff))
+        with open(LOG, "a") as f:
+            f.write(json.dumps({"t": history[-1][0], "probe": eff, "gate": PROBE_GATE}) + "\n")
+        if eff >= PROBE_GATE:
+            open(SENTINEL, "w").write(str(os.getpid()))
+            try:
+                rc = subprocess.call([sys.executable, os.path.join(REPO, "scaling_bench.py")])
+            finally:
+                os.unlink(SENTINEL)
+            with open(LOG, "a") as f:
+                f.write(json.dumps({"launched_at_probe": eff, "rc": rc}) + "\n")
+            return rc
+        time.sleep(PROBE_INTERVAL_S)
+    with open(LOG, "a") as f:
+        f.write(json.dumps({"gave_up_after_s": round(time.time() - t0, 1),
+                            "history": history}) + "\n")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

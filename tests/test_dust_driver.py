@@ -97,6 +97,89 @@ def test_learned_rules_strip_next_round(spark, tmp_path):
     assert not any("sid=9" in u or "sid=7" in u for u in urls1)
 
 
+def _tables_3groups(spark, c2_body):
+    """min_groups=3 scenario: round 0 contributes 2 collapsing groups
+    (/a, /b), round 1 discovers the third (/c) whose collapse is
+    controlled by ``c2_body`` — evidence must MERGE across rounds
+    before a rule can form, and a counterexample in the third group
+    must veto it."""
+    pages = [
+        _page(f"{H}/a?sid=1", "alpha content"),
+        _page(f"{H}/a?sid=2", "alpha content"),
+        _page(f"{H}/b?sid=1", "beta content"),
+        _page(f"{H}/b?sid=2", "beta content"),
+        _page(f"{H}/c?sid=1", "gamma content"),
+        _page(f"{H}/c?sid=2", c2_body),
+    ]
+    seeds = [
+        (f"{H}/a?sid=1", 0, 0),
+        (f"{H}/a?sid=2", 1, 0),
+        (f"{H}/b?sid=1", 2, 0),
+        (f"{H}/b?sid=2", 3, 0),
+    ]
+    links = [
+        (f"{H}/a?sid=1", f"{H}/c?sid=1"),
+        (f"{H}/b?sid=1", f"{H}/c?sid=2"),
+    ]
+    robots = [("d.example", 0, [], 100, TS)]
+    t = _tables(spark)
+    t["pages"] = spark.createDataFrame(
+        pd.DataFrame(pages, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA,
+    )
+    t["seeds"] = spark.createDataFrame(
+        pd.DataFrame(seeds, columns=["url", "seq", "priority"]),
+        schema=SEEDS_SCHEMA,
+    )
+    t["links"] = spark.createDataFrame(
+        pd.DataFrame(links, columns=["src_url", "dst_url"]),
+        schema=LINKS_SCHEMA,
+    )
+    t["robots"] = spark.createDataFrame(
+        pd.DataFrame(
+            robots,
+            columns=[
+                "host", "crawl_delay_ms", "disallow_prefixes",
+                "max_per_round", "fetched_ts",
+            ],
+        ),
+        schema=ROBOTS_SCHEMA,
+    )
+    return t
+
+
+def test_evidence_merges_across_rounds(spark, tmp_path):
+    # no single round reaches min_groups=3; the merged totals do
+    t = _tables_3groups(spark, "gamma content")
+    run = CrawlRun(
+        spark,
+        pages=t["pages"], robots=t["robots"], links=t["links"],
+        state_dir=str(tmp_path),
+        config=CrawlConfig(run_id="dustmerge", learn_dust=True,
+                           dust_min_groups=3),
+    )
+    run.run(t["seeds"], n_rounds=2)
+    assert run._dust_evidence[("d.example", "sid")] == [3, 3]
+    assert ("d.example", "sid") in run._dust_rules
+
+
+def test_counterexample_group_vetoes_rule(spark, tmp_path):
+    # the third group serves two DIFFERENT bodies for its sid variants:
+    # merged totals read tested=3 collapsed=2, so no rule forms even
+    # though every round's own evidence was all-collapsed or neutral
+    t = _tables_3groups(spark, "gamma DIFFERENT")
+    run = CrawlRun(
+        spark,
+        pages=t["pages"], robots=t["robots"], links=t["links"],
+        state_dir=str(tmp_path),
+        config=CrawlConfig(run_id="dustveto", learn_dust=True,
+                           dust_min_groups=3),
+    )
+    run.run(t["seeds"], n_rounds=2)
+    assert run._dust_evidence[("d.example", "sid")] == [3, 2]
+    assert run._dust_rules == set()
+
+
 def test_without_learning_variants_refetch(spark, tmp_path):
     t = _tables(spark)
     run = CrawlRun(
