@@ -55,23 +55,37 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full crawl round: seeds -> canonicalize -> seen -> robots ->
-    schedule -> fetch-join -> extract (SURVEY.md §3.1)."""
+    schedule -> fetch-join -> extract (SURVEY.md §3.1).
+
+    Inputs are the SQL-templated tables derived from ``sf_dir``'s
+    orders table (the same family crawl_rounds_relational consumes), so
+    the driver's rows-only row SCALES with the harness SF instead of
+    exercising a fixed private corpus (round-4 verdict ask #5). Unlike
+    the relational twin this arm keeps the production config: bloom
+    pre-filter path, per-round stats, extraction + markdown conversion
+    over real html bytes."""
     import tempfile
 
     from pathik_spark.config import CrawlConfig
-    from pathik_spark.fixtures import corpus_to_spark
+    from pathik_spark.entry_queries import (
+        SPARK,
+        crawl_links_sql,
+        crawl_pages_sql,
+        robots_sql,
+        seeds_sql,
+    )
     from pathik_spark.plans.driver import CrawlRun
 
-    corpus = corpus_to_spark(spark, _corpus())
+    _register_views(spark, sf_dir)
     run = CrawlRun(
         spark,
-        pages=corpus["pages"],
-        robots=corpus["robots"],
-        links=corpus["links"],
+        pages=spark.sql(crawl_pages_sql(SPARK)),
+        robots=spark.sql(robots_sql(SPARK)),
+        links=spark.sql(crawl_links_sql(SPARK)),
         state_dir=tempfile.mkdtemp(prefix="pathik_entry_"),
-        config=CrawlConfig(run_id="entry"),
+        config=CrawlConfig(run_id="entry", pages_buckets=8),
     )
-    run.run(corpus["seeds"], n_rounds=1)
+    run.run(spark.sql(seeds_sql(SPARK)), n_rounds=1)
     arts = run.store.read_table(0, "artifacts")
     return arts.select(
         "url", "host", "status", "crawl_order", "scheduled_ms",
@@ -172,6 +186,49 @@ def _q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = build_bloom_shards(seen)
     bc = spark.sparkContext.broadcast(shards)
     return seen_filter(fr, seen, bc).select("url")
+
+
+def _q_seen_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filter byte-cap boundary (CrawlConfig.prefilter_max_bytes,
+    the 10^10-seen driver-memory guard): two arms of the REAL composed
+    filter — 'at_cap' builds shards with max_total_bytes == the exact
+    planned size (build proceeds), 'under_cap' with one byte less
+    (build returns None, exact anti-join alone). Both must equal the
+    plain set difference, which is the oracle."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.operators.frontier import prepare_frontier
+    from pathik_spark.operators.seen import (
+        build_bloom_shards,
+        planned_bloom_bytes,
+        seen_filter,
+        shard_counts,
+    )
+
+    _register_views(spark, sf_dir)
+    seeds = spark.sql(
+        f"WITH {URLS_CTE} SELECT url, id AS seq, CAST(0 AS INT) AS priority FROM urls_cte"
+    )
+    seen_seeds = spark.sql(
+        f"WITH {URLS_CTE} SELECT url, id AS seq, CAST(0 AS INT) AS priority "
+        f"FROM urls_cte WHERE id % 3 = 0"
+    )
+    fr = prepare_frontier(seeds, num_shards=32)
+    seen = prepare_frontier(seen_seeds, num_shards=32).select(
+        "url_hash", "host_hash", "url"
+    )
+    planned = planned_bloom_bytes(shard_counts(seen))
+    shards = build_bloom_shards(seen, max_total_bytes=planned)
+    assert shards is not None
+    under = build_bloom_shards(seen, max_total_bytes=planned - 1)
+    assert under is None
+    bc = spark.sparkContext.broadcast(shards)
+    at_cap = seen_filter(fr, seen, bc).select(
+        F.lit("at_cap").alias("arm"), "url"
+    )
+    under_cap = seen_filter(fr, seen, None).select(
+        F.lit("under_cap").alias("arm"), "url"
+    )
+    return at_cap.unionByName(under_cap)
 
 
 def _q_cuckoo_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2021,6 +2078,7 @@ ENGINE_ORACLE_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "crawl_rounds_relational": _q_crawl_rounds,
     "bloom_seen_filter": _q_bloom_seen,
+    "seen_probe_plan": _q_seen_probe_plan,
     "cuckoo_seen_filter": _q_cuckoo_seen,
     "extract_text_vectorized": _q_extract_text,
     "css_select": _q_css_select,

@@ -42,6 +42,17 @@ class CrawlConfig:
     # bloom pre-filter only pays for itself once the seen set is large;
     # below this many seen rows the exact anti-join alone is faster
     bloom_min_seen: int = 100_000
+    # hard ceiling on the TOTAL bytes of pre-filter shards the driver
+    # may materialize and broadcast. The shard dict is driver-resident
+    # and broadcast whole, so it must fit comfortably in driver memory
+    # AND under broadcast limits: at fpp 0.01 a bloom costs ~1.2 B/URL
+    # (~12 GB at the 10^10-seen design point — far past any sane
+    # broadcast), a cuckoo ~2.4-4.8 B/URL. Beyond the cap the driver
+    # SKIPS the accelerator and the exact anti-join (always
+    # authoritative) carries the round alone — correctness never
+    # depends on the pre-filter, so the fall-through only costs speed.
+    # 256 MB default ≈ 2.1e8 seen URLs accelerated at fpp 0.01.
+    prefilter_max_bytes: int = 256 << 20
     # per-round stats beyond the core artifact counts cost extra jobs;
     # turn off for throughput runs (manifest then records -1 for them)
     collect_stats: bool = True

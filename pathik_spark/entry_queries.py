@@ -827,6 +827,23 @@ WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
 """
 
 
+def duck_seen_probe_plan_sql() -> str:
+    """DuckDB twin of the pre-filter cap-boundary query: both arms
+    (shards built at the exact planned cap / build skipped one byte
+    under it) are exactly the plain anti-join, so the oracle is the set
+    difference cross-joined with the two arm labels."""
+    d = DUCK
+    canon = _canonical_expr(d)
+    return f"""
+WITH {URLS_CTE},
+frontier AS (SELECT DISTINCT {canon} AS url FROM urls_cte WHERE {_valid_pred(d)}),
+seen AS (SELECT DISTINCT {canon} AS url FROM urls_cte WHERE id % 3 = 0 AND {_valid_pred(d)}),
+arms AS (SELECT 'at_cap' AS arm UNION ALL SELECT 'under_cap')
+SELECT a.arm AS arm, f.url AS url FROM frontier f CROSS JOIN arms a
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+"""
+
+
 # deterministic link farm used by the extraction-oracle HTML template:
 # anchor-text length 19 gives the template's non-article nodes a fixed
 # negative readability score (see kernels/extract.py scoring spec)
@@ -5457,6 +5474,7 @@ ENGINE_ORACLE_SQL = {
     "retry_after": duck_retry_after_sql,
     "crawl_rounds_relational": duck_crawl_rounds_sql,
     "bloom_seen_filter": duck_bloom_seen_sql,
+    "seen_probe_plan": duck_seen_probe_plan_sql,
     # identical anti-join semantics: the cuckoo arm's false positives
     # also only route rows INTO the exact join
     "cuckoo_seen_filter": duck_bloom_seen_sql,

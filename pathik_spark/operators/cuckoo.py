@@ -173,12 +173,32 @@ def delete_cuckoo(m: int, table: np.ndarray, hashes: np.ndarray) -> int:
     return removed
 
 
+def planned_cuckoo_bytes(shard_counts: dict[int, int], load: float = 0.84) -> int:
+    """Upper bound on the total table bytes build_cuckoo_shards would
+    materialize for the given per-shard row counts: the sizing formula
+    with the pre-dedup count (n_unique <= n and _next_pow2 is monotone,
+    so the true size never exceeds this; kick-walk-failure doubling is
+    vanishingly rare at load 0.84 and absorbed by the pow2 slack)."""
+    return sum(
+        _next_pow2(int(np.ceil(max(1, n) / (SLOTS * load)))) * SLOTS * 2
+        for n in shard_counts.values()
+    )
+
+
 def build_cuckoo_shards(
-    seen: DataFrame, load: float = 0.84
-) -> dict[int, tuple[int, bytes]]:
+    seen: DataFrame, load: float = 0.84, max_total_bytes: int | None = None
+) -> dict[int, tuple[int, bytes]] | None:
     """Per-host_hash-shard cuckoo tables over seen(url_hash, host_hash);
     {shard: (m, table_bytes)} for sparkContext.broadcast — the same
-    shape and build path as operators/seen.build_bloom_shards."""
+    shape and build path as operators/seen.build_bloom_shards, including
+    the ``max_total_bytes`` guard (planned size checked from a cheap
+    count aggregation BEFORE building; None = use the exact anti-join
+    alone — see CrawlConfig.prefilter_max_bytes)."""
+    if max_total_bytes is not None:
+        from pathik_spark.operators.seen import shard_counts as _counts
+
+        if planned_cuckoo_bytes(_counts(seen), load) > max_total_bytes:
+            return None
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)

@@ -37,6 +37,17 @@ Scale regimes (honest sizing):
   executor-side within the bucket's task. The exact anti-join remains
   the semantics either way, so the choice is purely a physical knob
   (``use_bloom`` in CrawlConfig).
+
+The boundary between the regimes is ENFORCED, not advisory:
+``build_bloom_shards(max_total_bytes=...)`` (fed by
+``CrawlConfig.prefilter_max_bytes``, default 256 MB) computes the exact
+planned bitset bytes from a cheap per-shard count aggregation BEFORE
+building, and skips the accelerator past the cap — so the driver's
+memory envelope is bounded by construction and a 10^10-seen run
+degrades to the (authoritative) exact anti-join instead of a 12 GB
+driver-resident broadcast. Cap-boundary exactness is pinned by
+tests/test_seen.py::test_prefilter_cap_boundary and the driver-swept
+``seen_probe_plan`` oracle entry.
 """
 
 from __future__ import annotations
@@ -100,14 +111,53 @@ def _probe_bits(hashes: np.ndarray, bits: np.ndarray, n_bits: int, n_hashes: int
     return hit
 
 
+def planned_bloom_bytes(
+    shard_counts: dict[int, int], fpp: float = 0.01,
+    expected_per_shard: int | None = None,
+) -> int:
+    """EXACT total bitset bytes build_bloom_shards would materialize for
+    the given per-shard row counts (the sizing formula is deterministic
+    in the count), letting the driver cap the build BEFORE running it."""
+    return sum(
+        _bloom_params(expected_per_shard or n, fpp)[0] // 8
+        for n in shard_counts.values()
+    )
+
+
+def shard_counts(seen: DataFrame) -> dict[int, int]:
+    """{host_hash: rows} — one narrow two-long-column aggregation; the
+    result dict is bounded by num_shards (config default 4096)."""
+    return {
+        int(r["host_hash"]): int(r["n"])
+        for r in seen.groupBy("host_hash").agg(F.count("*").alias("n")).collect()
+    }
+
+
 def build_bloom_shards(
-    seen: DataFrame, fpp: float = 0.01, expected_per_shard: int | None = None
-) -> dict[int, tuple[int, int, bytes]]:
+    seen: DataFrame,
+    fpp: float = 0.01,
+    expected_per_shard: int | None = None,
+    max_total_bytes: int | None = None,
+) -> dict[int, tuple[int, int, bytes]] | None:
     """Build per-host_hash-shard blooms over ``seen(url_hash, host_hash)``.
 
     Returns {shard: (n_bits, n_hashes, bits)} — driver-side dict meant to
     be broadcast via ``spark.sparkContext.broadcast``.
+
+    With ``max_total_bytes``, the EXACT planned size is computed first
+    from a cheap per-shard count aggregation; if it exceeds the cap the
+    build is SKIPPED and None returned — the caller's exact anti-join
+    (always authoritative) then carries the seen filter alone. This is
+    the 10^10-seen guard: ~1.2 B/URL at fpp 0.01 is ~12 GB of
+    driver-resident shards at that design point, far past sane
+    broadcast sizes (see CrawlConfig.prefilter_max_bytes).
     """
+    if max_total_bytes is not None:
+        planned = planned_bloom_bytes(
+            shard_counts(seen), fpp, expected_per_shard
+        )
+        if planned > max_total_bytes:
+            return None
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)

@@ -147,11 +147,17 @@ class CrawlRun:
 
     # -- seen pre-filter backend (north-star "bloom/cuckoo") -----------------
     def _build_prefilter_shards(self, seen: DataFrame):
+        # prefilter_max_bytes bounds the driver-resident broadcast dict:
+        # past the cap the build returns None and the exact anti-join
+        # (always authoritative) carries the round alone
+        cap = self.config.prefilter_max_bytes
         if self.config.seen_prefilter == "cuckoo":
             from pathik_spark.operators.cuckoo import build_cuckoo_shards
 
-            return build_cuckoo_shards(seen)
-        return build_bloom_shards(seen, fpp=self.config.bloom_fpp)
+            return build_cuckoo_shards(seen, max_total_bytes=cap)
+        return build_bloom_shards(
+            seen, fpp=self.config.bloom_fpp, max_total_bytes=cap
+        )
 
     def _seen_filter(self, frontier: DataFrame, seen, shards_bc) -> DataFrame:
         if self.config.seen_prefilter == "cuckoo":

@@ -107,3 +107,44 @@ def test_recrawl_filter_composes_with_full_set_bloom(spark, corpus):
     a = {r["url_hash"] for r in with_bloom.select("url_hash").collect()}
     b = {r["url_hash"] for r in without.select("url_hash").collect()}
     assert a == b
+
+def test_prefilter_cap_boundary(spark, corpus):
+    """max_total_bytes: at the exact planned size the build proceeds;
+    one byte below it falls through to None, and composition with
+    seen_filter(None) stays exactly the authoritative anti-join."""
+    from pathik_spark.operators.seen import planned_bloom_bytes, shard_counts
+
+    fr = _frontier(corpus).cache()
+    seen = fr.filter(F.col("seq") % 3 == 0).select("url_hash", "host_hash", "url")
+    planned = planned_bloom_bytes(shard_counts(seen), fpp=0.05)
+    assert planned > 0
+    at_cap = build_bloom_shards(seen, fpp=0.05, max_total_bytes=planned)
+    assert at_cap is not None
+    # the planned number is exact: the built bitsets sum to it
+    assert sum(len(bits) for (_, _, bits) in at_cap.values()) == planned
+    below_cap = build_bloom_shards(seen, fpp=0.05, max_total_bytes=planned - 1)
+    assert below_cap is None
+    exact = seen_filter(fr, seen, None)
+    bc = spark.sparkContext.broadcast(at_cap)
+    a = sorted(r["url_hash"] for r in exact.select("url_hash").collect())
+    b = sorted(
+        r["url_hash"] for r in seen_filter(fr, seen, bc).select("url_hash").collect()
+    )
+    assert a == b
+
+
+def test_cuckoo_cap_boundary(spark, corpus):
+    from pathik_spark.operators.cuckoo import (
+        build_cuckoo_shards,
+        planned_cuckoo_bytes,
+    )
+    from pathik_spark.operators.seen import shard_counts
+
+    fr = _frontier(corpus).cache()
+    seen = fr.filter(F.col("seq") % 3 == 0).select("url_hash", "host_hash", "url")
+    planned = planned_cuckoo_bytes(shard_counts(seen))
+    at_cap = build_cuckoo_shards(seen, max_total_bytes=planned)
+    assert at_cap is not None
+    # planned is an upper bound on what was actually materialized
+    assert sum(len(tbl) for (_, tbl) in at_cap.values()) <= planned
+    assert build_cuckoo_shards(seen, max_total_bytes=0) is None
