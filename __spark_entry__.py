@@ -1376,6 +1376,74 @@ def _q_http_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.join(cache_ttl_hours(meta), "url")
 
 
+def _q_stream_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming cache-revalidation admission (crawl_stream.
+    make_adaptive_batch_processor's cache_meta_dir + revalidate_304
+    arms), stated batch-relationally with the REAL operators it
+    composes: http_cache_meta -> cache_ttl_hours (declared per-URL
+    TTLs) -> recrawl_filter_adaptive's url_ttls overlay (the host
+    churn TTL is a never-expire sentinel, so the declared overlay
+    alone decides) -> apply_not_modified's 304 marking law. The
+    DuckDB twin restates the same decisions over the same wire corpus
+    (every 5th response rewritten to 304). Stream==batch equivalence
+    of this composition is pinned by tests/test_crawl_stream.py::
+    test_declared_ttl_and_304_stream_matches_batch."""
+    from pathik_spark.entry_queries import cache_payloads_sql
+    from pathik_spark.functions.urls import url_hash_expr
+    from pathik_spark.operators.delta import recrawl_filter_adaptive
+    from pathik_spark.operators.revalidate import (
+        apply_not_modified,
+        cache_ttl_hours,
+        http_cache_meta,
+    )
+
+    _register_views(spark, sf_dir)
+    did = F.regexp_extract(F.col("url"), r"([0-9]+)$", 1).cast("int")
+    corpus = (
+        spark.sql(cache_payloads_sql())
+        .withColumn("did", did)
+        .withColumn(
+            "payload",
+            F.when(
+                F.col("did") % 5 == 0,
+                F.expr(
+                    "replace(payload, 'HTTP/1.1 200 OK',"
+                    " 'HTTP/1.1 304 Not Modified')"
+                ),
+            ).otherwise(F.col("payload")),
+        )
+    )
+    meta = http_cache_meta(corpus, payload_col="payload")
+    url_ttls = cache_ttl_hours(meta).select("url", "ttl_hours")
+    seen = corpus.filter(F.col("did") % 2 == 0).select(
+        "url",
+        F.timestamp_seconds(
+            F.unix_timestamp("warc_ts") - (F.col("did") % 6) * 3600
+        ).alias("seen_ts"),
+        url_hash_expr(F.col("url")).alias("url_hash"),
+    )
+    host_ttls = (
+        corpus.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+        )
+        .distinct()
+        .withColumn("ttl_hours", F.lit(999999.0))
+    )
+    frontier = corpus.select("url", url_hash_expr(F.col("url")).alias("url_hash"))
+    admitted = recrawl_filter_adaptive(
+        frontier, seen, host_ttls, "2024-03-01 09:30:00",
+        ts_col="seen_ts", url_ttls=url_ttls,
+    )
+    marked = apply_not_modified(
+        corpus.join(meta.select("url", "status_code"), "url"),
+        corpus.select("url", "payload"),
+        payload_col="payload",
+    )
+    return admitted.select("url").join(
+        marked.select("url", "status"), "url"
+    )
+
+
 def _q_robots_access_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 §2.3.1 fetch-status semantics (the REAL
     operators/robots.robots_access_policy severity aggregate) over a
@@ -2139,6 +2207,7 @@ ENGINE_ORACLE_QUERIES = {
     "redirect_resolve": _q_redirect_resolve,
     "redirect_chains": _q_redirect_chains,
     "http_cache_ttl": _q_http_cache_ttl,
+    "stream_revalidate": _q_stream_revalidate,
     "robots_access_policy": _q_robots_access_policy,
     "sitemap_classify": _q_sitemap_classify,
     "retry_after": _q_retry_after,

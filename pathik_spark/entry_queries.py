@@ -3632,6 +3632,76 @@ FROM ttl
 """
 
 
+def duck_stream_revalidate_sql() -> str:
+    """DuckDB twin of the streaming cache-revalidation admission
+    (streaming/crawl_stream.make_adaptive_batch_processor's
+    cache_meta_dir + revalidate_304 arms, stated batch-relationally):
+    over the shared wire corpus (cache_payloads_sql with every 5th
+    response rewritten to 304), a URL is ADMITTED unless its seen
+    record (every even id, aged id%6 hours) is still younger than its
+    server-DECLARED TTL (the RFC 9111 precedence CASE — identical to
+    duck_http_cache_ttl_sql); admitted 304s are marked 'revalidated'
+    (apply_not_modified's law), the rest 'fetched'. The host-level
+    churn TTL is a never-expire sentinel on both sides, so the result
+    is decided entirely by the per-URL declared overlay — the thing
+    this entry exists to pin."""
+    crlf2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+    hdr = f"split_part(payload, {crlf2}, 1)"
+
+    def h(name: str) -> str:
+        return (
+            f"nullif(trim(coalesce(regexp_extract({hdr}, "
+            f"'(?im)^{name}:[ \\t]*([^\\r\\n]+)', 1), '')), '')"
+        )
+
+    date_fmt = "'%a, %d %b %Y %H:%M:%S GMT'"
+    cc = f"lower(coalesce({h('Cache-Control')}, ''))"
+    max_age = (
+        f"CAST(nullif(coalesce(regexp_extract({cc}, "
+        f"'(?:^|[ \\t,])max-age=([0-9]+)(?:$|[ \\t,;])', 1), ''), '') AS BIGINT)"
+    )
+    lm = f"try_strptime({h('Last-Modified')}, {date_fmt})"
+    dt = f"try_strptime({h('Date')}, {date_fmt})"
+    expires = f"try_strptime({h('Expires')}, {date_fmt})"
+    no_store = f"regexp_matches({cc}, '(^|[ \\t,])(no-store|no-cache)($|[ \\t,;=])')"
+    status = (
+        f"CAST(nullif(coalesce(regexp_extract({hdr}, "
+        f"'^HTTP/[0-9.]+ ([0-9]{{3}})([ \\r\\n]|$)', 1), ''), '') AS INT)"
+    )
+    return f"""
+WITH corpus0 AS ({cache_payloads_sql().strip()}),
+corpus AS (
+  SELECT url, warc_ts,
+    CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) AS did,
+    CASE WHEN CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 5 = 0
+         THEN replace(payload, 'HTTP/1.1 200 OK', 'HTTP/1.1 304 Not Modified')
+         ELSE payload END AS payload
+  FROM corpus0
+),
+meta AS (
+  SELECT url, did, {status} AS status_code,
+    {max_age} AS max_age_s, {no_store} AS no_store,
+    epoch({lm}) AS lm_s, epoch({dt}) AS date_s, epoch({expires}) AS exp_s,
+    epoch(warc_ts) AS wts_s
+  FROM corpus
+),
+ttl AS (
+  SELECT url, did, status_code,
+    round(least(greatest(
+      CASE WHEN no_store THEN 1.0
+           WHEN max_age_s IS NOT NULL THEN max_age_s / 3600.0
+           WHEN exp_s IS NOT NULL THEN (exp_s - coalesce(date_s, wts_s)) / 3600.0
+           WHEN lm_s IS NOT NULL THEN (coalesce(date_s, wts_s) - lm_s) / 36000.0
+           ELSE 168.0 END, 1.0), 720.0), 6) AS ttl_hours
+  FROM meta
+)
+SELECT url,
+  CASE WHEN status_code = 304 THEN 'revalidated' ELSE 'fetched' END AS status
+FROM ttl
+WHERE NOT (did % 2 = 0 AND (did % 6) * 3600.0 <= ttl_hours * 3600.0)
+"""
+
+
 def robots_fetch_status_sql() -> str:
     """(host, status_code) robots.txt fetch results for the
     access-policy oracle: 2xx/3xx/4xx/5xx/NULL strata plus duplicated
@@ -5469,6 +5539,7 @@ ENGINE_ORACLE_SQL = {
     "redirect_resolve": duck_redirect_resolve_sql,
     "redirect_chains": duck_redirect_chains_sql,
     "http_cache_ttl": duck_http_cache_ttl_sql,
+    "stream_revalidate": duck_stream_revalidate_sql,
     "robots_access_policy": duck_robots_access_policy_sql,
     "sitemap_classify": duck_classify_sitemap_locs_sql,
     "retry_after": duck_retry_after_sql,

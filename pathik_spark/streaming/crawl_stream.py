@@ -119,6 +119,8 @@ def make_adaptive_batch_processor(
     max_delay_ms: int = 60_000,
     recrawl_ttls: DataFrame | None = None,
     seen_dir: str | None = None,
+    cache_meta_dir: str | None = None,
+    revalidate_304: bool = False,
 ):
     """foreachBatch body with the batch driver's ADAPTIVE machinery
     folded in (streaming parity for CrawlConfig.adaptive_backoff and
@@ -139,6 +141,25 @@ def make_adaptive_batch_processor(
       store dedup (whose watermark should be the TTL FLOOR: the global
       watermark evicts at min TTL, this filter holds longer-TTL hosts
       until their age clears).
+    - **Server-declared cache TTLs** (when ``cache_meta_dir`` also
+      given): each batch's landed payloads are parsed with the
+      UNCHANGED batch operators (``revalidate.http_cache_meta`` →
+      ``cache_ttl_hours``) and appended as a per-URL (url, ttl_hours,
+      batch_id) log; the NEXT batch's admission passes the
+      latest-batch-wins per-URL table as ``url_ttls`` to
+      ``recrawl_filter_adaptive``, so a server's own max-age/Expires
+      overrides the churn-inferred host TTL — RFC 9111 §4.3.4 included
+      for free: a 304's own headers re-enter the log and refresh the
+      stored TTL. At scale the log is the committed cache-meta table
+      in the shared url_hash bucket layout (the join co-locates).
+    - **304 revalidation** (``revalidate_304=True``): fetched payloads
+      whose wire status parses to 304 are marked
+      ``status='revalidated'`` BEFORE extraction — extract_artifacts
+      keys extraction off status=='fetched', so re-extraction is
+      skipped by construction and downstream emits a WARC revisit
+      record instead of a resource record, exactly the batch
+      ``apply_not_modified`` marking semantics (the body merge itself
+      stays with the payload store, as in batch).
 
     State shapes are host-count-sized DataFrames (localCheckpointed per
     batch) plus two small parquet dirs — restart-safe to the same
@@ -175,7 +196,9 @@ def make_adaptive_batch_processor(
         last = prior.agg(F.max("batch_id")).collect()[0][0]
         stats0 = prior.filter(F.col("batch_id") == last).groupBy("host").agg(
             F.count("*").alias("n_urls"),
-            F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
+            F.count(
+                F.when(~F.col("status").isin("fetched", "revalidated"), 1)
+            ).alias("n_errors"),
         ).localCheckpoint()
         state["budgets"] = backoff_budgets(
             stats0, None, base_budget=base_budget, min_budget=min_budget,
@@ -188,6 +211,11 @@ def make_adaptive_batch_processor(
         ).localCheckpoint()
     pend_path = _os.path.join(pending_dir, "pending.parquet")
     seen_path = _os.path.join(seen_dir, "seen.parquet") if seen_dir else None
+    cache_meta_path = (
+        _os.path.join(cache_meta_dir, "cache_meta.parquet")
+        if cache_meta_dir
+        else None
+    )
     carry_cols = [
         "url", "url_raw", "host", "url_hash", "host_hash",
         "seq", "priority", "event_ts",
@@ -206,8 +234,20 @@ def make_adaptive_batch_processor(
             now_ts = b.agg(F.max("event_ts")).collect()[0][0]
             if now_ts is not None:
                 seen = spark.read.parquet(seen_path)
+                url_ttls = None
+                if cache_meta_path and _os.path.exists(cache_meta_path):
+                    cm = spark.read.parquet(cache_meta_path)
+                    wcm = Window.partitionBy("url").orderBy(
+                        F.desc("batch_id")
+                    )
+                    url_ttls = (
+                        cm.withColumn("_rn", F.row_number().over(wcm))
+                        .filter(F.col("_rn") == 1)
+                        .select("url", "ttl_hours")
+                    )
                 b = recrawl_filter_adaptive(
-                    b, seen, recrawl_ttls, now_ts, ts_col="seen_ts"
+                    b, seen, recrawl_ttls, now_ts, ts_col="seen_ts",
+                    url_ttls=url_ttls,
                 )
         # 3. AIMD budget gate: rank within host by (priority, seq) —
         #    the scheduler's FIFO law — and admit up to the host cap
@@ -238,10 +278,52 @@ def make_adaptive_batch_processor(
         overflow = gated.filter(F.col("_rank") > F.col("_cap")).select(*carry_cols)
         overflow.write.mode("overwrite").parquet(pend_path)
         # 4. fetch + extract; idempotent dynamic overwrite per batch_id
+        fetched = fetch_join(admitted, prepared_pages, prepared=True)
+        if revalidate_304:
+            from pathik_spark.operators.revalidate import (
+                STATUS_REVALIDATED,
+                http_cache_meta,
+            )
+
+            sc = http_cache_meta(
+                fetched.filter(F.col("status") == "fetched").select(
+                    "url", "html"
+                )
+            ).select("url", "status_code")
+            fetched = (
+                fetched.join(sc, "url", "left")
+                .withColumn(
+                    "status",
+                    F.when(
+                        (F.col("status") == "fetched")
+                        & (F.col("status_code") == 304),
+                        F.lit(STATUS_REVALIDATED),
+                    ).otherwise(F.col("status")),
+                )
+                .drop("status_code")
+            )
         arts = extract_artifacts(
-            fetch_join(admitted, prepared_pages, prepared=True),
+            fetched,
             with_markdown=content_type in ("markdown", "both"),
         ).withColumn("batch_id", F.lit(batch_id))
+        if cache_meta_path:
+            from pathik_spark.operators.revalidate import (
+                cache_ttl_hours,
+                http_cache_meta,
+            )
+
+            (
+                cache_ttl_hours(
+                    http_cache_meta(
+                        arts.filter(
+                            F.col("status").isin("fetched", "revalidated")
+                        ).select("url", "warc_ts", "html")
+                    )
+                )
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("append")
+                .parquet(cache_meta_path)
+            )
         (
             arts.drop("html")
             .write.mode("overwrite")
@@ -254,7 +336,9 @@ def make_adaptive_batch_processor(
         landed = spark.read.parquet(out_dir).filter(F.col("batch_id") == batch_id)
         host_stats = landed.groupBy("host").agg(
             F.count("*").alias("n_urls"),
-            F.count(F.when(F.col("status") != "fetched", 1)).alias("n_errors"),
+            F.count(
+                F.when(~F.col("status").isin("fetched", "revalidated"), 1)
+            ).alias("n_errors"),
         ).localCheckpoint()
         state["budgets"] = backoff_budgets(
             host_stats, state["budgets"], base_budget=base_budget,

@@ -285,3 +285,121 @@ def test_adaptive_recrawl_ttl_in_stream(spark, tmp_path):
     got = {r["url"] for r in spark.read.parquet(odir).collect()}
     assert churny in got      # age 2h > ttl 1h: stale, re-admitted
     assert stable not in got  # age 2h < ttl 100h: fresh, blocked
+
+def test_declared_ttl_and_304_stream_matches_batch(spark, tmp_path):
+    """Stream==batch parity for a 304-heavy host (round-4 verdict ask
+    #7): (a) admission — the server-DECLARED per-URL cache TTLs
+    (revalidate.cache_ttl_hours over the committed cache-meta log,
+    latest batch wins) override the churn-inferred host TTL inside the
+    stream's recrawl gate, exactly recrawl_filter_adaptive's url_ttls
+    arm; (b) marking — wire payloads parsing to 304 land as
+    status='revalidated' with NO extracted text, exactly
+    apply_not_modified's marking law."""
+    import os
+
+    from pathik_spark.functions.urls import canonical_col, url_hash_expr
+    from pathik_spark.operators.revalidate import (
+        apply_not_modified,
+        http_cache_meta,
+    )
+
+    h = "reval.example"
+    u304, u200 = f"https://{h}/a", f"https://{h}/b"
+    u_fresh, u_stale = f"https://{h}/fresh", f"https://{h}/stale"
+    w200 = (
+        b"HTTP/1.1 200 OK\r\nDate: Sat, 01 Mar 2014 00:00:00 GMT\r\n"
+        b"Cache-Control: max-age=7200\r\n\r\n"
+        b"<html><body><p>fresh body</p></body></html>"
+    )
+    w304 = (
+        b"HTTP/1.1 304 Not Modified\r\nDate: Sat, 01 Mar 2014 00:00:00 GMT\r\n"
+        b"Cache-Control: max-age=7200\r\n\r\n"
+    )
+    pages = spark.createDataFrame(
+        [(u304, TS, w304, "en"), (u200, TS, w200, "en"), (u_stale, TS, w200, "en")],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    fdir, odir, cdir = str(tmp_path / "f"), str(tmp_path / "o"), str(tmp_path / "c")
+    seen_dir, pend = str(tmp_path / "seen"), str(tmp_path / "pend")
+    cm_dir = str(tmp_path / "cm")
+    os.makedirs(seen_dir, exist_ok=True)
+    os.makedirs(cm_dir, exist_ok=True)
+    # seen 1h before the batch; host churn TTL says 100h (blocks both)
+    seen_df = (
+        spark.createDataFrame(
+            [(u, TS - datetime.timedelta(hours=1)) for u in (u_fresh, u_stale)],
+            "url string, seen_ts timestamp",
+        )
+        .withColumn("url", canonical_col(F.col("url")))
+        .withColumn("url_hash", url_hash_expr(F.col("url")))
+    )
+    seen_df.write.parquet(os.path.join(seen_dir, "seen.parquet"))
+    # committed cache-meta log: latest batch (1) declares fresh=2h
+    # (blocks at age 1h) and stale=0.5h (re-admits); the batch-0 rows
+    # would decide BOTH differently, so latest-wins is observable
+    spark.createDataFrame(
+        [
+            (u_fresh, 24.0, "max_age", 0),
+            (u_fresh, 2.0, "max_age", 1),
+            (u_stale, 100.0, "max_age", 0),
+            (u_stale, 0.5, "max_age", 1),
+        ],
+        "url string, ttl_hours double, ttl_source string, batch_id long",
+    ).write.parquet(os.path.join(cm_dir, "cache_meta.parquet"))
+    ttls = spark.createDataFrame([(h, 100.0)], "host string, ttl_hours double")
+
+    _write_frontier(spark, fdir, [u304, u200, u_fresh, u_stale])
+    adaptive = dict(
+        pending_dir=pend, recrawl_ttls=ttls, seen_dir=seen_dir,
+        cache_meta_dir=cm_dir, revalidate_304=True,
+    )
+    streaming_crawl(spark, fdir, pages, odir, cdir, adaptive=adaptive)
+    arts = {r["url"]: r for r in spark.read.parquet(odir).collect()}
+
+    # (a) admission parity vs the batch operator composition
+    from pathik_spark.operators.delta import recrawl_filter_adaptive
+    from pathik_spark.operators.frontier import prepare_frontier
+
+    fr = prepare_frontier(
+        spark.createDataFrame(
+            _frontier_rows([u304, u200, u_fresh, u_stale]),
+            "url string, seq long, priority int, event_ts timestamp",
+        ).select("url", "seq", "priority"),
+        num_shards=32,
+    )
+    cm = spark.read.parquet(os.path.join(cm_dir, "cache_meta.parquet"))
+    from pyspark.sql import Window
+
+    latest = (
+        cm.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("url").orderBy(F.desc("batch_id"))),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("url", "ttl_hours")
+    )
+    batch_admitted = {
+        r["url"]
+        for r in recrawl_filter_adaptive(
+            fr, seen_df, ttls, TS, ts_col="seen_ts", url_ttls=latest
+        ).collect()
+    }
+    assert batch_admitted == {u304, u200, u_stale}
+    assert set(arts) == batch_admitted
+
+    # (b) status-marking parity vs apply_not_modified
+    meta = http_cache_meta(pages).select("url", "status_code")
+    marked = apply_not_modified(pages.join(meta, "url"), pages)
+    batch_status = {r["url"]: r["status"] for r in marked.collect()}
+    for u in (u304, u200, u_stale):
+        assert arts[u]["status"] == batch_status[u]
+    assert arts[u304]["status"] == "revalidated"
+    assert arts[u304]["text"] is None  # extraction skipped
+    assert arts[u200]["status"] == "fetched"
+
+    # (c) this batch re-logged the 304's own max-age (RFC 9111 §4.3.4)
+    new_rows = spark.read.parquet(
+        os.path.join(cm_dir, "cache_meta.parquet")
+    ).filter(F.col("url") == u304)
+    got = new_rows.select("ttl_hours", "ttl_source").collect()
+    assert any(r["ttl_source"] == "max_age" and r["ttl_hours"] == 2.0 for r in got)
