@@ -369,6 +369,23 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, cands, threshold=0.4)
 
 
+def _q_band_pairs_i32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compact (int32, band-id-folded) banding arm — the
+    bandwidth-lean shape the production dedup pipeline runs
+    (operators/dedup.lsh_candidate_pairs compact32): portable family
+    end-to-end so DuckDB reproduces the folded band keys, candidates
+    AND verified pairs bit-for-bit."""
+    from pathik_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+    sh = D.word_shingles(docs, n=3)
+    sig = D.minhash_signatures(sh, num_hashes=16, portable=True)
+    cands = D.lsh_candidate_pairs(
+        sig, num_hashes=16, band_size=2, portable=True, compact32=True
+    )
+    return D.jaccard_pairs(sh, cands, threshold=0.4)
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster labeling: MinHash-LSH verified pairs (portable
     hash family) -> connected components (large-star/small-star) ->
@@ -2151,6 +2168,7 @@ ENGINE_ORACLE_QUERIES = {
     "extract_text_vectorized": _q_extract_text,
     "css_select": _q_css_select,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "band_pairs_i32": _q_band_pairs_i32,
     "dedup_clusters": _q_dedup_clusters,
     "clean_corpus": _q_clean_corpus,
     "host_rank": _q_host_rank,

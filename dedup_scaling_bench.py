@@ -112,7 +112,9 @@ def worker(cpus: int) -> None:
         # dedup in-agg — the standalone distinct shuffle is pure waste
         sh = D.word_shingles(docs, n=3, distinct=False)
         sig = D.minhash_signatures(sh, num_hashes=16)  # production xxhash64 family
-        cands = D.lsh_candidate_pairs(sig, num_hashes=16, band_size=2)
+        cands = D.lsh_candidate_pairs(
+            sig, num_hashes=16, band_size=2, compact32=True
+        )
         pairs = D.jaccard_pairs(sh, cands, threshold=0.4, hashed=True)
         out = clean_corpus(docs, pairs)
         out.write.format("noop").mode("overwrite").save()

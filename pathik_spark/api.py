@@ -222,7 +222,9 @@ def prepare_training_corpus(
         # distinct=False: min-agg and collect_set both dedup in-agg, so
         # the explicit 70M-row distinct shuffle buys nothing here
         shingles = word_shingles(staged, distinct=False)
-        cands = lsh_candidate_pairs(minhash_signatures(shingles))
+        cands = lsh_candidate_pairs(
+            minhash_signatures(shingles), compact32=True
+        )
         pairs = jaccard_pairs(
             shingles, cands, threshold=neardup_threshold, hashed=True
         ).select(
@@ -710,7 +712,9 @@ def dedup_corpus(
         if method == "minhash":
             # distinct=False: both consumers dedup in-agg (see clean path)
             shingles = word_shingles(base, text_col=text_col, distinct=False)
-            cands = lsh_candidate_pairs(minhash_signatures(shingles))
+            cands = lsh_candidate_pairs(
+            minhash_signatures(shingles), compact32=True
+        )
             pairs = jaccard_pairs(
                 shingles, cands, threshold=threshold, hashed=True
             ).select(

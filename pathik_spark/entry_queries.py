@@ -1061,19 +1061,42 @@ def _minhash16_h(d, i: int) -> str:
     return d["HASH60"](f"'{i}:' || shingle")
 
 
-def _minhash_pairs_ctes(n_docs: int = 300) -> str:
+def _minhash_pairs_ctes(n_docs: int = 300, compact32: bool = False) -> str:
     """Shared DuckDB CTE chain: word_shingles -> minhash_signatures
     (portable) -> lsh_candidate_pairs(portable) -> verified pairs at
     jaccard >= 0.4 (operators/dedup.py semantics); terminal CTE is
-    ``vpairs (doc_a, doc_b, n_inter, jaccard)``."""
+    ``vpairs (doc_a, doc_b, n_inter, jaccard)``. ``compact32`` states
+    the bandwidth-lean banding shape instead (band id FOLDED into one
+    HASH60 % 2^31 key, single-column equi-join) — the twin of
+    lsh_candidate_pairs(portable=True, compact32=True)."""
     d = DUCK
     sig_cols = ", ".join(f"MIN({_minhash16_h(d, i)}) AS h{i}" for i in range(16))
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, "
-        + d["HASH60"](f"CAST(h{2 * b} AS STRING) || ',' || CAST(h{2 * b + 1} AS STRING)")
-        + " AS band_hash FROM sigs"
-        for b in range(8)
-    )
+    if compact32:
+        band_selects = " UNION ALL ".join(
+            "SELECT doc_id, "
+            + d["HASH60"](
+                f"'band{b}:' || CAST(h{2 * b} AS STRING) || ',' || CAST(h{2 * b + 1} AS STRING)"
+            )
+            + " % 2147483648 AS band_key FROM sigs"
+            for b in range(8)
+        )
+        cands = """cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+    else:
+        band_selects = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + d["HASH60"](f"CAST(h{2 * b} AS STRING) || ',' || CAST(h{2 * b + 1} AS STRING)")
+            + " AS band_hash FROM sigs"
+            for b in range(8)
+        )
+        cands = """cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)"""
     return f"""{_tokens_cte(d, where=f"WHERE doc_id < {n_docs}")},
 shingles AS (
   SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
@@ -1083,11 +1106,7 @@ shingles AS (
 ),
 sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
 bands AS ({band_selects}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
+{cands},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -1113,6 +1132,21 @@ def duck_minhash_lsh_sql(n_docs: int = 300) -> str:
     band_hash), exact-Jaccard verification at >= 0.4."""
     return f"""
 WITH {_minhash_pairs_ctes(n_docs)}
+SELECT doc_a, doc_b, n_inter, jaccard FROM vpairs
+"""
+
+
+def duck_band_pairs_i32_sql(n_docs: int = 300) -> str:
+    """DuckDB twin of the COMPACT (int32, band-id-folded) banding arm:
+    word_shingles -> minhash_signatures(portable) ->
+    lsh_candidate_pairs(portable=True, compact32=True) ->
+    jaccard_pairs(threshold=0.4). Pins the production bandwidth shape
+    (single 32-bit band key, one-column equi-join) end-to-end — the
+    candidate set may differ from the 64-bit arm only by ADDED
+    collision pairs, and the verify step's output here is checked
+    bit-for-bit."""
+    return f"""
+WITH {_minhash_pairs_ctes(n_docs, compact32=True)}
 SELECT doc_a, doc_b, n_inter, jaccard FROM vpairs
 """
 
@@ -5552,6 +5586,7 @@ ENGINE_ORACLE_SQL = {
     "extract_text_vectorized": duck_extract_text_sql,
     "css_select": duck_css_select_sql,
     "minhash_lsh_pairs": duck_minhash_lsh_sql,
+    "band_pairs_i32": duck_band_pairs_i32_sql,
     "extract_links_discovery": duck_extract_links_sql,
     "pii_scrub": duck_pii_scrub_sql,
     "repetition_signals": duck_repetition_signals_sql,

@@ -105,19 +105,72 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 16, band_size: int = 2,
-    portable: bool = False,
+    portable: bool = False, compact32: bool = False,
 ) -> DataFrame:
-    """Band the signature, self-join on (band_id, band_hash); returns
-    distinct (doc_a, doc_b) with doc_a < doc_b. ``portable=True`` hashes
-    bands with the md5-based family so DuckDB can reproduce the
-    candidate set bit-for-bit (oracle path); default is xxhash64."""
+    """Band the signature, self-join on the band key; returns distinct
+    (doc_a, doc_b) with doc_a < doc_b. ``portable=True`` hashes bands
+    with the md5-based family so DuckDB can reproduce the candidate set
+    bit-for-bit (oracle path); default is xxhash64.
+
+    ``compact32=True`` is the bandwidth-lean shape for the banding
+    shuffle (the dedup pipeline's hottest exchange; the round-4 scaling
+    decomposition showed 4N wall-time on this path is memory-bandwidth
+    bound, so bytes saved are wall-time earned): the band id is FOLDED
+    into one 32-bit key, shrinking each band row from
+    (doc_id, band_id int, band_hash long) = 20 B to (doc_id, key int)
+    = 12 B and the join to a single-int equi-join. A 32-bit (or
+    cross-band) key collision can only ADD candidate pairs — never
+    drop one (two docs agreeing on a band still agree on its folded
+    key) — and the downstream exact-Jaccard verification removes them,
+    so verified-pair semantics are unchanged; expected spurious
+    candidates ~ (band rows)²/2³³ (a few thousand at 600k docs —
+    noise next to the verify join). Both hash families support it:
+    xxhash64 folds via the Murmur3 ``hash()`` (production), the
+    portable family via HASH60 % 2³¹ so the ``band_pairs_i32`` oracle
+    pins the compact shape end-to-end in DuckDB."""
     n_bands = num_hashes // band_size
 
+    def band_cols(b: int):
+        return [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+
     def band_hash(b: int):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        cols = band_cols(b)
         if portable:
             return portable_hash64(F.concat_ws(",", *[c.cast("string") for c in cols]))
         return F.xxhash64(*cols)
+
+    def band_key32(b: int):
+        cols = band_cols(b)
+        if portable:
+            return F.pmod(
+                portable_hash64(
+                    F.concat_ws(",", *[c.cast("string") for c in cols]),
+                    salt=f"band{b}",
+                ),
+                F.lit(1 << 31),
+            ).cast("int")
+        return F.hash(F.lit(b), *cols)
+
+    if compact32:
+        bands = signatures.select(
+            "doc_id",
+            F.explode(
+                F.array(*[band_key32(b) for b in range(n_bands)])
+            ).alias("band_key"),
+        )
+        left = bands.alias("a")
+        right = bands.alias("b")
+        return (
+            left.join(
+                right,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
 
     bands = signatures.select(
         "doc_id",

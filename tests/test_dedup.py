@@ -268,3 +268,41 @@ def test_host_mirror_pairs_detects_mirrors(spark):
     r = out[("m1", "m2")]
     assert r["shared"] == 8 and abs(r["containment"] - 8 / 9) < 1e-6
     assert not any("other" in p for p in out)
+
+
+def test_compact32_banding_superset_and_verified_equal(spark):
+    """The int32 band-id-folded arm: its candidate set is a SUPERSET of
+    the struct-banded arm's on the same signatures (folding can only
+    merge buckets, never split one), and after exact-Jaccard
+    verification the outputs are identical — for BOTH hash families."""
+    from pathik_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    rows = []
+    for i in range(40):
+        base = f"the quick brown fox {i % 7} jumps over the lazy dog {i % 5} again and again"
+        if i % 4 == 0:
+            base += " near duplicate tail"
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = word_shingles(docs, n=3)
+    for portable in (False, True):
+        sig = minhash_signatures(sh, num_hashes=16, portable=portable)
+        wide = lsh_candidate_pairs(sig, 16, 2, portable=portable)
+        lean = lsh_candidate_pairs(sig, 16, 2, portable=portable, compact32=True)
+        w = {(r["doc_a"], r["doc_b"]) for r in wide.collect()}
+        l = {(r["doc_a"], r["doc_b"]) for r in lean.collect()}
+        assert w <= l
+        vw = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(sh, wide, threshold=0.4).collect()
+        }
+        vl = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(sh, lean, threshold=0.4).collect()
+        }
+        assert vw == vl and vw
