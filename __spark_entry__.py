@@ -2363,9 +2363,9 @@ _SWEEP_PRIORITY = [
     # -- fill: front of the round-3 cohort --
     "tpch_q1", "join_agg_revenue", "seen_antijoin_keys", "url_seen_antijoin",
     "url_validate", "url_domain_derivation", "url_sanitize",
-    "url_canonicalize",
-    # ---- 50-line ----
-    "filename_assembly", "priority_window", "host_budget", "host_metrics",
+    "url_canonicalize", "filename_assembly", "priority_window",
+    # ---- 50-line (the driver sweeps the first 50 entries above) ----
+    "host_budget", "host_metrics",
 ]
 
 
