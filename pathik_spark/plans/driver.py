@@ -537,8 +537,18 @@ class CrawlRun:
             ).filter(F.col("groups_tested") >= 1)
             keep = F.col("groups_collapsed") == F.col("groups_tested")
             if self._dust_evidence:
-                known = [f"{h}\t{p}" for h, p in self._dust_evidence]
-                keep = keep | F.concat_ws("\t", "host", "param").isin(known)
+                # broadcast-join the known (host, param) keys rather than
+                # rendering them as an isin literal — the evidence dict
+                # is small, but a literal list bloats the plan text and
+                # re-parses every round as it grows
+                known_df = self.spark.createDataFrame(
+                    sorted(self._dust_evidence),
+                    "host string, param string",
+                ).withColumn("_known", F.lit(1))
+                mined = mined.join(
+                    F.broadcast(known_df), ["host", "param"], "left"
+                )
+                keep = keep | F.col("_known").isNotNull()
             return [
                 (r["host"], r["param"], r["groups_tested"], r["groups_collapsed"])
                 for r in mined.filter(keep).collect()
