@@ -1,19 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship crawl round end-to-end on the
-deterministic synthetic corpus (FIXTURES.md). ``queries()`` exposes one
-entry per implemented operator from SURVEY.md §2 (+ the training-data
-operator family); ``oracle_sql()`` gives the DuckDB twin for every
-SQL-expressible one — both sides are rendered from a single dialect-
-templated definition in pathik_spark/entry_queries.py, so the compared
-semantics are genuinely identical. Queries that run the real
-operators/UDFs (scheduling, bloom-seen, extraction, selectors, link
-discovery, PII scrub, repetition signals)
-are ALSO DuckDB-checked: the oracle restates the operator's semantics
-relationally over templated inputs. Only the genuinely non-SQL four
-(iterative crawl loop, binary decode, approximate ANN) are rows-only
-here, each oracle-checked in tests/ against the sequential simulator,
-golden fixtures, or brute-force recall floors instead.
+``entry(spark)`` runs the flagship crawl round end-to-end over the
+SQL-templated tables derived from sf0.001 (scales with the harness
+SF). ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (+ the training-data operator family); ``oracle_sql()``
+gives the DuckDB twin for every SQL-expressible one. Most entries are
+ENGINE arms: the Spark side runs the real operators/UDFs and the
+oracle restates their semantics relationally over templated inputs
+(an independent implementation, not the same statement re-executed).
+The remaining pure-SQL dialect-template entries are input-synthesis
+and aggregate shapes whose §2-core kernels (F1 validation, X1 domain,
+X2 sanitize, X3 filenames) were upgraded to engine arms in round 5 —
+their Spark side is now functions/urls.py expressions, the DuckDB
+side the unchanged independent template. Only the genuinely non-SQL
+six (iterative crawl loop, binary decode, image phash pairs, BPE
+merge loop, unigram encode, partial-probe IVF) are rows-only here,
+each oracle-checked in tests/ against the sequential simulator,
+golden fixtures, independent reference implementations, or
+brute-force recall floors instead.
 """
 
 from __future__ import annotations
@@ -91,6 +95,76 @@ def _q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "host", "status", "crawl_order", "scheduled_ms",
         "filename_html", "filename_md", F.length("text").alias("text_len"),
     ).orderBy("crawl_order")
+
+
+# --- §2-core kernel queries upgraded from the pure-SQL dialect-template
+# arm to ENGINE arms (round-4 verdict "what's wrong" #3): the Spark side
+# now runs the REAL functions/urls.py expressions the crawl pipeline
+# uses (F1 validation, X1 GetDomainName, X2 SanitizeURL, X3 filename
+# assembly) while oracle_sql() keeps serving the independent DuckDB
+# template — engine-vs-restatement instead of same-statement-twice.
+# Kernel==expression parity is separately pytest-pinned
+# (tests/test_url_kernels.py), so a driver mismatch here would isolate
+# to the SQL restatement, not the kernel.
+
+def _q_url_validate_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the REAL is_valid_url_expr (the frontier's admission
+    predicate) over the shared URL corpus vs the DuckDB restatement."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.functions import urls as U
+
+    _register_views(spark, sf_dir)
+    t = spark.sql(f"WITH {URLS_CTE} SELECT id, url FROM urls_cte")
+    return t.select(
+        "id", "url",
+        U.is_valid_url_expr(F.col("url")).cast("int").alias("is_valid"),
+    )
+
+
+def _q_url_domain_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 GetDomainName (reference crawler.go:252-265 as behavioral
+    spec): the REAL domain_name_expr vs the DuckDB restatement."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.functions import urls as U
+
+    _register_views(spark, sf_dir)
+    t = spark.sql(f"WITH {URLS_CTE} SELECT id, url FROM urls_cte")
+    return t.select(
+        "id", "url", U.domain_name_expr(F.col("url")).alias("domain_name")
+    )
+
+
+def _q_url_sanitize_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SanitizeURL (reference storage.go:79-119 as behavioral spec):
+    the REAL sanitize_url_expr vs the DuckDB restatement."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.functions import urls as U
+
+    _register_views(spark, sf_dir)
+    t = spark.sql(f"WITH {URLS_CTE} SELECT id, url FROM urls_cte")
+    return t.select(
+        "id", "url", U.sanitize_url_expr(F.col("url")).alias("sanitized")
+    )
+
+
+def _q_filename_assembly_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 filename assembly ({domain}_{yyyy-MM-dd}.{html|md} from the
+    capture date, never wall clock): the REAL filename_expr vs the
+    DuckDB restatement."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.functions import urls as U
+
+    _register_views(spark, sf_dir)
+    t = spark.sql(f"WITH {URLS_CTE} SELECT id, url, o_orderdate FROM urls_cte")
+    return t.select(
+        "id",
+        U.filename_expr(F.col("url"), F.col("o_orderdate"), "html").alias(
+            "filename_html"
+        ),
+        U.filename_expr(F.col("url"), F.col("o_orderdate"), "md").alias(
+            "filename_md"
+        ),
+    )
 
 
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,6 +2236,10 @@ def _q_embedding_neardup(spark, sf_dir):
 ENGINE_ORACLE_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "crawl_rounds_relational": _q_crawl_rounds,
+    "url_validate": _q_url_validate_engine,
+    "url_domain_derivation": _q_url_domain_engine,
+    "url_sanitize": _q_url_sanitize_engine,
+    "filename_assembly": _q_filename_assembly_engine,
     "bloom_seen_filter": _q_bloom_seen,
     "seen_probe_plan": _q_seen_probe_plan,
     "cuckoo_seen_filter": _q_cuckoo_seen,
