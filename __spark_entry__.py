@@ -167,6 +167,23 @@ def _q_filename_assembly_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_canonicalize_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 canonicalization: the REAL routed canonical_col (JVM
+    expression for the simple majority, masked Arrow-UDF kernel for
+    the exceptional minority — the exact column the crawl pipeline
+    runs) vs the DuckDB restatement of the SQL-expressible subset.
+    The template's WHERE keeps only valid URLs, on which both routes
+    are defined."""
+    from pathik_spark.entry_queries import URLS_CTE
+    from pathik_spark.functions import urls as U
+
+    _register_views(spark, sf_dir)
+    t = spark.sql(f"WITH {URLS_CTE} SELECT id, url FROM urls_cte")
+    return t.filter(U.is_valid_url_expr(F.col("url"))).select(
+        "id", "url", U.canonical_col(F.col("url")).alias("canonical")
+    )
+
+
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduler (B4/W1): runs the REAL operator chain
     prepare_frontier -> attach_robots -> filter_disallowed ->
@@ -2236,6 +2253,7 @@ def _q_embedding_neardup(spark, sf_dir):
 ENGINE_ORACLE_QUERIES = {
     "crawl_schedule_order": _q_crawl_schedule,
     "crawl_rounds_relational": _q_crawl_rounds,
+    "url_canonicalize": _q_url_canonicalize_engine,
     "url_validate": _q_url_validate_engine,
     "url_domain_derivation": _q_url_domain_engine,
     "url_sanitize": _q_url_sanitize_engine,
