@@ -29,17 +29,6 @@ from pyspark.sql import functions as F
 
 from pathik_spark.entry_queries import TABLES, duck_sql_for, spark_sql_for, ORACLE_QUERIES
 
-_CORPUS_CACHE: dict[int, dict] = {}
-
-
-def _corpus(n_pages: int = 400, n_seeds: int = 80):
-    from pathik_spark.fixtures import gen_corpus
-
-    if n_pages not in _CORPUS_CACHE:
-        _CORPUS_CACHE[n_pages] = gen_corpus(n_pages, n_seeds)
-    return _CORPUS_CACHE[n_pages]
-
-
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)

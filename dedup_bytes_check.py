@@ -36,7 +36,7 @@ def worker(arm: str) -> None:
         f"dedup_bytes_{arm}",
         master="local[16]",
         shuffle_partitions=SHUFFLE_PARTITIONS,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+        extra_conf={"spark.ui.enabled": "true"},
     )
     docs = spark.read.parquet(f"{CORPUS}/documents.parquet")
     docs.count()
@@ -49,7 +49,8 @@ def worker(arm: str) -> None:
     clean_corpus(docs, pairs).write.format("noop").mode("overwrite").save()
 
     app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:4049/api/v1/applications/{app_id}/stages"
+    ui = spark.sparkContext.uiWebUrl  # actual bound host:port (retries shift it)
+    url = f"{ui}/api/v1/applications/{app_id}/stages"
     stages = json.loads(urllib.request.urlopen(url).read())
     done = [s for s in stages if s["status"] == "COMPLETE"]
     out = {
@@ -57,9 +58,7 @@ def worker(arm: str) -> None:
         "stages": len(done),
         "shuffle_write_bytes": sum(s["shuffleWriteBytes"] for s in done),
         "shuffle_read_bytes": sum(s["shuffleReadBytes"] for s in done),
-        "n_pairs_rows": sum(
-            s["outputBytes"] for s in done
-        ),
+        "output_bytes": sum(s["outputBytes"] for s in done),
     }
     print(json.dumps(out))
     spark.stop()

@@ -713,8 +713,8 @@ def dedup_corpus(
             # distinct=False: both consumers dedup in-agg (see clean path)
             shingles = word_shingles(base, text_col=text_col, distinct=False)
             cands = lsh_candidate_pairs(
-            minhash_signatures(shingles), compact32=True
-        )
+                minhash_signatures(shingles), compact32=True
+            )
             pairs = jaccard_pairs(
                 shingles, cands, threshold=threshold, hashed=True
             ).select(

@@ -174,11 +174,12 @@ def delete_cuckoo(m: int, table: np.ndarray, hashes: np.ndarray) -> int:
 
 
 def planned_cuckoo_bytes(shard_counts: dict[int, int], load: float = 0.84) -> int:
-    """Upper bound on the total table bytes build_cuckoo_shards would
-    materialize for the given per-shard row counts: the sizing formula
-    with the pre-dedup count (n_unique <= n and _next_pow2 is monotone,
-    so the true size never exceeds this; kick-walk-failure doubling is
-    vanishingly rare at load 0.84 and absorbed by the pow2 slack)."""
+    """Planned total table bytes build_cuckoo_shards would materialize
+    for the given per-shard row counts: the sizing formula with the
+    pre-dedup count (n_unique <= n and _next_pow2 is monotone). A
+    kick-walk failure doubles a shard's m AFTER this estimate, so the
+    plan is not a strict bound — build_cuckoo_shards re-checks the
+    ACTUAL built bytes against the cap before returning."""
     return sum(
         _next_pow2(int(np.ceil(max(1, n) / (SLOTS * load)))) * SLOTS * 2
         for n in shard_counts.values()
@@ -217,7 +218,14 @@ def build_cuckoo_shards(
         .applyInPandas(_build, _CUCKOO_SCHEMA)
         .collect()
     )
-    return {r["shard"]: (r["m"], bytes(r["table"])) for r in rows}
+    out = {r["shard"]: (r["m"], bytes(r["table"])) for r in rows}
+    if max_total_bytes is not None:
+        # the pre-build plan is not a strict bound (kick-walk failure
+        # doubles a shard after planning) — enforce the cap on what was
+        # ACTUALLY built before it becomes a driver-resident broadcast
+        if sum(len(t) for (_, t) in out.values()) > max_total_bytes:
+            return None
+    return out
 
 
 def cuckoo_seen_filter(

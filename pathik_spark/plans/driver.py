@@ -131,13 +131,16 @@ class CrawlRun:
         # learned DUST rules (config.learn_dust): tiny (host, param)
         # set mined from committed artifacts, applied to later rounds'
         # seeds pre-canonicalization (operators/dust.strip_dust_params).
-        # _dust_evidence accumulates (groups_tested, groups_collapsed)
-        # across rounds and _dust_rules is RECOMPUTED from the merged
-        # totals each round, so a later round's counterexample group
-        # vetoes a rule that earlier evidence supported (a one-shot set
-        # union would let a false rule strip a content-relevant param
-        # for the rest of the session)
-        self._dust_evidence: dict[tuple[str, str], list[int]] = {}
+        # _dust_evidence accumulates per-GROUP verdicts across rounds —
+        # {(host, param): {residual_group_hash: still_collapsed}} — and
+        # _dust_rules is RECOMPUTED from it each round. Group-level
+        # state makes the merge order-independent (a counterexample
+        # vetoes whether observed before or after the supporting
+        # groups), makes min_groups count DISTINCT groups (a refetched
+        # group is one group, not one per round), and keeps a vetoed
+        # group vetoed (AND-fold). A one-shot set union would let a
+        # false rule strip a content-relevant param for the session.
+        self._dust_evidence: dict[tuple[str, str], dict[int, bool]] = {}
         self._dust_rules: set[tuple[str, str]] = set()
 
     def _table_name(self, suffix: str) -> str:
@@ -519,39 +522,36 @@ class CrawlRun:
         f_backoff = pool.submit(_update_backoff) if cfg.adaptive_backoff else None
 
         def _update_dust():
-            # mine THIS round's artifacts for dust params (docstring in
-            # operators/dust.py). Collected rows stay tiny: candidate
-            # rules (all tested groups collapsed) plus counterexample
-            # updates for (host, param) pairs already in the evidence
-            # dict — never the full per-host param vocabulary.
-            from pathik_spark.operators.dust import dust_params
+            # mine THIS round's artifacts at GROUP granularity (one row
+            # per (host, param, residual-group) that actually tested the
+            # param, i.e. held >= 2 distinct URLs). Group-level merge
+            # makes the cross-round evidence ORDER-INDEPENDENT — a
+            # counterexample group vetoes whether it is observed before
+            # or after the collapsing groups — and counts DISTINCT
+            # groups toward min_groups (a single collapsing group
+            # refetched N rounds is still one group, not N). Collected
+            # rows are bounded by tested groups (value-varying params
+            # with co-residual URL pairs), far below the URL count.
+            from pathik_spark.operators.dust import url_param_evidence
 
-            mined = dust_params(
+            ev = url_param_evidence(
                 arts.filter(F.col("status") == "fetched").select(
                     "host", "url",
                     F.md5(F.coalesce(F.col("text"), F.lit(""))).alias(
                         "content_hash"
                     ),
                 ),
-                min_groups=cfg.dust_min_groups,
-            ).filter(F.col("groups_tested") >= 1)
-            keep = F.col("groups_collapsed") == F.col("groups_tested")
-            if self._dust_evidence:
-                # broadcast-join the known (host, param) keys rather than
-                # rendering them as an isin literal — the evidence dict
-                # is small, but a literal list bloats the plan text and
-                # re-parses every round as it grows
-                known_df = self.spark.createDataFrame(
-                    sorted(self._dust_evidence),
-                    "host string, param string",
-                ).withColumn("_known", F.lit(1))
-                mined = mined.join(
-                    F.broadcast(known_df), ["host", "param"], "left"
-                )
-                keep = keep | F.col("_known").isNotNull()
+            ).filter(F.col("n_urls") >= 2)
             return [
-                (r["host"], r["param"], r["groups_tested"], r["groups_collapsed"])
-                for r in mined.filter(keep).collect()
+                (
+                    r["host"], r["param"], r["group_key"],
+                    r["n_contents"] == 1,
+                )
+                for r in ev.select(
+                    "host", "param",
+                    F.xxhash64("residual_key").alias("group_key"),
+                    "n_contents",
+                ).collect()
             ]
 
         f_dust = pool.submit(_update_dust) if cfg.learn_dust else None
@@ -566,16 +566,19 @@ class CrawlRun:
             # returns, but its three tiny jobs just overlapped the writes
             self._backoff_budgets, self._backoff_delays = f_backoff.result()
         if f_dust is not None:
-            # merge this round's evidence, then recompute the rule set
-            # from the accumulated totals (counterexamples veto)
-            for host, param, tested, collapsed in f_dust.result():
-                ev = self._dust_evidence.setdefault((host, param), [0, 0])
-                ev[0] += tested
-                ev[1] += collapsed
+            # merge per-GROUP: once any round shows a group serving two
+            # contents for the same param, that group stays a
+            # counterexample (AND-fold); rules recompute from distinct
+            # groups, so they both form and dissolve as evidence
+            # accumulates, in any observation order
+            for host, param, group_key, collapsed in f_dust.result():
+                groups = self._dust_evidence.setdefault((host, param), {})
+                groups[group_key] = groups.get(group_key, True) and collapsed
             self._dust_rules = {
                 key
-                for key, (tested, collapsed) in self._dust_evidence.items()
-                if tested >= cfg.dust_min_groups and collapsed == tested
+                for key, groups in self._dust_evidence.items()
+                if len(groups) >= cfg.dust_min_groups
+                and all(groups.values())
             }
         art_counts = obs.get  # filled by the seen-delta write's action
         overlap_pool.shutdown(wait=False)

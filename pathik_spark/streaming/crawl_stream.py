@@ -144,14 +144,17 @@ def make_adaptive_batch_processor(
     - **Server-declared cache TTLs** (when ``cache_meta_dir`` also
       given): each batch's landed payloads are parsed with the
       UNCHANGED batch operators (``revalidate.http_cache_meta`` →
-      ``cache_ttl_hours``) and appended as a per-URL (url, ttl_hours,
-      batch_id) log; the NEXT batch's admission passes the
-      latest-batch-wins per-URL table as ``url_ttls`` to
-      ``recrawl_filter_adaptive``, so a server's own max-age/Expires
-      overrides the churn-inferred host TTL — RFC 9111 §4.3.4 included
-      for free: a 304's own headers re-enter the log and refresh the
-      stored TTL. At scale the log is the committed cache-meta table
-      in the shared url_hash bucket layout (the join co-locates).
+      ``cache_ttl_hours``) and merged into a latest-per-url (url,
+      ttl_hours, batch_id) SNAPSHOT (read-merge-overwrite with a
+      localCheckpoint barrier — replay-idempotent under foreachBatch's
+      at-least-once contract, and admission reads O(live urls), not
+      O(stream history)); the NEXT batch's admission passes it as
+      ``url_ttls`` to ``recrawl_filter_adaptive``, so a server's own
+      max-age/Expires overrides the churn-inferred host TTL —
+      RFC 9111 §4.3.4 included for free: a 304's own headers re-enter
+      the merge and refresh the stored TTL. At scale the snapshot is
+      the committed cache-meta table in the shared url_hash bucket
+      layout (the join co-locates).
     - **304 revalidation** (``revalidate_304=True``): fetched payloads
       whose wire status parses to 304 are marked
       ``status='revalidated'`` BEFORE extraction — extract_artifacts
@@ -236,14 +239,10 @@ def make_adaptive_batch_processor(
                 seen = spark.read.parquet(seen_path)
                 url_ttls = None
                 if cache_meta_path and _os.path.exists(cache_meta_path):
-                    cm = spark.read.parquet(cache_meta_path)
-                    wcm = Window.partitionBy("url").orderBy(
-                        F.desc("batch_id")
-                    )
-                    url_ttls = (
-                        cm.withColumn("_rn", F.row_number().over(wcm))
-                        .filter(F.col("_rn") == 1)
-                        .select("url", "ttl_hours")
+                    # the snapshot is already latest-per-url (see the
+                    # merge below), so admission reads O(live urls)
+                    url_ttls = spark.read.parquet(cache_meta_path).select(
+                        "url", "ttl_hours"
                     )
                 b = recrawl_filter_adaptive(
                     b, seen, recrawl_ttls, now_ts, ts_col="seen_ts",
@@ -306,24 +305,26 @@ def make_adaptive_batch_processor(
             fetched,
             with_markdown=content_type in ("markdown", "both"),
         ).withColumn("batch_id", F.lit(batch_id))
+        ttls_b = None
         if cache_meta_path:
             from pathik_spark.operators.revalidate import (
                 cache_ttl_hours,
                 http_cache_meta,
             )
 
-            (
-                cache_ttl_hours(
-                    http_cache_meta(
-                        arts.filter(
-                            F.col("status").isin("fetched", "revalidated")
-                        ).select("url", "warc_ts", "html")
-                    )
+            # declared TTLs for THIS batch, materialized eagerly (the
+            # payload column is dropped before the artifacts land, and
+            # the snapshot overwrite below must not race any plan that
+            # still scans the old file)
+            ttls_b = cache_ttl_hours(
+                http_cache_meta(
+                    arts.filter(
+                        F.col("status").isin("fetched", "revalidated")
+                    ).select("url", "warc_ts", "html")
                 )
-                .withColumn("batch_id", F.lit(batch_id).cast("long"))
-                .write.mode("append")
-                .parquet(cache_meta_path)
-            )
+            ).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).localCheckpoint()
         (
             arts.drop("html")
             .write.mode("overwrite")
@@ -361,6 +362,31 @@ def make_adaptive_batch_processor(
             admitted.select(
                 "url_hash", "url", F.col("event_ts").alias("seen_ts")
             ).write.mode("append").parquet(seen_path)
+        if ttls_b is not None:
+            # maintain a latest-per-url SNAPSHOT, not an append log:
+            # (a) per-batch admission cost stays O(live urls) instead
+            # of O(stream history); (b) read-merge-overwrite is
+            # replay-idempotent under foreachBatch's at-least-once
+            # contract — a replayed batch merges the same (url,
+            # batch_id) rows into the identical snapshot (an append
+            # log grew duplicates on every replay). Written LAST, when
+            # no remaining action can re-scan the old file (admission
+            # lineage, pend/seen writes and AIMD stats are all done;
+            # ttls_b and the merge are localCheckpoint-materialized
+            # before the overwrite destroys their input).
+            if _os.path.exists(cache_meta_path):
+                prev = spark.read.parquet(cache_meta_path)
+                merged = prev.unionByName(ttls_b)
+            else:
+                merged = ttls_b
+            wcm = Window.partitionBy("url").orderBy(F.desc("batch_id"))
+            snapshot = (
+                merged.withColumn("_rn", F.row_number().over(wcm))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .localCheckpoint()
+            )
+            snapshot.write.mode("overwrite").parquet(cache_meta_path)
         gated.unpersist()
 
     return process_batch, state

@@ -54,7 +54,8 @@ def main() -> int:
         with open(LOG, "a") as f:
             f.write(json.dumps({"t": history[-1][0], "probe": eff, "gate": PROBE_GATE}) + "\n")
         if eff >= PROBE_GATE:
-            open(SENTINEL, "w").write(str(os.getpid()))
+            with open(SENTINEL, "w") as f:
+                f.write(str(os.getpid()))
             try:
                 rc = subprocess.call([sys.executable, os.path.join(REPO, "scaling_bench.py")])
             finally:

@@ -334,15 +334,13 @@ def test_declared_ttl_and_304_stream_matches_batch(spark, tmp_path):
         .withColumn("url_hash", url_hash_expr(F.col("url")))
     )
     seen_df.write.parquet(os.path.join(seen_dir, "seen.parquet"))
-    # committed cache-meta log: latest batch (1) declares fresh=2h
-    # (blocks at age 1h) and stale=0.5h (re-admits); the batch-0 rows
-    # would decide BOTH differently, so latest-wins is observable
+    # committed cache-meta SNAPSHOT (latest-per-url by contract):
+    # fresh=2h (blocks at age 1h), stale=0.5h (re-admits) — the
+    # declared overlay must override the 100h host TTL for both
     spark.createDataFrame(
         [
-            (u_fresh, 24.0, "max_age", 0),
-            (u_fresh, 2.0, "max_age", 1),
-            (u_stale, 100.0, "max_age", 0),
-            (u_stale, 0.5, "max_age", 1),
+            (u_fresh, 2.0, "max_age", -1),
+            (u_stale, 0.5, "max_age", -1),
         ],
         "url string, ttl_hours double, ttl_source string, batch_id long",
     ).write.parquet(os.path.join(cm_dir, "cache_meta.parquet"))
@@ -367,16 +365,10 @@ def test_declared_ttl_and_304_stream_matches_batch(spark, tmp_path):
         ).select("url", "seq", "priority"),
         num_shards=32,
     )
-    cm = spark.read.parquet(os.path.join(cm_dir, "cache_meta.parquet"))
-    from pyspark.sql import Window
-
-    latest = (
-        cm.withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("url").orderBy(F.desc("batch_id"))),
-        )
-        .filter(F.col("_rn") == 1)
-        .select("url", "ttl_hours")
+    # seed the batch twin with the same PRE-DRAIN snapshot the stream
+    # admission consumed (the drain then merged this batch's rows in)
+    latest = spark.createDataFrame(
+        [(u_fresh, 2.0), (u_stale, 0.5)], "url string, ttl_hours double"
     )
     batch_admitted = {
         r["url"]
@@ -397,9 +389,17 @@ def test_declared_ttl_and_304_stream_matches_batch(spark, tmp_path):
     assert arts[u304]["text"] is None  # extraction skipped
     assert arts[u200]["status"] == "fetched"
 
-    # (c) this batch re-logged the 304's own max-age (RFC 9111 §4.3.4)
-    new_rows = spark.read.parquet(
-        os.path.join(cm_dir, "cache_meta.parquet")
-    ).filter(F.col("url") == u304)
-    got = new_rows.select("ttl_hours", "ttl_source").collect()
-    assert any(r["ttl_source"] == "max_age" and r["ttl_hours"] == 2.0 for r in got)
+    # (c) the post-drain snapshot is latest-per-url: this batch's rows
+    # merged in (the 304's own max-age re-declared the TTL — RFC 9111
+    # §4.3.4) and the blocked url's seeded entry survived untouched
+    snap = {
+        r["url"]: r
+        for r in spark.read.parquet(
+            os.path.join(cm_dir, "cache_meta.parquet")
+        ).collect()
+    }
+    assert snap[u304]["ttl_source"] == "max_age" and snap[u304]["ttl_hours"] == 2.0
+    assert snap[u_fresh]["batch_id"] == -1  # untouched (never refetched)
+    assert snap[u_stale]["batch_id"] >= 0  # refreshed by this batch
+    # exactly one row per url — the snapshot never accumulates history
+    assert len(snap) == 4
