@@ -403,3 +403,55 @@ def test_declared_ttl_and_304_stream_matches_batch(spark, tmp_path):
     assert snap[u_stale]["batch_id"] >= 0  # refreshed by this batch
     # exactly one row per url — the snapshot never accumulates history
     assert len(snap) == 4
+
+
+def test_cache_meta_snapshot_replay_idempotent(spark, tmp_path):
+    """The cache-meta store is a latest-per-url snapshot maintained by
+    read-merge-overwrite: replaying a batch (same batch_id — the
+    at-least-once crash window) must produce the identical snapshot,
+    and a later batch that admits nothing must leave it untouched —
+    one row per url always, no history accumulation."""
+    import os
+
+    from pathik_spark.operators.fetch import pages_by_hash
+    from pathik_spark.streaming.crawl_stream import (
+        make_adaptive_batch_processor,
+        prepare_frontier_stream,
+    )
+
+    h = "snap.example"
+    u1, u2 = f"https://{h}/one", f"https://{h}/two"
+    wire = (
+        b"HTTP/1.1 200 OK\r\nDate: Sat, 01 Mar 2014 00:00:00 GMT\r\n"
+        b"Cache-Control: max-age=7200\r\n\r\n<html><body><p>x</p></body></html>"
+    )
+    pages = spark.createDataFrame(
+        [(u1, TS, wire, "en"), (u2, TS, wire, "en")],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    odir = str(tmp_path / "o")
+    pend, seen_dir, cm_dir = (
+        str(tmp_path / "p"), str(tmp_path / "s"), str(tmp_path / "cm")
+    )
+    ttls = spark.createDataFrame([(h, 100.0)], "host string, ttl_hours double")
+    process, _state = make_adaptive_batch_processor(
+        spark, pages_by_hash(pages), odir, "both", pend,
+        recrawl_ttls=ttls, seen_dir=seen_dir, cache_meta_dir=cm_dir,
+        revalidate_304=True,
+    )
+    batch = prepare_frontier_stream(
+        spark.createDataFrame(
+            _frontier_rows([u1, u2]),
+            "url string, seq long, priority int, event_ts timestamp",
+        )
+    )
+    cm_path = os.path.join(cm_dir, "cache_meta.parquet")
+    process(batch, 0)
+    first = sorted(map(tuple, spark.read.parquet(cm_path).collect()))
+    assert len(first) == 2  # one row per url
+    process(batch, 0)  # replayed batch, same batch_id
+    assert sorted(map(tuple, spark.read.parquet(cm_path).collect())) == first
+    # a later batch whose urls are all TTL-blocked admits nothing and
+    # must not touch the snapshot
+    process(batch, 1)
+    assert sorted(map(tuple, spark.read.parquet(cm_path).collect())) == first
